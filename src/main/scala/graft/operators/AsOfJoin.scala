@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the payload of the
+  * latest right row with the same key and `rightTime <= leftTime`.
+  *
+  * Implemented with the union+window technique rather than a
+  * non-equi join: tag both sides, union them, and carry the most
+  * recent right payload forward with `last(_, ignoreNulls)` over a
+  * key-partitioned time-ordered window. Cost = ONE shuffle on the key
+  * plus a per-partition sort — the same cost class as a sort-merge
+  * join, with no range cross-product. At 100 TB this is the plan you
+  * want: no broadcast requirement on either side, skew handled by AQE.
+  *
+  * Rows on the right sharing (key, time) must be pre-deduplicated by
+  * the caller if deterministic output is required (the window breaks
+  * ties by `rightTieBreak`, keeping the greatest).
+  */
+object AsOfJoin {
+  /** @param left       left relation
+    * @param right      right relation
+    * @param key        join key column name (same name both sides)
+    * @param leftTime   event-time column on the left
+    * @param rightTime  event-time column on the right
+    * @param rightTieBreak column on the right breaking equal-time ties
+    *                      (greatest wins)
+    * @param payload    right columns to attach to left rows
+    */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightTieBreak: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // Common layout: key, _t, _side (0=right sorts before 1=left at
+    // equal times, so `<=` semantics hold), _tie, payload…, leftCols…
+    val r = right.select(
+      col(key).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
+        col(rightTieBreak).as("_tie") +:
+        payload.map(c => col(c)) ++: leftCols.toSeq.map(c => lit(null).as(c)): _*)
+    val l = left.select(
+      col(key).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
+        lit(null).as("_tie") +:
+        payload.map(c => lit(null).as(c)) ++: leftCols.toSeq.map(c => col(c)): _*)
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(r.unionByName(l)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select(leftCols.map(col).toSeq ++ payload.map(col): _*)
+  }
+}
