@@ -1,0 +1,99 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`Array[Float]`)
+  * (SURVEY.md §2.11): brute-force cosine top-k as the exact baseline,
+  * and a random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order functions
+  * over the array column — no UDF, no collect; the data never leaves
+  * the executors.
+  */
+object Similarity {
+
+  /** Sum of elementwise products, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k: broadcast the (small) query set
+    * against the corpus — each executor scores its corpus slice
+    * locally, then one shuffle on query id ranks the top k. This is
+    * the O(|Q|·|C|) baseline; use [[lshTopK]] when |Q| is large.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", norm(col("c_vec")))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cosine",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "cosine")
+  }
+
+  /** Deterministic random hyperplanes (seeded) for signed projections. */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Per-band LSH bucket keys: `nBands` keys per vector, each packing
+    * `bitsPerBand` hyperplane signs. Vectors sharing any band key are
+    * candidates. */
+  def bandKeys(vec: Column, planes: Seq[Seq[Double]], nBands: Int): Column = {
+    val bitsPerBand = planes.size / nBands
+    val keys = (0 until nBands).map { b =>
+      val bits = (0 until bitsPerBand).map { i =>
+        val p = typedlit(planes(b * bitsPerBand + i))
+        when(dot(vec, p) > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bits.as("bits"))
+    }
+    array(keys: _*)
+  }
+
+  /** Approximate cosine top-k via random-hyperplane LSH: explode each
+    * side into its band keys, equi-join on (band, bits) — a plain
+    * shuffle join on a compact key instead of |Q|·|C| scoring — then
+    * exact-cosine re-rank of the candidates. Tune `nPlanes`/`nBands`
+    * for recall vs candidate volume; at 100 TB the band join is the
+    * only shuffle and hot buckets are handled by AQE skew splitting.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 16, nBands: Int = 4, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes)
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("key", explode(bandKeys(col("c_vec"), planes, nBands)))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("key", explode(bandKeys(col("q_vec"), planes, nBands)))
+    val cand = q.join(c, "key")
+      .filter(col("c_id") =!= col("q_id"))
+      .select("q_id", "q_vec", "c_id", "c_vec")
+      .dropDuplicates("q_id", "c_id")
+    val scored = cand.withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "cosine")
+  }
+}

@@ -186,6 +186,7 @@ object IngestQueries {
     * missing-registry probe, relationally. */
   def missingDates(s: SparkSession, dir: String): DataFrame = {
     val ev = events(s, dir)
+      .filter(col("event_type") === "error" && col("value") > 180)
     val bounds = ev.agg(min(col("event_date")).as("lo"), max(col("event_date")).as("hi"))
     val calendar = bounds
       .select(explode(sequence(col("lo"), col("hi"))).as("event_date"))
@@ -195,7 +196,7 @@ object IngestQueries {
   }
 
   val missingDatesSql: String =
-    s"""WITH ev AS ($evSql),
+    s"""WITH ev AS (SELECT * FROM ($evSql) WHERE event_type = 'error' AND value > 180),
        |bounds AS (SELECT MIN(event_date) lo, MAX(event_date) hi FROM ev),
        |calendar AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
        |               AS event_date FROM bounds)

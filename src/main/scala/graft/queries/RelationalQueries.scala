@@ -117,16 +117,20 @@ object RelationalQueries {
       |ORDER BY o_orderkey""".stripMargin
 
   /** Left anti join J1/J2 (`src/s3_processor.py:173-176` semantics:
-    * "not in processed set"): customers that never ordered. */
-  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    * "not in processed set"): customers with no order in 2001+. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate").cast(DateType) >= lit("2001-01-01").cast(DateType))
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
+  }
 
   val antiJoinSql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND CAST(o_orderdate AS DATE) >= DATE '2001-01-01')
       |ORDER BY c_custkey""".stripMargin
 
   /** Left semi join (EXISTS): customers with at least one order. */
@@ -288,15 +292,19 @@ object RelationalQueries {
     """SELECT c_nationkey AS nk FROM customer
       |UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin
 
-  /** EXCEPT (U2, `src/s3_processor.py:176`). */
-  def exceptOp(s: SparkSession, dir: String): DataFrame =
-    Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
-      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nk")))
-      .orderBy("nk")
+  /** EXCEPT (U2, `src/s3_processor.py:176`): customers who ordered
+    * but never with a finalized ('F') order. */
+  def exceptOp(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.select(col("o_custkey").as("ck"))
+      .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("ck")))
+      .orderBy("ck")
+  }
 
   val exceptOpSql: String =
-    """SELECT c_nationkey AS nk FROM customer
-      |EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin
+    """SELECT DISTINCT o_custkey AS ck FROM orders
+      |EXCEPT SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY ck""".stripMargin
 
   /** INTERSECT. */
   def intersectOp(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis + deduplication operators over the `documents` table
+  * (LLM-data-pipeline surface, SURVEY.md §2.11): token counting,
+  * quality scoring, language ID, fingerprinting, exact dedup, and
+  * n-gram-Jaccard near-dup. All oracle-checked.
+  */
+object TextQueries {
+
+  /** Whitespace + BPE-ish token counting per document. */
+  def tokenCountQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_ws_tokens"),
+        bpeishCount(col("text")).as("n_bpe_tokens"),
+        punctCount(col("text")).as("n_punct"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS n_bpe_tokens,
+      |  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS INTEGER) AS n_punct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length saturation + punctuation density +
+    * stopword ratio, identical expression tree both engines. */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_obs"),
+        stopwordCount(col("text")).as("n_stop"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val textQualitySql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS INTEGER) AS n_chars_obs,
+      |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |    t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS INTEGER) AS n_stop,
+      |  0.4 * (least(CAST(length(text) AS DOUBLE), 500.0) / 500.0)
+      |    + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+      |               / greatest(CAST(length(text) AS DOUBLE), 1.0))
+      |    + 0.3 * (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+      |                t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+      |               / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0))
+      |    AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language-ID by marker-word voting, compared against the labeled
+    * `lang` column (accuracy rollup per actual language). */
+  def langIdQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  val langIdSql: String = {
+    val votes = langMarkers.map { case (l, ms) =>
+      s"CAST(len(regexp_extract_all(text, '\\b(${ms.mkString("|")})\\b')) AS INTEGER) AS v_$l"
+    }.mkString(",\n  ")
+    val mx = "greatest(" + langMarkers.map(m => s"v_${m._1}").mkString(", ") + ")"
+    val cases = langMarkers.map { case (l, _) =>
+      s"WHEN mx > 0 AND v_$l = mx THEN '$l'"
+    }.mkString(" ")
+    s"""WITH v AS (SELECT doc_id, lang, $votes FROM documents),
+       |p AS (SELECT doc_id, lang, CASE $cases ELSE 'und' END AS pred_lang
+       |      FROM (SELECT *, $mx AS mx FROM v))
+       |SELECT lang, pred_lang, COUNT(*) AS n FROM p
+       |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  /** Document fingerprinting (md5 + sha256 content hashes). */
+  def fingerprintQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        fingerprintMd5(col("text")).as("fp_md5"),
+        fingerprintSha256(col("text")).as("fp_sha256"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact deduplication via hash-groupBy (SURVEY.md §2.11): group by
+    * the 16-byte md5 of the body — never by the body itself — keep
+    * min(doc_id) as canonical. At 100 TB this is one shuffle on a
+    * fixed-width key with map-side partial aggregation. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(fingerprintMd5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("canonical_id")
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin
+
+  /** N-gram Jaccard near-dup pairs: distinct word-3-shingles per doc,
+    * inverted-index self-join on shingle, Jaccard from capped sets.
+    * Scale levers (both mirrored in the oracle): stop-shingles
+    * appearing in > 50 docs are dropped before pairing (bounds the
+    * per-shingle join fan-out — the standard hot-key cap), and
+    * Jaccard is computed over the capped sets. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 50).select("sh")
+    val kept = sh.join(hot, Seq("sh"), "left_anti")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = kept.as("a")
+    val b = kept.as("b")
+    val common = a.join(b, col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast(DoubleType))
+      .filter(col("jaccard") >= 0.2)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupNgramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |kept AS (
+      |  SELECT sh, doc_id FROM sh
+      |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 50),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, n_common,
+      |  CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+      |FROM common
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_token_count", tokenCountQ, Some(tokenCountSql)),
+    QueryDef("q_text_quality", textQuality, Some(textQualitySql)),
+    QueryDef("q_lang_id", langIdQ, Some(langIdSql)),
+    QueryDef("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
+    QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("q_dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)))
+}

@@ -1,0 +1,61 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Synthetic corpus: 200 random unit-ish vectors plus, for each of
+    * the first 5, a planted near-duplicate (tiny noise). */
+  private lazy val corpus = {
+    val rnd = new Random(7)
+    val base = (0 until 200).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val planted = (0 until 5).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    (base ++ planted).toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK ranks the planted near-duplicate first") {
+    val queries = corpus.filter($"vec_id" < 5)
+    val top = Similarity.bruteForceTopK(corpus, queries, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (q <- 0 until 5) assert(top(q.toLong) == 1000L + q,
+      s"query $q top-1 should be its planted near-dup")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val self = corpus.limit(10)
+      .select(Similarity.cosine($"embedding", $"embedding").as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("lshTopK finds planted near-duplicates (high-similarity recall)") {
+    val queries = corpus.filter($"vec_id" < 5)
+    val top = Similarity.lshTopK(corpus, queries, k = 1,
+      nPlanes = 16, nBands = 8, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // 8 bands of 2 bits: a 0.99+-cosine pair collides in some band
+    // with overwhelming probability.
+    val hits = (0 until 5).count(q => top.get(q.toLong).contains(1000L + q))
+    assert(hits >= 4, s"LSH recall too low: $hits/5")
+  }
+
+  test("lshTopK candidates are a subset re-ranked by exact cosine") {
+    val queries = corpus.filter($"vec_id" === 0)
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("c_id", "cosine").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(corpus, queries, k = 5,
+      nPlanes = 16, nBands = 8, dim = 16)
+      .select("c_id", "cosine").collect()
+    // any candidate LSH returns must carry the exact cosine score
+    for ((id, c) <- lsh.map(r => r.getLong(0) -> r.getDouble(1)))
+      if (brute.contains(id)) assert(math.abs(brute(id) - c) < 1e-12)
+  }
+}
