@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.sink.UpsertSink
+
+class UpsertSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def batchDf(rows: Seq[(String, String, Long)]) =
+    rows.map { case (d, c, t) =>
+      (Date.valueOf(d), c, s"Client $c", "svc", t)
+    }.toDF("date", "client_id", "client_name", "service_name", "total_consumed_tokens")
+
+  private def tableState(dir: String): Map[(String, String), Long] =
+    spark.read.parquet(dir).collect().map { r =>
+      (r.getAs[Date]("date").toString, r.getAs[String]("client_id")) ->
+        r.getAs[Long]("total_consumed_tokens")
+    }.toMap
+
+  test("merge inserts then updates on conflict; created_at preserved") {
+    val dir = Fixtures.tempDir("sink").resolve("t").toString
+    val sink = new UpsertSink(spark, dir)
+    sink.merge(batchDf(Seq(("2025-05-01", "A", 1L), ("2025-05-01", "B", 2L))))
+    val created1 = spark.read.parquet(dir)
+      .filter($"client_id" === "A").collect()(0).getAs[java.sql.Timestamp]("created_at")
+    Thread.sleep(5)
+    sink.merge(batchDf(Seq(("2025-05-01", "A", 10L), ("2025-05-02", "A", 3L))))
+    assert(tableState(dir) == Map(
+      ("2025-05-01", "A") -> 10L, ("2025-05-01", "B") -> 2L, ("2025-05-02", "A") -> 3L))
+    val rowA = spark.read.parquet(dir)
+      .filter($"client_id" === "A" && $"date" === "2025-05-01").collect()(0)
+    assert(rowA.getAs[java.sql.Timestamp]("created_at") == created1,
+      "created_at must survive the update")
+    assert(!rowA.getAs[java.sql.Timestamp]("updated_at").before(created1))
+  }
+
+  test("merge is idempotent (exactly-once retry semantics, T5)") {
+    val dir = Fixtures.tempDir("sink2").resolve("t").toString
+    val sink = new UpsertSink(spark, dir)
+    val b = batchDf(Seq(("2025-05-01", "A", 1L), ("2025-05-01", "B", 2L)))
+    sink.merge(b)
+    val s1 = tableState(dir)
+    sink.merge(b) // retried micro-batch
+    assert(tableState(dir) == s1)
+  }
+
+  test("dedupBatch: deterministic last-writer-wins, not dropDuplicates") {
+    val dir = Fixtures.tempDir("sink3").resolve("t").toString
+    val sink = new UpsertSink(spark, dir)
+    val dup = batchDf(Seq(
+      ("2025-05-01", "A", 1L), ("2025-05-01", "A", 7L), ("2025-05-01", "A", 3L)))
+      .withColumn("ord", col("total_consumed_tokens"))
+    val out = sink.dedupBatch(dup, "ord").drop("ord").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("total_consumed_tokens") == 7L)
+  }
+
+  test("property: sequential merges == merge of per-key-latest (upsert fold)") {
+    val dates = Gen.oneOf("2025-05-01", "2025-05-02")
+    val clients = Gen.oneOf("A", "B", "C")
+    val rowGen = for {
+      d <- dates; c <- clients; t <- Gen.choose(0L, 100L)
+    } yield (d, c, t)
+    val batchesGen = Gen.listOfN(3, Gen.listOfN(4, rowGen))
+    val prop = Prop.forAllNoShrink(batchesGen) { batches =>
+      val dirSeq = Fixtures.tempDir("prop").resolve("seq").toString
+      val sinkSeq = new UpsertSink(spark, dirSeq)
+      // merging batch-by-batch (each pre-deduped to its last row per key)…
+      batches.filter(_.nonEmpty).foreach { b =>
+        val df = batchDf(b).withColumn("ord", monotonically_increasing_id())
+        sinkSeq.merge(sinkSeq.dedupBatch(df, "ord").drop("ord"))
+      }
+      // …must equal the overall last-writer-wins of the concatenation.
+      val all = batches.flatten
+      val expected = all.zipWithIndex
+        .groupBy { case ((d, c, _), _) => (d, c) }
+        .map { case (k, vs) => k -> vs.maxBy(_._2)._1._3 }
+      val got = if (all.isEmpty) Map.empty else tableState(dirSeq)
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
