@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** 64-bit SimHash runtime: FNV-1a hash per token, signed bit voting.
+  * Static + JVM-only so generated code can call it directly. */
+object SimHashImpl {
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  def fnv1a(bytes: Array[Byte]): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** SimHash of a token array: per bit, +1 for tokens with the bit
+    * set, −1 otherwise; result bit = vote > 0. */
+  def compute(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1a(tokens.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** Native Catalyst expression (SURVEY.md §2.11 / guide preference
+  * order (b)): `simhash(array<string>) -> bigint`, with `doGenCode`
+  * so it stays inside whole-stage codegen — no UDF serialization, no
+  * row-at-a-time InternalRow↔Scala conversion on the hot path. */
+case class SimHash(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash expects array<string>, got ${other.simpleString(10)}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashImpl.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+object SimHash {
+  /** Register `simhash` in the session's function registry (the
+    * public Column constructor no longer accepts raw expressions in
+    * Spark 4; registry + call_function is the supported route). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash", exprs => SimHash(exprs.head), "built-in")
+
+  def simhash(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    call_function("simhash", c)
+  }
+}
