@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Second wave of analytics operators: grouping sets, sessionization
+  * (gaps-and-islands), pivot, median, approximate distinct, and the
+  * multimodal feature-extraction pipeline surfaced as a query. */
+object AnalyticsQueries {
+
+  private val dec2 = DecimalType(18, 2)
+
+  /** GROUPING SETS: (status, priority), (status), () — one shuffle,
+    * expand-based. */
+  def groupingSetsQ(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec2)).cast(DoubleType).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Sessionization (gaps-and-islands): a new session starts after a
+    * >30-minute silence per user; two windows over one
+    * user-partitioned sort — no self-join. */
+  def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    IngestQueries.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(wRun))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_date")).as("start_date"),
+        max(col("event_date")).as("end_date"),
+        sum(col("value").cast(dec2)).cast(DoubleType).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    s"""WITH ev AS (${IngestQueries.evSql}),
+       |g AS (
+       |  SELECT user_id, event_date, value,
+       |    epoch_us(ts) - LAG(epoch_us(ts), 1)
+       |      OVER (PARTITION BY user_id ORDER BY event_id) AS gap,
+       |    event_id
+       |  FROM ev),
+       |t AS (
+       |  SELECT user_id, event_date, value,
+       |    SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM g)
+       |SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  MIN(event_date) AS start_date, MAX(event_date) AS end_date,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+       |FROM t GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: event counts per user × type (nulls of empty cells
+    * coalesced to 0 so both engines agree). */
+  def pivotQ(s: SparkSession, dir: String): DataFrame = {
+    val p = IngestQueries.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    p.select(col("user_id") +:
+        eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  val pivotSql: String = {
+    val cases = eventTypes.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS \"$t\"")
+      .mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cases
+       |FROM (${IngestQueries.evSql})
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** Exact median per group (integer-valued doubles: the (a+b)/2
+    * interpolation is exact in both engines). */
+  def medianQ(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(median(col("l_quantity")).as("med_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy("l_returnflag")
+
+  val medianSql: String =
+    """SELECT l_returnflag, median(l_quantity) AS med_qty,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** HLL++ approximate distinct (§2.11) — engine-specific sketch, so
+    * rows-only driver check; ScalaTest bounds the error vs exact. */
+  def approxDistinctQ(s: SparkSession, dir: String): DataFrame =
+    IngestQueries.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Multimodal decode pipeline as a query: synthesize binary media
+    * from documents, run the batched mapPartitions feature kernel,
+    * aggregate per kind. Features are deterministic integers, so even
+    * the mapPartitions path is oracle-checkable. */
+  def multimodalQ(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.synthesize(Tables.documents(s, dir))
+    Multimodal.decodeFeatures(s, media).toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        sum(col("byte_len").cast(LongType)).as("total_bytes"),
+        sum(col("checksum")).as("total_checksum"),
+        sum(col("n_frames_sampled").cast(LongType)).as("total_frames"))
+      .orderBy("kind")
+  }
+
+  val multimodalSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+      |    strlen(text) AS byte_len,
+      |    (SELECT SUM(ord(c)) FROM (SELECT unnest(regexp_extract_all(text, '.')) AS c)) AS checksum,
+      |    CASE WHEN ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] = 'video'
+      |         THEN 4 ELSE 0 END AS n_frames
+      |  FROM documents)
+      |SELECT kind, COUNT(*) AS n,
+      |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(checksum) AS BIGINT) AS total_checksum,
+      |  CAST(SUM(n_frames) AS BIGINT) AS total_frames
+      |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_grouping_sets", groupingSetsQ, Some(groupingSetsSql)),
+    QueryDef("q_sessionize", sessionizeQ, Some(sessionizeSql)),
+    QueryDef("q_pivot", pivotQ, Some(pivotSql)),
+    QueryDef("q_median", medianQ, Some(medianSql)),
+    QueryDef("q_approx_distinct", approxDistinctQ, None),
+    QueryDef("q_multimodal_features", multimodalQ, Some(multimodalSql)))
+}
