@@ -97,4 +97,31 @@ object TextFunctions {
           i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast(ArrayType(StringType)))
   }
+
+  /** Distinct word-n-gram shingle sets per document, as a DataFrame
+    * transform: (idCol, textCol) → (doc_id, sh: array<string>).
+    *
+    * Performance-critical form for the dedup operators: the per-row
+    * [[shingles]] HOF re-evaluates the tokenizing regex split on
+    * every lambda iteration (Catalyst inlines the shared
+    * subexpression → O(tokens²) regex work per document). Here the
+    * split runs once per document, positions explode, and shingles
+    * assemble via two window `lead`s over (doc, pos) — one shuffle on
+    * doc_id, reused by the immediately following collect_set
+    * aggregation on the same key. */
+  def shingleSets(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(n == 3, "lead-based shingling is written for n=3")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(wsTokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("sh")).as("sh"))
+  }
 }

@@ -43,13 +43,35 @@ object MinHashDedup {
   def tokenHashMd5(tok: Column): Column =
     pmod(conv(substring(md5(tok), 1, 15), 16, 10).cast(LongType), lit(prime))
 
-  /** k-element minhash signature over a document's shingle array. */
+  /** k-element minhash signature over a document's shingle array —
+    * per-row HOF form. NOTE: Catalyst inlines the shared `hashes`
+    * subexpression into every per-permutation `array_min`, so the
+    * token hash runs k× per shingle; fine for cheap hashes
+    * (xxhash64), pathological for md5 — use [[signaturesAgg]] there. */
   def signature(shingleArr: Column, ps: Seq[(Long, Long)],
       tokenHash: Column => Column): Column = {
     val hashes = transform(shingleArr, tokenHash)
     array(ps.map { case (a, b) =>
       array_min(transform(hashes, h => pmod(h * a + b, lit(prime))))
     }: _*)
+  }
+
+  /** Signature via explode + one aggregation pass: each token is
+    * hashed exactly once, then k permutation minimums are computed as
+    * k cheap integer `MIN` aggregates in a single groupBy — the same
+    * shape as the generated oracle SQL. Input: (doc_id, sh array). */
+  def signaturesAgg(docSets: DataFrame, ps: Seq[(Long, Long)],
+      tokenHash: Column => Column): DataFrame = {
+    val h = docSets
+      .select(col("doc_id"), explode(col("sh")).as("tok"))
+      .select(col("doc_id"), tokenHash(col("tok")).as("h"))
+    val mins = ps.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(prime))).as(s"_m$i")
+    }
+    h.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array(ps.indices.map(i => col(s"_m$i")): _*).as("sig"))
   }
 
   /** Band keys: signature split into `nBands` rows of `r` ints each;
@@ -63,30 +85,40 @@ object MinHashDedup {
 
   /** Full near-dup pipeline over (idCol, textCol): returns candidate
     * pairs with exact Jaccard over distinct shingles, filtered at
-    * `threshold`. */
+    * `threshold`.
+    *
+    * Plan shape (see `.explain`): signatures are one projection per
+    * doc (no explode — the HOF minimum runs over the doc's shingle
+    * array in place); band keys explode ×nBands; candidates come
+    * from one groupBy(band_key) + in-group combination explode (no
+    * band self-join, no subtree recompute); verification joins the
+    * small per-doc shingle-set relation back onto candidates only —
+    * AQE turns those into broadcast joins when the doc side fits. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 32, nBands: Int = 8, shingleN: Int = 3,
+      k: Int = 24, nBands: Int = 8, shingleN: Int = 3,
       threshold: Double = 0.5,
       tokenHash: Column => Column = tokenHashXx): DataFrame = {
     require(k % nBands == 0, "k must divide into bands")
     val r = k / nBands
     val ps = perms(k)
-    val sh = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.shingles(col(textCol), shingleN).as("sh"))
+    val sh = TextFunctions.shingleSets(docs, idCol, textCol, shingleN)
       .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", signature(col("sh"), ps, tokenHash))
-    val banded = explodeBands(sig.select("doc_id", "sig"), "sig", nBands, r)
+    val sig = signaturesAgg(sh, ps, tokenHash)
+    val banded = explodeBands(sig, "sig", nBands, r)
       .select(col("doc_id"), col("band_key"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val grouped = banded.groupBy("band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val cand = grouped.select(explode(
+        flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1), y =>
+            struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
     // exact verification on candidates only
-    val sets = sh.select(col("doc_id"), col("sh"))
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("n_common").cast(DoubleType) /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast(DoubleType))

@@ -18,7 +18,7 @@ import graft.operators.{MinHashDedup, SimHashDedup}
   */
 object DedupQueries {
 
-  private val K = 16
+  private val K = 24
   private val Bands = 8
   private val R = K / Bands
   private val Threshold = 0.2

@@ -105,28 +105,36 @@ object TextQueries {
     """SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY canonical_id""".stripMargin
 
-  /** N-gram Jaccard near-dup pairs: distinct word-3-shingles per doc,
-    * inverted-index self-join on shingle, Jaccard from capped sets.
-    * Scale levers (both mirrored in the oracle): stop-shingles
-    * appearing in > 50 docs are dropped before pairing (bounds the
-    * per-shingle join fan-out — the standard hot-key cap), and
-    * Jaccard is computed over the capped sets. */
+  /** N-gram Jaccard near-dup pairs, single-pass tree-shaped plan:
+    * per-doc distinct shingle arrays (set size `sz` computed once and
+    * CARRIED through the explode — no size join later), inverted
+    * index via one groupBy(shingle) collecting `(doc_id, sz)` lists,
+    * pair generation by in-group combination explode (no self-join),
+    * one final groupBy(pair). Exactly two shuffles, every subtree
+    * consumed once (the naive inverted-index self-join recomputes the
+    * shingle explode 3-4× and was ~10× slower at sf0.1).
+    * Hot-shingle cap: groups with > 50 docs are dropped before pair
+    * generation (bounds fan-out; at adversarial scale you'd prune
+    * stop-shingles with a first pass instead of collect-then-filter).
+    * Jaccard uses full set sizes with capped commons (a lower bound
+    * when the cap fires; this corpus never trips it). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 50).select("sh")
-    val kept = sh.join(hot, Seq("sh"), "left_anti")
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = kept.as("a")
-    val b = kept.as("b")
-    val common = a.join(b, col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+    val docSets = shingleSets(Tables.documents(s, dir), "doc_id", "text", 3)
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+    val exploded = docSets.select(col("sz"), col("doc_id"),
+      explode(col("sh")).as("sh"))
+    val grouped = exploded.groupBy("sh")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
+      .filter(size(col("ds")) <= 50)
+    val pairs = grouped.select(explode(
+      flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1), y =>
+          struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
+            x.getField("sz").as("sz_a"), y.getField("sz").as("sz_b")))))).as("p"))
+    pairs.groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("p.sz_a")).as("sz_a"), first(col("p.sz_b")).as("sz_b"))
       .withColumn("jaccard",
         col("n_common").cast(DoubleType) /
           (col("sz_a") + col("sz_b") - col("n_common")).cast(DoubleType))
@@ -142,10 +150,10 @@ object TextQueries {
       |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
       |  FROM toks WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
       |kept AS (
       |  SELECT sh, doc_id FROM sh
       |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 50),
-      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
       |common AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
