@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Third relational wave: outer joins, array higher-order functions,
+  * correlated-scalar semantics, RANGE window frames, rank statistics. */
+object AdvancedQueries {
+
+  private val dec2 = DecimalType(18, 2)
+
+  /** FULL OUTER join on an intentionally partial overlap: customers
+    * vs the distinct set of 2001+ order custkeys. */
+  def outerJoin(s: SparkSession, dir: String): DataFrame = {
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate").cast(DateType) >= lit("2001-01-01").cast(DateType))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_recent"))
+    Tables.customer(s, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("ck"),
+        col("c_mktsegment"),
+        coalesce(col("n_recent"), lit(0L)).as("n_recent"))
+      .orderBy(col("ck").asc_nulls_first)
+  }
+
+  val outerJoinSql: String =
+    """WITH recent AS (
+      |  SELECT o_custkey, COUNT(*) AS n_recent FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) >= DATE '2001-01-01'
+      |  GROUP BY o_custkey)
+      |SELECT COALESCE(c_custkey, o_custkey) AS ck, c_mktsegment,
+      |  COALESCE(n_recent, 0) AS n_recent
+      |FROM customer FULL OUTER JOIN recent ON c_custkey = o_custkey
+      |ORDER BY ck ASC NULLS FIRST""".stripMargin
+
+  /** Array higher-order functions over the embedding column:
+    * transform / filter / aggregate / slice — the `functions._` HOF
+    * surface (SURVEY.md §2.8 "array functions: built-in"). All
+    * integer-exact via quantization. */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          e => floor(e.cast(DoubleType) * 1000).cast(LongType)).as("q"))
+      .select(
+        col("vec_id"),
+        size(col("q")).as("dim"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        size(filter(col("q"), x => x > 0)).as("n_pos"),
+        array_max(col("q")).as("q_max"),
+        aggregate(slice(col("q"), 1, 8), lit(0L), (acc, x) => acc + x).as("head_sum"))
+      .orderBy("vec_id")
+
+  val arrayFuncsSql: String =
+    """WITH e AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  CAST(len(q) AS INTEGER) AS dim,
+      |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+      |  CAST(len(list_filter(q, x -> x > 0)) AS INTEGER) AS n_pos,
+      |  list_max(q) AS q_max,
+      |  CAST(list_sum(q[1:8]) AS BIGINT) AS head_sum
+      |FROM e ORDER BY vec_id""".stripMargin
+
+  /** Correlated-scalar semantics: orders above their customer's own
+    * average order value (window formulation — one shuffle, vs the
+    * naive rejoin of an aggregate). */
+  def aboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(s, dir)
+      .withColumn("cust_avg",
+        (sum(col("o_totalprice").cast(dec2)).over(w).cast(DoubleType) /
+          count(lit(1)).over(w)).as("cust_avg"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("cust_avg"))
+      .orderBy("o_orderkey")
+  }
+
+  val aboveAvgSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |      / COUNT(*) OVER w AS cust_avg
+      |  FROM orders WINDOW w AS (PARTITION BY o_custkey))
+      |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin
+
+  /** RANGE window frame: for each order, total of the same customer's
+    * orders within the previous 90 days (value-range frame, not row
+    * count). Epoch-day ordering keys are integer-exact. */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("od_days"))
+      .rangeBetween(-90, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("od_days", datediff(col("o_orderdate").cast(DateType),
+        lit("1970-01-01").cast(DateType)))
+      .withColumn("spend_90d",
+        sum(col("o_totalprice").cast(dec2)).over(w).cast(DoubleType))
+      .select("o_orderkey", "o_custkey", "od_days", "spend_90d")
+      .orderBy("o_orderkey")
+  }
+
+  val rangeFrameSql: String =
+    """SELECT o_orderkey, o_custkey, od_days,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY od_days
+      |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+      |FROM (SELECT *, datediff('day', DATE '1970-01-01',
+      |        CAST(o_orderdate AS DATE)) AS od_days FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Ranking statistics: rank/dense_rank/percent_rank/cume_dist/ntile
+    * over a deterministic total order. */
+  def rankStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter(col("rnk") <= 50)
+      .select("o_orderpriority", "rnk", "drnk", "pct_rank", "cume",
+        "quartile", "o_orderkey")
+      .orderBy("o_orderpriority", "rnk")
+  }
+
+  val rankStatsSql: String =
+    """SELECT o_orderpriority, rnk, drnk, pct_rank, cume, quartile, o_orderkey
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    RANK() OVER w AS rnk,
+      |    DENSE_RANK() OVER w AS drnk,
+      |    PERCENT_RANK() OVER w AS pct_rank,
+      |    CUME_DIST() OVER w AS cume,
+      |    NTILE(4) OVER w AS quartile
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice DESC, o_orderkey ASC))
+      |WHERE rnk <= 50 ORDER BY o_orderpriority, rnk""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_outer_join", outerJoin, Some(outerJoinSql)),
+    QueryDef("q_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
+    QueryDef("q_above_avg", aboveAvg, Some(aboveAvgSql)),
+    QueryDef("q_range_frame", rangeFrame, Some(rangeFrameSql)),
+    QueryDef("q_rank_stats", rankStats, Some(rankStatsSql)))
+}

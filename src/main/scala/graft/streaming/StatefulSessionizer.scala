@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state (SURVEY.md §2.9 "mapGroupsWithState …
+  * available for the extension surface"): an event-time sessionizer
+  * built on `flatMapGroupsWithState` — the arbitrary-state API the
+  * reference's checkpoint machinery would need if its semantics ever
+  * outgrew watermarked windows.
+  *
+  * State per user: the open session (bounds, count, value sum).
+  * An event extends the session if within `gapMs` of its end,
+  * otherwise the closed session is emitted and a new one opens.
+  * Event-time timeout closes idle sessions once the watermark passes
+  * session end + gap, which bounds state size — the 100 TB
+  * requirement for any unbounded-stream operator.
+  */
+object StatefulSessionizer {
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(
+      start: Long, end: Long, n: Long, total: Double)
+  final case class ClosedSession(
+      user_id: Long, start: Timestamp, end: Timestamp, n_events: Long,
+      total_value: Double)
+
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+      gapMs: Long): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId,
+              new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= ClosedSession(userId, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StatefulSessionizer
+import graft.streaming.StatefulSessionizer.{ClosedSession, Event}
+
+class StatefulStreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(3600000L + min * 60000L)
+
+  test("flatMapGroupsWithState sessionizer: gap split + watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = StatefulSessionizer.sessionize(spark, input.toDS(),
+      gapMs = 5 * 60000L) // 5-minute gap
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_t").start()
+
+    // batch 1: user 1 has two events 2min apart (one session), then a
+    // 10-min silence and another event → first session closes inline.
+    input.addData(
+      Event(1L, ts(0), 1.0), Event(1L, ts(2), 2.0), Event(1L, ts(12), 4.0),
+      Event(2L, ts(1), 8.0))
+    q.processAllAvailable()
+    val afterB1 = spark.table("sessions_t").as[ClosedSession].collect()
+    assert(afterB1.map(s => (s.user_id, s.n_events, s.total_value)).toSet ==
+      Set((1L, 2L, 3.0)))
+
+    // batch 2: advance the watermark far past everything → timeouts
+    // close the open sessions of user 1 (the 12-min event) and user 2.
+    input.addData(Event(3L, ts(120), 0.5))
+    q.processAllAvailable()
+    input.addData(Event(3L, ts(121), 0.5)) // one more batch so timeouts fire
+    q.processAllAvailable()
+    val all = spark.table("sessions_t").as[ClosedSession].collect()
+    q.stop()
+    val byUser = all.groupBy(_.user_id)
+    assert(byUser(1L).map(s => (s.n_events, s.total_value)).toSet ==
+      Set((2L, 3.0), (1L, 4.0)))
+    assert(byUser(2L).map(s => (s.n_events, s.total_value)).toSet ==
+      Set((1L, 8.0)))
+  }
+}
