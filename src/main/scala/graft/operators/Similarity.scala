@@ -70,6 +70,45 @@ object Similarity {
     array(keys: _*)
   }
 
+  /** IVF(-flat) approximate top-k: a coarse quantizer of `nCentroids`
+    * deterministically-sampled corpus vectors partitions the corpus
+    * into inverted lists (one assignment pass, centroids broadcast);
+    * each query probes its `nProbe` nearest centroids and exact-ranks
+    * only those lists. Complement to [[lshTopK]]: IVF adapts to the
+    * data distribution where hyperplane LSH is data-oblivious.
+    *
+    * Scale shape: assignment is a broadcast-join + `max_by` argmax
+    * (no shuffle of the corpus beyond the final per-cluster group);
+    * probing touches nProbe/nCentroids of the corpus per query. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    // deterministic sample: the nCentroids smallest ids
+    val centroids = c.orderBy("c_id").limit(nCentroids)
+      .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"))
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("score", cosine(col("c_vec"), col("cent_vec")))
+      .groupBy("c_id")
+      .agg(max_by(col("cent_id"), col("score")).as("cluster"),
+        first(col("c_vec")).as("c_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("score", cosine(col("q_vec"), col("cent_vec")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("cent_id").asc)))
+      .filter(col("rnk") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cent_id").as("cluster"))
+    val scored = probes.join(assigned, "cluster")
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("c_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "cosine")
+  }
+
   /** Approximate cosine top-k via random-hyperplane LSH: explode each
     * side into its band keys, equi-join on (band, bits) — a plain
     * shuffle join on a compact key instead of |Q|·|C| scoring — then

@@ -229,7 +229,26 @@ object IngestQueries {
       |  CAST(len(string_split(trim(c_name), '#')) AS INTEGER) AS n_parts
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Control-file serialization F9 (`'\n'.join`, `src/s3_processor
+    * .py:183`): the missing-dates list as its newline-joined wire
+    * format (sorted for determinism — `collect_list` order is not). */
+  def serializeRegistry(s: SparkSession, dir: String): DataFrame =
+    missingDates(s, dir)
+      .agg(
+        concat_ws("\n",
+          array_sort(collect_list(date_format(col("event_date"), "yyyy_MM_dd"))))
+          .as("registry_body"),
+        count(lit(1)).as("n_missing"))
+
+  val serializeRegistrySql: String =
+    s"""WITH missing AS ($missingDatesSql)
+       |SELECT COALESCE(string_agg(strftime(event_date, '%Y_%m_%d'), chr(10)
+       |         ORDER BY event_date), '') AS registry_body,
+       |  COUNT(*) AS n_missing
+       |FROM missing""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_serialize_registry", serializeRegistry, Some(serializeRegistrySql)),
     QueryDef("q_ingest_dedup", ingestDedup, Some(ingestDedupSql)),
     QueryDef("q_scalar_dates", scalarDates, Some(scalarDatesSql)),
     QueryDef("q_multiformat_parse", multiformatParse, Some(multiformatParseSql)),

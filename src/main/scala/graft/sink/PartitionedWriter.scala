@@ -1,0 +1,28 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Date-partitioned parquet layout writer — the engine's native
+  * "gold" output mirroring the reference's directory-per-date input
+  * convention (SURVEY.md §2.1 S2): one `date=YYYY-MM-DD/` partition
+  * directory per day, Hive-style, so downstream reads prune
+  * partitions from date predicates (SURVEY.md §4 "partition
+  * pruning").
+  *
+  * Dynamic partition overwrite replaces only the partitions present
+  * in the batch — an idempotent per-day commit: re-running a day's
+  * ingest rewrites that day's directory and nothing else.
+  */
+object PartitionedWriter {
+
+  def write(df: DataFrame, targetDir: String, partitionCol: String = "date"): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write
+      .mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(targetDir)
+  }
+
+  def read(spark: SparkSession, targetDir: String): DataFrame =
+    spark.read.parquet(targetDir)
+}

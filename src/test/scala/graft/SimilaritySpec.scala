@@ -46,6 +46,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(hits >= 4, s"LSH recall too low: $hits/5")
   }
 
+  test("ivfTopK finds planted near-duplicates (probed-list recall)") {
+    val queries = corpus.filter($"vec_id" >= 1000) // the planted copies
+    val top = Similarity.ivfTopK(corpus, queries, k = 1,
+      nCentroids = 8, nProbe = 8) // nProbe = all lists ⇒ exact
+    val got = top.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (i <- 0 until 5) assert(got(1000L + i) == i.toLong,
+      s"planted copy ${1000 + i} should rank its original first")
+    // with partial probing the planted pair stays found: copy and
+    // original quantize to the same centroid at cosine ~0.9999
+    val partial = Similarity.ivfTopK(corpus, queries, k = 1,
+      nCentroids = 8, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hits = (0 until 5).count(i => partial.get(1000L + i).contains(i.toLong))
+    assert(hits >= 4, s"IVF recall too low: $hits/5")
+  }
+
   test("lshTopK candidates are a subset re-ranked by exact cosine") {
     val queries = corpus.filter($"vec_id" === 0)
     val brute = Similarity.bruteForceTopK(corpus, queries, k = 5)
