@@ -33,11 +33,11 @@ object Consumption {
 
   /** Raw read schema: everything as string; parsing/coercion is an
     * explicit, testable step (never `inferSchema` at scale —
-    * SURVEY.md §1.3). `_corrupt_record` collects unparseable lines
-    * under PERMISSIVE mode. */
+    * SURVEY.md §1.3). Used by the streaming source, which requires an
+    * explicit schema; the batch path reads header-driven so column
+    * validation can reject files with missing columns (P2). */
   val rawSchema: StructType = StructType(
-    expectedColumns.map(StructField(_, StringType)) :+
-      StructField("_corrupt_record", StringType))
+    expectedColumns.map(StructField(_, StringType)))
 
   /** Parsed schema (SURVEY.md §1.2 type table). */
   val schema: StructType = StructType(Seq(

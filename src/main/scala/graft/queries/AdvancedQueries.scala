@@ -146,7 +146,19 @@ object AdvancedQueries {
       |               ORDER BY o_totalprice DESC, o_orderkey ASC))
       |WHERE rnk <= 50 ORDER BY o_orderpriority, rnk""".stripMargin
 
+  /** Explicit CROSS JOIN (tiny×tiny — the legitimate use). */
+  def crossJoinQ(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).crossJoin(Tables.region(s, dir))
+      .select(col("n_name"), col("r_name"),
+        (col("n_regionkey") === col("r_regionkey")).as("is_home"))
+      .orderBy("n_name", "r_name")
+
+  val crossJoinSql: String =
+    """SELECT n_name, r_name, n_regionkey = r_regionkey AS is_home
+      |FROM nation CROSS JOIN region ORDER BY n_name, r_name""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_cross_join", crossJoinQ, Some(crossJoinSql)),
     QueryDef("q_outer_join", outerJoin, Some(outerJoinSql)),
     QueryDef("q_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
     QueryDef("q_above_avg", aboveAvg, Some(aboveAvgSql)),

@@ -38,7 +38,7 @@ object IngestStream {
       .option("mode", "PERMISSIVE")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "*.csv")
-      .schema(StructType(Consumption.expectedColumns.map(StructField(_, StringType))))
+      .schema(Consumption.rawSchema)
       .csv(s"$prefix/consumption_*")
     CsvIngest.parse(raw).filter(col("date").isNotNull)
   }
