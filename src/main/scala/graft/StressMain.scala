@@ -1,0 +1,24 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object StressMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[stress] $tag%-24s rows=$n%-9d ${(System.nanoTime()-t0)/1e9}%7.2f s")
+    }
+    Tables.documents(spark, "/tmp/stress").count() // warm
+    time("token_count 100k")(queries.TextQueries.tokenCountQ(spark, "/tmp/stress").count())
+    time("dedup_exact 100k")(queries.TextQueries.dedupExact(spark, "/tmp/stress").count())
+    time("ngram_jaccard 100k")(queries.TextQueries.dedupNgramJaccard(spark, "/tmp/stress").count())
+    time("minhash 100k")(queries.DedupQueries.minhashQ(spark, "/tmp/stress").count())
+    time("simhash 100k")(queries.DedupQueries.simhashQ(spark, "/tmp/stress").count())
+    spark.stop()
+  }
+}

@@ -27,21 +27,36 @@ object SimHashDedup {
       call_function("simhash", TextFunctions.wsTokens(col(textCol))).as("sig"))
   }
 
-  /** Pairs within `maxHamming` (≤ 15 for the 4×16-bit band scheme to
-    * be lossless... up to 3; above that it is a recall-bounded
-    * approximation, as with any LSH). */
+  /** Pairs within `maxHamming` (pigeonhole-lossless up to distance 3
+    * for 4 bands; above that a recall-bounded approximation, as with
+    * any LSH).
+    *
+    * Candidates come from one groupBy(band bits) + in-group
+    * combination explode, carrying both signatures so verification
+    * needs no join back. `maxBucket` drops pathological buckets: on a
+    * low-diversity corpus (e.g. mass-duplicated docs) every band
+    * collides and the pair count goes quadratic — a 100k-doc 20×
+    * duplication stress produced 57M pairs without the cap. Mass
+    * duplicates belong to exact dedup (hash-groupBy) running FIRST;
+    * capped simhash then handles the near-dup tail. */
   def nearDupPairs(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, maxHamming: Int = 3): DataFrame = {
+      textCol: String, maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
     val sigs = signatures(spark, docs, idCol, textCol)
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
       }: _*)).as("bk"))
-    banded.as("a").join(banded.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    val grouped = banded.groupBy("bk")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
+    grouped.select(explode(
+        flatten(transform(col("ds"), (x, i) =>
+          transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1), y =>
+            struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
+              x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
       .distinct()
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
