@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Character-trigram language identification (SURVEY.md §2.11 "text
+  * analysis: language-ID (n-gram heuristic)") — the classic profile
+  * method: embedded per-language trigram weight profiles (function
+  * words and characteristic letter sequences), score = Σ weight of
+  * the text's trigrams per language, argmax with a fixed tie order.
+  *
+  * Pipeline shape: lowercase → trigram explode (plain substring, no
+  * regex) → broadcast join against the ~90-row profile relation →
+  * per-(doc, lang) sum → window argmax. One small broadcast, one
+  * shuffle on doc_id. Profiles are integer weights so scores are
+  * exact and the whole operator is DuckDB-expressible (the oracle SQL
+  * embeds the same profile as a VALUES list — see
+  * [[graft.queries.TextQueries]]).
+  */
+object LangId {
+
+  /** (lang, trigram, weight). Hand-built from high-frequency function
+    * words; space-padded trigrams anchor word boundaries. */
+  val profiles: Seq[(String, String, Int)] = {
+    def p(lang: String, entries: (String, Int)*): Seq[(String, String, Int)] =
+      entries.map { case (t, w) => (lang, t, w) }
+    p("en", (" th", 5), ("the", 5), ("he ", 4), (" an", 3), ("and", 4),
+      ("nd ", 3), (" of", 4), ("of ", 4), ("ing", 4), ("ng ", 3),
+      (" to", 3), ("to ", 3), (" is", 3), ("is ", 3), ("ed ", 2),
+      (" wa", 2), ("was", 3), ("ion", 2)) ++
+    p("de", ("der", 5), (" de", 4), ("die", 5), (" di", 4), ("und", 5),
+      (" un", 4), ("nd ", 3), ("ein", 4), ("ich", 4), ("sch", 4),
+      ("ch ", 3), ("cht", 3), ("en ", 3), ("ist", 3), (" is", 1),
+      ("das", 4), (" da", 2)) ++
+    p("es", (" de", 4), ("de ", 4), (" la", 4), ("la ", 4), (" el", 4),
+      ("el ", 3), ("que", 4), (" qu", 3), ("ue ", 3), ("ión", 4),
+      ("ció", 4), ("os ", 3), ("as ", 3), ("ar ", 2), (" es", 3),
+      ("es ", 3), ("una", 3)) ++
+    p("fr", (" le", 4), ("le ", 4), (" la", 3), ("es ", 3), (" de", 4),
+      ("de ", 3), ("ent", 4), ("nt ", 3), (" et", 4), ("et ", 3),
+      ("ait", 3), ("eur", 3), ("que", 3), ("une", 3), (" un", 2),
+      ("les", 4), ("ais", 3)) ++
+    p("zh", ("zh ", 4), ("sh ", 3), ("shi", 4), (" zh", 4), ("de ", 2),
+      ("ang", 3), ("eng", 3), ("ian", 3), ("ing", 1), ("ong", 3),
+      ("uan", 3), (" xi", 3), (" qi", 3), ("ao ", 3))
+  }
+
+  /** Fixed tie priority (first wins on equal score). */
+  val langOrder: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  /** Per-(doc, lang) trigram-profile scores. */
+  def scores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prof = broadcast(profiles.toDF("lang", "tri", "w"))
+    val tris = docs
+      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))"))
+        .as("tri"))
+    tris.join(prof, "tri")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("w")).as("score"))
+  }
+
+  /** Argmax over [[scores]] with the fixed tie order; docs with no
+    * scoring trigram at all fall out as ('und', 0) via the left join
+    * back onto the id set. */
+  def predict(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val prio = langOrder.zipWithIndex.toMap
+    val prioCol = langOrder.foldRight(lit(99)) { case (l, acc) =>
+      when(col("lang") === l, lit(prio(l))).otherwise(acc)
+    }
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, prioCol.asc)
+    val best = scores(docs, idCol, textCol)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+}

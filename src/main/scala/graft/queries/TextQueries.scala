@@ -78,6 +78,48 @@ object TextQueries {
        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
   }
 
+  /** Character-trigram-profile language ID ([[graft.functions.LangId]]):
+    * confusion rollup of predictions against the labeled column. The
+    * oracle embeds the same integer profile as a VALUES relation. */
+  def langTrigramQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.functions.LangId.predict(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"), sum(col("score")).as("total_score"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val langTrigramSql: String = {
+    val values = graft.functions.LangId.profiles
+      .map { case (l, t, w) => s"('$l', '$t', $w)" }.mkString(", ")
+    val prio = graft.functions.LangId.langOrder.zipWithIndex
+      .map { case (l, i) => s"WHEN lang = '$l' THEN $i" }.mkString(" ")
+    s"""WITH prof(lang, tri, w) AS (VALUES $values),
+       |t AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |tris AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(length(t) - 2, 0) + 1),
+       |    i -> substr(t, CAST(i AS INTEGER), 3))) AS tri
+       |  FROM t),
+       |sc AS (
+       |  SELECT doc_id, lang, CAST(SUM(w) AS BIGINT) AS score
+       |  FROM tris JOIN prof USING (tri) GROUP BY doc_id, lang),
+       |best AS (
+       |  SELECT doc_id, lang AS pred_lang, score FROM (
+       |    SELECT doc_id, lang, score, ROW_NUMBER() OVER (
+       |      PARTITION BY doc_id ORDER BY score DESC,
+       |      CASE $prio ELSE 99 END ASC) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |pred AS (
+       |  SELECT d.doc_id, d.lang, COALESCE(b.pred_lang, 'und') AS pred_lang,
+       |    COALESCE(b.score, 0) AS score
+       |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id)
+       |SELECT lang, pred_lang, COUNT(*) AS n,
+       |  CAST(SUM(score) AS BIGINT) AS total_score
+       |FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
   /** Document fingerprinting (md5 + sha256 content hashes). */
   def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -170,6 +212,7 @@ object TextQueries {
     QueryDef("q_token_count", tokenCountQ, Some(tokenCountSql)),
     QueryDef("q_text_quality", textQuality, Some(textQualitySql)),
     QueryDef("q_lang_id", langIdQ, Some(langIdSql)),
+    QueryDef("q_lang_trigram", langTrigramQ, Some(langTrigramSql)),
     QueryDef("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("q_dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)))
