@@ -208,7 +208,46 @@ object TextQueries {
       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.2
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Consistent (hash-based) sampling — the at-scale sampling idiom:
+    * membership is a pure function of the key (Knuth multiplicative
+    * hash mod 100 < rate), so the sample is reproducible across runs,
+    * engines and partitionings — unlike `rand()`/`sample()`. Output:
+    * per-language sampled counts vs totals. */
+  def consistentSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("in_sample",
+        pmod(col("doc_id") * lit(2654435761L), lit(100L)) < 10)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy("lang")
+
+  val consistentSampleSql: String =
+    """SELECT lang, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN (doc_id * 2654435761) % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sampled
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Fuzzy string matching via Levenshtein distance (same DP
+    * definition in both engines): nation names within edit distance
+    * of region names — the classic small-dim fuzzy join, broadcast. */
+  def fuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir).crossJoin(broadcast(Tables.region(s, dir)))
+      .withColumn("dist", levenshtein(lower(col("n_name")), lower(col("r_name"))))
+      .filter(col("dist") <= 6)
+      .select("n_name", "r_name", "dist")
+      .orderBy("n_name", "r_name")
+
+  val fuzzyMatchSql: String =
+    """SELECT n_name, r_name,
+      |  CAST(levenshtein(lower(n_name), lower(r_name)) AS INTEGER) AS dist
+      |FROM nation CROSS JOIN region
+      |WHERE levenshtein(lower(n_name), lower(r_name)) <= 6
+      |ORDER BY n_name, r_name""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_consistent_sample", consistentSample, Some(consistentSampleSql)),
+    QueryDef("q_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)),
     QueryDef("q_token_count", tokenCountQ, Some(tokenCountSql)),
     QueryDef("q_text_quality", textQuality, Some(textQualitySql)),
     QueryDef("q_lang_id", langIdQ, Some(langIdSql)),
