@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sink.Compactor
+
+class CompactionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("compaction: many small files → few, data identical") {
+    val dir = Fixtures.tempDir("compact").resolve("t").toString
+    // simulate 40 tiny incremental loads
+    (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(40).write.parquet(dir)
+    assert(Compactor.fileCount(spark, dir) >= 10) // AQE may coalesce some
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted
+
+    val n = Compactor.compact(spark, dir, targetRowsPerFile = 20)
+    assert(n == 2, s"expected 2 files, got $n")
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq)
+  }
+
+  test("cluster-by compaction sorts within files for stats pruning") {
+    val dir = Fixtures.tempDir("cluster").resolve("t").toString
+    val rnd = new scala.util.Random(3)
+    (1 to 1000).map(_ => (rnd.nextInt(1000).toLong, "x")).toDF("k", "v")
+      .repartition(10).write.parquet(dir)
+    Compactor.compact(spark, dir, targetRowsPerFile = 500, clusterBy = Seq("k"))
+    // range partitioning: per-file key ranges must not overlap
+    val ranges = spark.read.parquet(dir)
+      .select(col("k"), input_file_name().as("f"))
+      .groupBy("f").agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    for (Seq((_, hi1), (lo2, _)) <- ranges.toSeq.sliding(2))
+      assert(hi1 <= lo2, s"file ranges overlap: $ranges")
+  }
+
+  test("schema evolution: mergeSchema unions batch schemas") {
+    val dir = Fixtures.tempDir("evolve").resolve("t").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir + "/b1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(dir + "/b2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(dir + "/b1", dir + "/b2")
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old batch: null
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+  }
+}
