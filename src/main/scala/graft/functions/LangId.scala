@@ -54,11 +54,10 @@ object LangId {
     val spark = docs.sparkSession
     import spark.implicits._
     val prof = broadcast(profiles.toDF("lang", "tri", "w"))
+    Trigrams.register(spark)
     val tris = docs
-      .select(col(idCol).as("doc_id"), lower(col(textCol)).as("t"))
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))"))
-        .as("tri"))
+      .select(col(idCol).as("doc_id"),
+        explode(call_function("trigrams", lower(col(textCol)))).as("tri"))
     tris.join(prof, "tri")
       .groupBy("doc_id", "lang")
       .agg(sum(col("w")).as("score"))

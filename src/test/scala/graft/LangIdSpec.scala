@@ -24,6 +24,24 @@ class LangIdSpec extends SparkTestBase {
       assert(pred(id) == expected, s"doc $id: got ${pred(id)}, want $expected")
   }
 
+  test("trigrams expression: one-pass extraction matches substring semantics") {
+    graft.functions.Trigrams.register(spark)
+    import org.apache.spark.sql.functions._
+    val out = Seq("abcde").toDF("t")
+      .select(call_function("trigrams", col("t")).as("r"))
+      .collect()(0).getSeq[String](0).toList
+    assert(out == List("abc", "bcd", "cde"))
+    val short = Seq("ab").toDF("t")
+      .select(call_function("trigrams", col("t")).as("r"))
+      .collect()(0).getSeq[String](0).toList
+    assert(short == Nil)
+    // multi-byte safety: code points, not bytes
+    val uni = Seq("héllo").toDF("t")
+      .select(call_function("trigrams", col("t")).as("r"))
+      .collect()(0).getSeq[String](0).toList
+    assert(uni == List("hél", "éll", "llo"))
+  }
+
   test("no-trigram text yields ('und', 0)") {
     val docs = Seq((1L, "ab")).toDF("doc_id", "text")
     val row = LangId.predict(docs, "doc_id", "text").collect()(0)
