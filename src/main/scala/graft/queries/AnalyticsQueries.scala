@@ -153,7 +153,83 @@ object AnalyticsQueries {
       |  CAST(SUM(n_frames) AS BIGINT) AS total_frames
       |FROM m GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** Text cleaning for training pipelines: HTML tag stripping, email
+    * redaction, whitespace collapse — over deterministically
+    * synthesized dirty text (the corpus itself is clean). Same regex
+    * semantics both engines (RE2-safe patterns, global replace). */
+  def textClean(s: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(lit("<p>"), col("text"),
+      lit("</p> <b>Contact:</b> user"), col("doc_id").cast(StringType),
+      lit("@example.com  thanks!"))
+    Tables.documents(s, dir)
+      .withColumn("dirty", dirty)
+      .withColumn("no_tags", regexp_replace(col("dirty"), "<[^>]*>", " "))
+      .withColumn("clean", trim(regexp_replace(
+        regexp_replace(col("no_tags"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+        "\\s+", " ")))
+      .select(col("doc_id"),
+        length(col("clean")).as("clean_len"),
+        col("clean").contains("[EMAIL]").as("redacted"),
+        substring(col("clean"), 1, 30).as("head"))
+      .orderBy("doc_id")
+  }
+
+  val textCleanSql: String =
+    """SELECT doc_id,
+      |  CAST(length(clean) AS INTEGER) AS clean_len,
+      |  contains(clean, '[EMAIL]') AS redacted,
+      |  substr(clean, 1, 30) AS head
+      |FROM (
+      |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+      |    regexp_replace('<p>' || text || '</p> <b>Contact:</b> user'
+      |        || CAST(doc_id AS VARCHAR) || '@example.com  thanks!',
+      |      '<[^>]*>', ' ', 'g'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\s+', ' ', 'g')) AS clean
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Conversion funnel over the event stream: per user, first signup
+    * then first at-or-after purchase; one summary row. All integer
+    * epoch-micro arithmetic + two exact final divisions. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = IngestQueries.events(s, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("signup_us"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    su.join(pu, Seq("user_id"), "left")
+      .groupBy("user_id", "signup_us")
+      .agg(min(when(col("p_us") >= col("signup_us"), col("p_us"))).as("conv_us"))
+      .agg(
+        count(lit(1)).as("n_signup_users"),
+        count(col("conv_us")).as("n_converted"),
+        (count(col("conv_us")).cast(DoubleType) / count(lit(1))).as("conversion_rate"),
+        (sum(col("conv_us") - col("signup_us")).cast(DoubleType) /
+          count(col("conv_us"))).as("avg_us_to_convert"))
+  }
+
+  val funnelSql: String =
+    s"""WITH ev AS (${IngestQueries.evSql}),
+       |su AS (SELECT user_id, MIN(epoch_us(ts)) AS signup_us FROM ev
+       |       WHERE event_type = 'signup' GROUP BY user_id),
+       |pu AS (SELECT user_id, epoch_us(ts) AS p_us FROM ev
+       |       WHERE event_type = 'purchase'),
+       |conv AS (
+       |  SELECT su.user_id, su.signup_us,
+       |    MIN(CASE WHEN pu.p_us >= su.signup_us THEN pu.p_us END) AS conv_us
+       |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+       |  GROUP BY su.user_id, su.signup_us)
+       |SELECT COUNT(*) AS n_signup_users,
+       |  COUNT(conv_us) AS n_converted,
+       |  CAST(COUNT(conv_us) AS DOUBLE) / COUNT(*) AS conversion_rate,
+       |  CAST(SUM(conv_us - signup_us) AS DOUBLE) / COUNT(conv_us) AS avg_us_to_convert
+       |FROM conv""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_text_clean", textClean, Some(textCleanSql)),
+    QueryDef("q_funnel", funnel, Some(funnelSql)),
     QueryDef("q_grouping_sets", groupingSetsQ, Some(groupingSetsSql)),
     QueryDef("q_sessionize", sessionizeQ, Some(sessionizeSql)),
     QueryDef("q_pivot", pivotQ, Some(pivotSql)),
