@@ -79,6 +79,18 @@ object IngestStream {
       .select(col("window.start").cast(DateType).as("date"),
         col("client_id"), col("daily_tokens"), col("n_rows"))
 
+  /** Streaming exact deduplication (SURVEY.md §2.11 "exact dedup" in
+    * its streaming form): `dropDuplicatesWithinWatermark` on the
+    * natural key — duplicate rows arriving within the watermark
+    * horizon are suppressed and state older than the horizon is
+    * evicted, so dedup state is bounded (the 100 TB requirement; a
+    * plain streaming dropDuplicates would grow state forever). */
+  def dedupStream(spark: SparkSession, prefix: String): DataFrame =
+    source(spark, prefix)
+      .withColumn("event_time", col("date").cast(TimestampType))
+      .withWatermark("event_time", "30 days")
+      .dropDuplicatesWithinWatermark("date", "client_id")
+
   /** Run the rollup to completion against whatever is in the source
     * dirs (AvailableNow), materializing to an in-memory table.
     * Complete mode: append-mode emission would hold back windows

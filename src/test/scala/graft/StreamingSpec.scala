@@ -38,6 +38,26 @@ class StreamingSpec extends SparkTestBase {
     assert(t3.filter(col("date") === "2025-04-28").count() == 1)
   }
 
+  test("streaming exact dedup within watermark bounds state") {
+    val base = Fixtures.tempDir("sdedup")
+    val data = base.resolve("data")
+    // same (date, client) key appears twice within one day's files
+    Fixtures.writeDay(data, "2025_05_01",
+      Seq(Fixtures.clientRow("2025-05-01", 1, "A", "1"),
+        Fixtures.clientRow("2025-05-01", 1, "B", "2"),
+        Fixtures.clientRow("2025-05-01", 2, "C", "3")))
+    val q = IngestStream.dedupStream(spark, data.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_t")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("sdedup_t")
+    assert(out.count() == 2) // CLI001 deduped, CLI002 kept
+    assert(out.filter(col("client_id") === "CLI001").count() == 1)
+  }
+
   test("windowed daily rollup with 30-day watermark (T4)") {
     val base = Fixtures.tempDir("rollup")
     val data = base.resolve("data")
