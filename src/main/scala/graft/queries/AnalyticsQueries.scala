@@ -227,7 +227,53 @@ object AnalyticsQueries {
        |  CAST(SUM(conv_us - signup_us) AS DOUBLE) / COUNT(conv_us) AS avg_us_to_convert
        |FROM conv""".stripMargin
 
+  /** Raw-SQL interface ([[graft.Sql]]): the engine accepts plain ANSI
+    * SQL over the registered views — this query's Spark side IS
+    * `spark.sql(...)` of the dialect-shared text the oracle runs. */
+  val sqlInterfaceText: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  def sqlInterface(s: SparkSession, dir: String): DataFrame =
+    graft.Sql.run(s, dir, sqlInterfaceText)
+
+  /** Weekly cohort retention over the event stream: users bucketed by
+    * first-seen week, activity counted per (cohort week, active
+    * week). Integer-exact week arithmetic. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    IngestQueries.events(s, dir)
+      .withColumn("d_days",
+        datediff(col("event_date"), lit("2024-01-01").cast(DateType)))
+      .withColumn("active_week", floor(col("d_days") / 7.0).cast(IntegerType))
+      .withColumn("cohort_week",
+        floor(min(col("d_days")).over(w) / 7.0).cast(IntegerType))
+      .groupBy("cohort_week", "active_week")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("cohort_week", "active_week")
+  }
+
+  val cohortRetentionSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    datediff('day', DATE '2024-01-01', event_date) AS d_days
+       |  FROM (${IngestQueries.evSql})),
+       |t AS (
+       |  SELECT user_id,
+       |    CAST(floor(d_days / 7.0) AS INTEGER) AS active_week,
+       |    CAST(floor(MIN(d_days) OVER (PARTITION BY user_id) / 7.0) AS INTEGER)
+       |      AS cohort_week
+       |  FROM ev)
+       |SELECT cohort_week, active_week,
+       |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+       |FROM t GROUP BY cohort_week, active_week
+       |ORDER BY cohort_week, active_week""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_sql_interface", sqlInterface, Some(sqlInterfaceText)),
+    QueryDef("q_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q_text_clean", textClean, Some(textCleanSql)),
     QueryDef("q_funnel", funnel, Some(funnelSql)),
     QueryDef("q_grouping_sets", groupingSetsQ, Some(groupingSetsSql)),
