@@ -157,7 +157,53 @@ object AdvancedQueries {
     """SELECT n_name, r_name, n_regionkey = r_regionkey AS is_home
       |FROM nation CROSS JOIN region ORDER BY n_name, r_name""".stripMargin
 
+  /** Conditional aggregates: count_if / bool_or / bool_and / sum-case. */
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_discount") > 0.05).as("n_discounted"),
+        bool_or(col("l_quantity") > 45).as("any_bulk"),
+        bool_and(col("l_quantity") > 0).as("all_positive"),
+        sum(when(col("l_tax") > 0.04, col("l_quantity").cast(dec2))
+          .otherwise(lit(0).cast(dec2))).cast(DoubleType).as("taxed_qty"))
+      .orderBy("l_returnflag")
+
+  val conditionalAggSql: String =
+    """SELECT l_returnflag,
+      |  count_if(l_discount > 0.05) AS n_discounted,
+      |  bool_or(l_quantity > 45) AS any_bulk,
+      |  bool_and(l_quantity > 0) AS all_positive,
+      |  CAST(SUM(CASE WHEN l_tax > 0.04 THEN CAST(l_quantity AS DECIMAL(18,2))
+      |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS taxed_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Calendar truncation: month/quarter/week rollups of the order
+    * stream (F-surface breadth: date_trunc semantics shared across
+    * engines; output as DATE). */
+  def dateTrunc(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("od", col("o_orderdate").cast(DateType))
+      .groupBy(
+        date_trunc("quarter", col("od")).cast(DateType).as("quarter"),
+        date_trunc("month", col("od")).cast(DateType).as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec2)).cast(DoubleType).as("total"))
+      .orderBy("quarter", "month")
+
+  val dateTruncSql: String =
+    """SELECT CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter,
+      |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY date_trunc('quarter', CAST(o_orderdate AS DATE)),
+      |         date_trunc('month', CAST(o_orderdate AS DATE))
+      |ORDER BY quarter, month""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_conditional_agg", conditionalAgg, Some(conditionalAggSql)),
+    QueryDef("q_date_trunc", dateTrunc, Some(dateTruncSql)),
     QueryDef("q_cross_join", crossJoinQ, Some(crossJoinSql)),
     QueryDef("q_outer_join", outerJoin, Some(outerJoinSql)),
     QueryDef("q_array_funcs", arrayFuncs, Some(arrayFuncsSql)),
