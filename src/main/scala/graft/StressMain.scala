@@ -14,11 +14,19 @@ object StressMain {
       println(f"[stress] $tag%-24s rows=$n%-9d ${(System.nanoTime()-t0)/1e9}%7.2f s")
     }
     Tables.documents(spark, "/tmp/stress").count() // warm
+    if (sys.env.contains("SPARK_GRAFT_STRESS_DOCS")) {
     time("token_count 100k")(queries.TextQueries.tokenCountQ(spark, "/tmp/stress").count())
     time("dedup_exact 100k")(queries.TextQueries.dedupExact(spark, "/tmp/stress").count())
     time("ngram_jaccard 100k")(queries.TextQueries.dedupNgramJaccard(spark, "/tmp/stress").count())
     time("minhash 100k")(queries.DedupQueries.minhashQ(spark, "/tmp/stress").count())
     time("simhash 100k")(queries.DedupQueries.simhashQ(spark, "/tmp/stress").count())
+    }
+    // events-side stress (2M events, 20x sf0.1; orders copied alongside)
+    time("ingest_dedup 2M")(queries.IngestQueries.ingestDedup(spark, "/tmp/stress").count())
+    time("sessionize 2M")(queries.AnalyticsQueries.sessionizeQ(spark, "/tmp/stress").count())
+    time("funnel 2M")(queries.AnalyticsQueries.funnel(spark, "/tmp/stress").count())
+    time("asof_join 2M")(queries.RelationalQueries.asofJoin(spark, "/tmp/stress").count())
+    time("cohort 2M")(queries.AnalyticsQueries.cohortRetention(spark, "/tmp/stress").count())
     spark.stop()
   }
 }

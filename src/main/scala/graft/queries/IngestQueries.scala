@@ -17,15 +17,21 @@ import graft.Tables
   */
 object IngestQueries {
 
-  /** `events` with nanos→micros normalized and an `event_date` column.
-    * The parquet stores TIMESTAMP(NANOS) which Spark 4 refuses to read
-    * natively; we read nanos as long and truncate to micros (`div` =
-    * exact integer division — never a double round-trip).
-    */
+  /** `events` with the timestamp normalized to micros and an
+    * `event_date` column, tolerant of the source's physical type:
+    * the harness parquet stores TIMESTAMP(NANOS), which Spark 4
+    * refuses to read natively — read nanos as long and truncate
+    * (`div` = exact integer division, never a double round-trip);
+    * micro-precision sources (TIMESTAMP / TIMESTAMP_NTZ) pass
+    * through, so the same queries run on evolved schemas. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.events(s, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = Tables.events(s, dir)
+    val ts = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts").cast(TimestampType)
+    }
+    raw.withColumn("ts", ts)
       .withColumn("event_date", to_date(col("ts")))
   }
 

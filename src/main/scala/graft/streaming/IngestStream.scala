@@ -79,6 +79,24 @@ object IngestStream {
       .select(col("window.start").cast(DateType).as("date"),
         col("client_id"), col("daily_tokens"), col("n_rows"))
 
+  /** Stream-stream interval join: match each left event to right
+    * events of the same key within [0, tolerance] AFTER it. Both
+    * sides carry watermarks so join state is evicted once the
+    * watermark passes the interval bound — the condition every
+    * unbounded stream-stream join needs to keep state finite.
+    * (Spark requires an event-time bound in the join condition for
+    * exactly this reason.) */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, tolerance: String,
+      watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val l = left.withWatermark(leftTime, watermark).alias("l")
+    val r = right.withWatermark(rightTime, watermark).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.$rightTime >= l.$leftTime " +
+        s"AND r.$rightTime <= l.$leftTime + interval $tolerance"))
+  }
+
   /** Streaming exact deduplication (SURVEY.md §2.11 "exact dedup" in
     * its streaming form): `dropDuplicatesWithinWatermark` on the
     * natural key — duplicate rows arriving within the watermark

@@ -13,6 +13,27 @@ class StatefulStreamingSpec extends SparkTestBase {
 
   private def ts(min: Int) = new Timestamp(3600000L + min * 60000L)
 
+  test("stream-stream interval join matches within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = graft.streaming.IngestStream.intervalJoin(
+      clicks.toDF().toDF("uid", "click_ts"),
+      buys.toDF().toDF("uid", "buy_ts"),
+      key = "uid", leftTime = "click_ts", rightTime = "buy_ts",
+      tolerance = "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_t").start()
+    clicks.addData((1L, ts(0)), (2L, ts(0)), (3L, ts(0)))
+    buys.addData((1L, ts(5)), (2L, ts(30)), (3L, ts(8)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin_t").collect()
+      .map(r => r.getLong(0)).sorted.toSeq
+    // users 1 and 3 bought within 10 min of the click; user 2 too late
+    assert(got == Seq(1L, 3L))
+  }
+
   test("flatMapGroupsWithState sessionizer: gap split + watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
