@@ -228,6 +228,31 @@ object TextQueries {
       |    AS n_sampled
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Deterministic train/val/test split (90/5/5) by key hash — the
+    * companion idiom to [[consistentSample]]: the split is a pure
+    * function of doc_id, so re-runs, engines and partitionings agree,
+    * and a document can never leak between splits. */
+  def trainTestSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "split")
+  }
+
+  val trainTestSplitSql: String =
+    """SELECT lang, split, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM (SELECT lang, n_chars,
+      |        CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+      |             WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+      |             ELSE 'test' END AS split
+      |      FROM documents)
+      |GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
   /** Fuzzy string matching via Levenshtein distance (same DP
     * definition in both engines): nation names within edit distance
     * of region names — the classic small-dim fuzzy join, broadcast. */
@@ -248,6 +273,7 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_consistent_sample", consistentSample, Some(consistentSampleSql)),
     QueryDef("q_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)),
+    QueryDef("q_train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     QueryDef("q_token_count", tokenCountQ, Some(tokenCountSql)),
     QueryDef("q_text_quality", textQuality, Some(textQualitySql)),
     QueryDef("q_lang_id", langIdQ, Some(langIdSql)),
