@@ -114,6 +114,43 @@ object AnalyticsQueries {
       |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Data-quality profiling (the describe/summary operator every
+    * ingest pipeline runs): per-column null counts, distinct counts,
+    * and numeric min/max over orders — laid out long-form (one row
+    * per metric) so the shape survives schema evolution. */
+  def profileStats(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val metrics = Seq(
+      ("o_orderkey_nulls", count(when(col("o_orderkey").isNull, 1)).cast(DoubleType)),
+      ("o_custkey_distinct", countDistinct(col("o_custkey")).cast(DoubleType)),
+      ("o_orderstatus_distinct", countDistinct(col("o_orderstatus")).cast(DoubleType)),
+      ("o_totalprice_min", min(col("o_totalprice"))),
+      ("o_totalprice_max", max(col("o_totalprice"))),
+      ("row_count", count(lit(1)).cast(DoubleType)))
+    val agg = o.agg(metrics.head._2.as(metrics.head._1),
+      metrics.tail.map { case (n, c) => c.as(n) }: _*)
+    // unpivot to long form: (metric, value)
+    agg.selectExpr(
+      s"stack(${metrics.size}, " +
+        metrics.map { case (n, _) => s"'$n', $n" }.mkString(", ") +
+        ") AS (metric, value)")
+      .orderBy("metric")
+  }
+
+  val profileStatsSql: String =
+    """SELECT metric, value FROM (
+      |  SELECT
+      |    CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS DOUBLE) AS o_orderkey_nulls,
+      |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS o_custkey_distinct,
+      |    CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) AS o_orderstatus_distinct,
+      |    MIN(o_totalprice) AS o_totalprice_min,
+      |    MAX(o_totalprice) AS o_totalprice_max,
+      |    CAST(COUNT(*) AS DOUBLE) AS row_count
+      |  FROM orders)
+      |UNPIVOT (value FOR metric IN (o_orderkey_nulls, o_custkey_distinct,
+      |  o_orderstatus_distinct, o_totalprice_min, o_totalprice_max, row_count))
+      |ORDER BY metric""".stripMargin
+
   /** HLL++ approximate distinct (§2.11) — engine-specific sketch, so
     * rows-only driver check; ScalaTest bounds the error vs exact. */
   def approxDistinctQ(s: SparkSession, dir: String): DataFrame =
@@ -287,5 +324,6 @@ object AnalyticsQueries {
     QueryDef("q_pivot", pivotQ, Some(pivotSql)),
     QueryDef("q_median", medianQ, Some(medianSql)),
     QueryDef("q_approx_distinct", approxDistinctQ, None),
+    QueryDef("q_profile_stats", profileStats, Some(profileStatsSql)),
     QueryDef("q_multimodal_features", multimodalQ, Some(multimodalSql)))
 }
