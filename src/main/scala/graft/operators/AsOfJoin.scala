@@ -31,7 +31,23 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightTieBreak: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String]): DataFrame =
+    joinImpl(left, right, key, leftTime, rightTime, rightTieBreak,
+      payload, forward = false)
+
+  /** Forward as-of join: the EARLIEST right row with the same key and
+    * `rightTime >= leftTime`. Same union+window mechanics as
+    * [[backward]], scanning time descending; equal-time right rows
+    * resolve to the SMALLEST tiebreak. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightTieBreak: String,
+      payload: Seq[String]): DataFrame =
+    joinImpl(left, right, key, leftTime, rightTime, rightTieBreak,
+      payload, forward = true)
+
+  private def joinImpl(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightTieBreak: String,
+      payload: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns
     // Common layout: key, _t, _side (0=right sorts before 1=left at
     // equal times, so `<=` semantics hold), _tie, payload…, leftCols…
@@ -43,8 +59,15 @@ object AsOfJoin {
       col(key).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
         lit(null).as("_tie") +:
         payload.map(c => lit(null).as(c)) ++: leftCols.toSeq.map(c => col(c)): _*)
+    // Backward scans time ascending (carry latest past right row);
+    // forward scans descending (carry earliest future right row).
+    // Either way rights sort before lefts at equal time (inclusive
+    // bound), and the desired tiebreak winner is seen LAST so
+    // `last(ignoreNulls)` lands on it.
+    val timeOrd = if (forward) col("_t").desc else col("_t").asc
+    val tieOrd = if (forward) col("_tie").desc_nulls_last else col("_tie").asc_nulls_last
     val w = Window.partitionBy("_k")
-      .orderBy(col("_t").asc, col("_side").asc, col("_tie").asc_nulls_last)
+      .orderBy(timeOrd, col("_side").asc, tieOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(r.unionByName(l)) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

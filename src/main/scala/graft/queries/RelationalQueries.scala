@@ -209,6 +209,39 @@ object RelationalQueries {
        |  ON ev.user_id = ord.user_id AND ord.o_orderdate <= ev.ts
        |ORDER BY ev.event_id""".stripMargin
 
+  /** Forward as-of join: each event picks up the user's EARLIEST
+    * order placed at-or-after the event (right side pre-deduplicated
+    * per (key, time) to min orderkey for determinism). */
+  def asofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = IngestQueries.events(s, dir)
+      .select("event_id", "user_id", "ts")
+    val wDedup = Window.partitionBy("o_custkey", "o_orderdate")
+      .orderBy(col("o_orderkey").asc)
+    val ord = Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+    AsOfJoin.forward(ev, ord, key = "user_id",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightTieBreak = "o_orderkey", payload = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("event_id")
+  }
+
+  val asofForwardSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, ts FROM (${IngestQueries.evSql})),
+       |ord AS (
+       |  SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+       |          ORDER BY o_orderkey ASC) AS rn FROM orders)
+       |  WHERE rn = 1)
+       |SELECT ev.event_id, ev.user_id, ord.o_orderkey, ord.o_totalprice
+       |FROM ev ASOF LEFT JOIN ord
+       |  ON ev.user_id = ord.user_id AND ord.o_orderdate >= ev.ts
+       |ORDER BY ev.event_id""".stripMargin
+
   /** Global top-k: `TakeOrderedAndProject` — per-partition heaps, no
     * full sort of 100 TB, only k rows to the driver. */
   def topK(s: SparkSession, dir: String): DataFrame =
@@ -381,6 +414,7 @@ object RelationalQueries {
     QueryDef("q_semi_join", semiJoin, Some(semiJoinSql)),
     QueryDef("q_range_join", rangeJoin, Some(rangeJoinSql)),
     QueryDef("q_asof_join", asofJoin, Some(asofJoinSql)),
+    QueryDef("q_asof_forward", asofForward, Some(asofForwardSql)),
     QueryDef("q_topk", topK, Some(topKSql)),
     QueryDef("q_topk_per_group", topKPerGroup, Some(topKPerGroupSql)),
     QueryDef("q_running_sum", runningSum, Some(runningSumSql)),

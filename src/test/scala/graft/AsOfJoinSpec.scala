@@ -34,6 +34,36 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out(4L) == (None, None))
   }
 
+  test("forward as-of join picks earliest right row at-or-after left time") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-02 00:00:00")), // next right is 01-04
+      (2L, 10L, ts("2024-01-04 00:00:00")), // exactly at right time: inclusive
+      (3L, 10L, ts("2024-01-05 00:00:00"))  // after all right rows: null
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 100L, 1.0),
+      (10L, ts("2024-01-04 00:00:00"), 101L, 2.0)
+    ).toDF("key", "rt", "rid", "payload")
+    val out = AsOfJoin.forward(left, right, "key", "t", "rt", "rid",
+      Seq("rid", "payload"))
+      .select("id", "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(101L))
+    assert(out(2L) == Some(101L))
+    assert(out(3L) == None)
+  }
+
+  test("forward equal-time duplicates resolve to smallest tiebreak") {
+    val left = Seq((1L, 5L, ts("2024-01-01 00:00:00"))).toDF("id", "key", "t")
+    val right = Seq(
+      (5L, ts("2024-01-02 00:00:00"), 9L, 1.0),
+      (5L, ts("2024-01-02 00:00:00"), 7L, 2.0)
+    ).toDF("key", "rt", "rid", "payload")
+    val out = AsOfJoin.forward(left, right, "key", "t", "rt", "rid",
+      Seq("rid", "payload")).select("rid").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
   test("equal-time right duplicates resolve to greatest tiebreak") {
     val left = Seq((1L, 5L, ts("2024-01-02 00:00:00"))).toDF("id", "key", "t")
     val right = Seq(
