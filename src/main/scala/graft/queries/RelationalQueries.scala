@@ -349,6 +349,41 @@ object RelationalQueries {
     """SELECT c_nationkey AS nk FROM customer
       |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin
 
+  /** Bag-semantics set ops: UNION ALL / EXCEPT ALL / INTERSECT ALL
+    * over order-status multisets (duplicates preserved per
+    * multiplicity arithmetic — the relational ops [[unionDistinct]]
+    * etc. do not cover). */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val a = o.filter(col("o_totalprice") > 200000.0)
+      .select(col("o_orderstatus").as("st"))
+    val b = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderstatus").as("st"))
+    val ua = a.unionAll(b).groupBy("st").agg(count(lit(1)).as("n_union_all"))
+    val ea = a.exceptAll(b).groupBy("st").agg(count(lit(1)).as("n_except_all"))
+    val ia = a.intersectAll(b).groupBy("st").agg(count(lit(1)).as("n_intersect_all"))
+    ua.join(ea, Seq("st"), "full_outer")
+      .join(ia, Seq("st"), "full_outer")
+      .select(col("st"),
+        coalesce(col("n_union_all"), lit(0L)).as("n_union_all"),
+        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+      .orderBy("st")
+  }
+
+  val setOpsAllSql: String =
+    """WITH a AS (SELECT o_orderstatus AS st FROM orders WHERE o_totalprice > 200000.0),
+      |b AS (SELECT o_orderstatus AS st FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |ua AS (SELECT st, COUNT(*) AS n_union_all FROM (SELECT st FROM a UNION ALL SELECT st FROM b) GROUP BY st),
+      |ea AS (SELECT st, COUNT(*) AS n_except_all FROM (SELECT st FROM a EXCEPT ALL SELECT st FROM b) GROUP BY st),
+      |ia AS (SELECT st, COUNT(*) AS n_intersect_all FROM (SELECT st FROM a INTERSECT ALL SELECT st FROM b) GROUP BY st)
+      |SELECT st,
+      |  COALESCE(n_union_all, 0) AS n_union_all,
+      |  COALESCE(n_except_all, 0) AS n_except_all,
+      |  COALESCE(n_intersect_all, 0) AS n_intersect_all
+      |FROM ua FULL OUTER JOIN ea USING (st) FULL OUTER JOIN ia USING (st)
+      |ORDER BY st""".stripMargin
+
   /** CUBE aggregation (all 4 grouping combinations in one shuffle). */
   def cubeAgg(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -422,6 +457,7 @@ object RelationalQueries {
     QueryDef("q_union_distinct", unionDistinct, Some(unionDistinctSql)),
     QueryDef("q_except", exceptOp, Some(exceptOpSql)),
     QueryDef("q_intersect", intersectOp, Some(intersectOpSql)),
+    QueryDef("q_set_ops_all", setOpsAll, Some(setOpsAllSql)),
     QueryDef("q_cube", cubeAgg, Some(cubeAggSql)),
     QueryDef("q_rollup", rollupAgg, Some(rollupAggSql)),
     QueryDef("q_distinct_agg", distinctAgg, Some(distinctAggSql)),
