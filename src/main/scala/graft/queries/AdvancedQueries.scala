@@ -171,7 +171,7 @@ object AdvancedQueries {
 
   val conditionalAggSql: String =
     """SELECT l_returnflag,
-      |  count_if(l_discount > 0.05) AS n_discounted,
+      |  CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
       |  bool_or(l_quantity > 45) AS any_bulk,
       |  bool_and(l_quantity > 0) AS all_positive,
       |  CAST(SUM(CASE WHEN l_tax > 0.04 THEN CAST(l_quantity AS DECIMAL(18,2))

@@ -65,9 +65,9 @@ object AnalyticsQueries {
        |  FROM ev),
        |t AS (
        |  SELECT user_id, event_date, value,
-       |    SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
+       |    CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY user_id ORDER BY event_id
-       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
        |  FROM g)
        |SELECT user_id, session_id, COUNT(*) AS n_events,
        |  MIN(event_date) AS start_date, MAX(event_date) AS end_date,

@@ -350,38 +350,38 @@ object RelationalQueries {
       |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin
 
   /** Bag-semantics set ops: UNION ALL / EXCEPT ALL / INTERSECT ALL
-    * over order-status multisets (duplicates preserved per
-    * multiplicity arithmetic — the relational ops [[unionDistinct]]
-    * etc. do not cover). */
-  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val a = o.filter(col("o_totalprice") > 200000.0)
-      .select(col("o_orderstatus").as("st"))
-    val b = o.filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_orderstatus").as("st"))
-    val ua = a.unionAll(b).groupBy("st").agg(count(lit(1)).as("n_union_all"))
-    val ea = a.exceptAll(b).groupBy("st").agg(count(lit(1)).as("n_except_all"))
-    val ia = a.intersectAll(b).groupBy("st").agg(count(lit(1)).as("n_intersect_all"))
-    ua.join(ea, Seq("st"), "full_outer")
-      .join(ia, Seq("st"), "full_outer")
+    * over order-status multisets (duplicates preserved — the
+    * relational ops [[unionDistinct]] etc. do not cover). One scan,
+    * one shuffle: each row is tagged with its membership in both
+    * sides, per-side multiplicities are aggregated, and the three ALL
+    * results are pure multiset arithmetic (`na+nb`, `max(na-nb,0)`,
+    * `min(na,nb)`) — vs the naive 3-scan/3-set-op-shuffle plan. */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus").as("st"),
+        (col("o_totalprice") > 200000.0).cast(IntegerType).as("in_a"),
+        (col("o_orderpriority") === "1-URGENT").cast(IntegerType).as("in_b"))
+      .filter(col("in_a") === 1 || col("in_b") === 1)
+      .groupBy("st")
+      .agg(sum(col("in_a")).as("na"), sum(col("in_b")).as("nb"))
       .select(col("st"),
-        coalesce(col("n_union_all"), lit(0L)).as("n_union_all"),
-        coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
-        coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+        (col("na") + col("nb")).as("n_union_all"),
+        greatest(col("na") - col("nb"), lit(0L)).as("n_except_all"),
+        least(col("na"), col("nb")).as("n_intersect_all"))
       .orderBy("st")
-  }
 
   val setOpsAllSql: String =
-    """WITH a AS (SELECT o_orderstatus AS st FROM orders WHERE o_totalprice > 200000.0),
-      |b AS (SELECT o_orderstatus AS st FROM orders WHERE o_orderpriority = '1-URGENT'),
-      |ua AS (SELECT st, COUNT(*) AS n_union_all FROM (SELECT st FROM a UNION ALL SELECT st FROM b) GROUP BY st),
-      |ea AS (SELECT st, COUNT(*) AS n_except_all FROM (SELECT st FROM a EXCEPT ALL SELECT st FROM b) GROUP BY st),
-      |ia AS (SELECT st, COUNT(*) AS n_intersect_all FROM (SELECT st FROM a INTERSECT ALL SELECT st FROM b) GROUP BY st)
-      |SELECT st,
-      |  COALESCE(n_union_all, 0) AS n_union_all,
-      |  COALESCE(n_except_all, 0) AS n_except_all,
-      |  COALESCE(n_intersect_all, 0) AS n_intersect_all
-      |FROM ua FULL OUTER JOIN ea USING (st) FULL OUTER JOIN ia USING (st)
+    """SELECT st,
+      |  na + nb AS n_union_all,
+      |  GREATEST(na - nb, 0) AS n_except_all,
+      |  LEAST(na, nb) AS n_intersect_all
+      |FROM (
+      |  SELECT o_orderstatus AS st,
+      |    CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM orders
+      |  WHERE o_totalprice > 200000.0 OR o_orderpriority = '1-URGENT'
+      |  GROUP BY o_orderstatus)
       |ORDER BY st""".stripMargin
 
   /** CUBE aggregation (all 4 grouping combinations in one shuffle). */
