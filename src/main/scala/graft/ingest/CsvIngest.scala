@@ -49,15 +49,17 @@ object CsvIngest {
       call_function("try_to_timestamp", c, lit("yyyy-MM-dd")),
       call_function("try_to_timestamp", c, lit("yyyy/MM/dd"))).cast(DateType)
 
-  /** P1/P3/P4: project to the expected 5 columns with typed values. */
-  def parse(df: DataFrame): DataFrame =
+  /** P1/P3/P4: project to the expected 5 columns with typed values;
+    * `extra` columns (e.g. a provenance struct) pass through as-is. */
+  def parse(df: DataFrame, extra: Seq[String] = Nil): DataFrame =
     validateColumns(df).select(
-      parseDate(col("date")).as("date"),
-      col("client_id"),
-      col("client_name"),
-      col("service_name"),
+      parseDate(col("date")).as("date") +:
+      col("client_id") +:
+      col("client_name") +:
+      col("service_name") +:
       coalesce(expr("try_cast(total_consumed_tokens AS BIGINT)"), lit(0L))
-        .as("total_consumed_tokens"))
+        .as("total_consumed_tokens") +:
+      extra.map(col): _*)
 
   /** Full stage: read, validate, parse, drop rows with an unparseable
     * key (date null after all formats — the reference leaves them as
@@ -70,18 +72,12 @@ object CsvIngest {
     * (modification time, then path — the reference's `last_modified`
     * tiebreak, `src/s3_processor.py:65`) for deterministic
     * last-writer-wins across files of one batch. */
-  def ingestWithProvenance(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val raw = readRaw(spark, paths)
-    val withOrder = validateColumns(raw).select(
-      parseDate(col("date")).as("date"),
-      col("client_id"),
-      col("client_name"),
-      col("service_name"),
-      coalesce(expr("try_cast(total_consumed_tokens AS BIGINT)"), lit(0L))
-        .as("total_consumed_tokens"),
-      struct(
-        col("_metadata").getField("file_modification_time").as("mtime"),
-        col("_metadata").getField("file_path").as("path")).as("_file_order"))
-    withOrder.filter(col("date").isNotNull)
-  }
+  def ingestWithProvenance(spark: SparkSession, paths: Seq[String]): DataFrame =
+    parse(
+      readRaw(spark, paths).withColumn("_file_order",
+        struct(
+          col("_metadata").getField("file_modification_time").as("mtime"),
+          col("_metadata").getField("file_path").as("path"))),
+      extra = Seq("_file_order"))
+      .filter(col("date").isNotNull)
 }

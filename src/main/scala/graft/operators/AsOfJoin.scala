@@ -50,15 +50,19 @@ object AsOfJoin {
       payload: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns
     // Common layout: key, _t, _side (0=right sorts before 1=left at
-    // equal times, so `<=` semantics hold), _tie, payload…, leftCols…
+    // equal times, so `<=` semantics hold), _tie, _payload, leftCols….
+    // Payload travels as ONE struct: the matched right row is carried
+    // whole, so a NULL in one of its fields stays NULL (no leakage
+    // from an older right row) and no-match is the struct being null.
     val r = right.select(
       col(key).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
         col(rightTieBreak).as("_tie") +:
-        payload.map(c => col(c)) ++: leftCols.toSeq.map(c => lit(null).as(c)): _*)
+        struct(payload.map(col): _*).as("_payload") +:
+        leftCols.toSeq.map(c => lit(null).as(c)): _*)
     val l = left.select(
       col(key).as("_k") +: col(leftTime).as("_t") +: lit(1).as("_side") +:
-        lit(null).as("_tie") +:
-        payload.map(c => lit(null).as(c)) ++: leftCols.toSeq.map(c => col(c)): _*)
+        lit(null).as("_tie") +: lit(null).as("_payload") +:
+        leftCols.toSeq.map(c => col(c)): _*)
     // Backward scans time ascending (carry latest past right row);
     // forward scans descending (carry earliest future right row).
     // Either way rights sort before lefts at equal time (inclusive
@@ -69,10 +73,10 @@ object AsOfJoin {
     val w = Window.partitionBy("_k")
       .orderBy(timeOrd, col("_side").asc, tieOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(r.unionByName(l)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_side") === 1)
-      .select(leftCols.map(col).toSeq ++ payload.map(col): _*)
+    r.unionByName(l)
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col).toSeq ++
+        payload.map(p => col("_payload").getField(p).as(p)): _*)
   }
 }

@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * `compact` rewrites a directory to ⌈rows/targetRowsPerFile⌉ files,
   * optionally sort-clustered so parquet row-group min/max statistics
   * become selective for the cluster keys (poor-man's Z-order for the
-  * single-key case). Write-to-tmp + swap keeps the operation
-  * idempotent and crash-safe (same recipe as [[UpsertSink]]).
+  * single-key case). The swap renames the live directory ASIDE before
+  * renaming the rewrite in, then deletes the backup — a crash at any
+  * point leaves either the old or the new table recoverable (no
+  * delete-before-rename window where neither exists). Note renames are
+  * atomic on HDFS/local fs; on an object store, pair this with a
+  * version-pointer (manifest) layout instead.
   */
 object Compactor {
 
@@ -40,8 +44,15 @@ object Compactor {
     arranged.write.mode("overwrite").parquet(tmp)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    fs.rename(new Path(tmp), p)
+    val bak = new Path(dir + "_compact_bak")
+    if (fs.exists(bak)) fs.delete(bak, true) // stale backup from a prior crash
+    if (!fs.rename(p, bak))
+      sys.error(s"compact: cannot move $p aside")
+    if (!fs.rename(new Path(tmp), p)) { // restore the original on failure
+      fs.rename(bak, p)
+      sys.error(s"compact: swap failed for $p; original restored")
+    }
+    fs.delete(bak, true)
     fileCount(spark, dir)
   }
 }

@@ -32,34 +32,52 @@ object IngestStream {
     * (csv files under each `consumption_YYYY_MM_DD` dir). Explicit schema (a
     * streaming source requires one — and so does 100 TB), then the
     * same validated parse stage as batch. */
-  def source(spark: SparkSession, prefix: String, maxFilesPerTrigger: Int = 1000): DataFrame = {
-    val raw = spark.readStream
+  def source(spark: SparkSession, prefix: String, maxFilesPerTrigger: Int = 1000): DataFrame =
+    CsvIngest.parse(rawStream(spark, prefix, maxFilesPerTrigger))
+      .filter(col("date").isNotNull)
+
+  private def rawStream(spark: SparkSession, prefix: String,
+      maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "*.csv")
       .schema(Consumption.rawSchema)
       .csv(s"$prefix/consumption_*")
-    CsvIngest.parse(raw).filter(col("date").isNotNull)
+
+  /** [[source]] plus the batch path's `_file_order` provenance struct
+    * (file modification time, then path — `CsvIngest
+    * .ingestWithProvenance`), projected from `_metadata` at the scan
+    * so last-writer-wins is tied to file recency, not to row layout. */
+  def sourceWithProvenance(spark: SparkSession, prefix: String,
+      maxFilesPerTrigger: Int = 1000): DataFrame = {
+    val raw = rawStream(spark, prefix, maxFilesPerTrigger)
+    CsvIngest.parse(raw.withColumn("_file_order",
+        struct(
+          col("_metadata").getField("file_modification_time").as("mtime"),
+          col("_metadata").getField("file_path").as("path"))),
+        extra = Seq("_file_order"))
+      .filter(col("date").isNotNull)
   }
 
   /** The upsert pipeline: every micro-batch is deduplicated to one
-    * row per (date, client_id) — last writer by file order within the
-    * batch — and merged idempotently into the target table. */
+    * row per (date, client_id) — last writer by file (modification
+    * time, path) within the batch, the same total order as the batch
+    * path — and merged idempotently into the target table. A retried
+    * micro-batch therefore picks the SAME winner per key regardless of
+    * partition layout (T5; `monotonically_increasing_id` would not). */
   def startUpsert(spark: SparkSession, prefix: String, targetDir: String,
       checkpointDir: String): StreamingQuery = {
     val sink = new UpsertSink(spark, targetDir)
-    source(spark, prefix)
+    sourceWithProvenance(spark, prefix)
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val keyed = sink.dedupBatch(
-            batch.withColumn("_file_order", monotonically_increasing_id()),
-            "_file_order").drop("_file_order")
-          sink.merge(keyed)
+          sink.merge(sink.dedupBatch(batch, "_file_order").drop("_file_order"))
         }
         ()
       }

@@ -12,8 +12,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * outgrew watermarked windows.
   *
   * State per user: the open session (bounds, count, value sum).
-  * An event extends the session if within `gapMs` of its end,
-  * otherwise the closed session is emitted and a new one opens.
+  * An event merges into the session if within `gapMs` of EITHER end
+  * of its [start, end] interval — an out-of-order event (still inside
+  * the watermark) may extend the session backward, lowering `start`.
+  * An event past `end + gapMs` closes the session and opens a new
+  * one; a late straggler more than `gapMs` BEFORE `start` is emitted
+  * as its own single-event session (state keeps only the open
+  * session, so it cannot be re-opened — documented trade-off).
   * Event-time timeout closes idle sessions once the watermark passes
   * session end + gap, which bounds state size — the 100 TB
   * requirement for any unbounded-stream operator.
@@ -48,13 +53,19 @@ object StatefulSessionizer {
             for (e <- sorted) {
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t),
-                    s.n + 1, s.total + e.value))
-                case Some(s) =>
+                case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
+                  // within the gap of the session interval (either end)
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1, s.total + e.value))
+                case Some(s) if t > s.end + gapMs =>
                   closed ::= ClosedSession(userId, new Timestamp(s.start),
                     new Timestamp(s.end), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
+                case Some(_) =>
+                  // straggler > gap BEFORE the open session: its own
+                  // session; the open session stays open
+                  closed ::= ClosedSession(userId, new Timestamp(t),
+                    new Timestamp(t), 1, e.value)
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }

@@ -34,6 +34,20 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out(4L) == (None, None))
   }
 
+  test("NULL payload field in the matched right row stays NULL (no leak from older rows)") {
+    val left = Seq((1L, 10L, ts("2024-01-05 00:00:00"))).toDF("id", "key", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), 100L, Some(1.0)),
+      (10L, ts("2024-01-04 00:00:00"), 101L, None) // matched row: payload NULL
+    ).toDF("key", "rt", "rid", "payload")
+    val out = AsOfJoin.backward(left, right, "key", "t", "rt", "rid",
+      Seq("rid", "payload")).select("rid", "payload").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 101L)
+    assert(out(0).isNullAt(1),
+      "matched row's NULL payload must not be replaced by an older row's value")
+  }
+
   test("forward as-of join picks earliest right row at-or-after left time") {
     val left = Seq(
       (1L, 10L, ts("2024-01-02 00:00:00")), // next right is 01-04

@@ -34,6 +34,30 @@ class StatefulStreamingSpec extends SparkTestBase {
     assert(got == Seq(1L, 3L))
   }
 
+  test("sessionizer: out-of-order merge lowers start; far straggler isolated") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = StatefulSessionizer.sessionize(spark, input.toDS(),
+      gapMs = 5 * 60000L)
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_ooo").start()
+    input.addData(Event(7L, ts(30), 1.0)) // open session [30, 30]
+    q.processAllAvailable()
+    // batch 2, watermark = ts(20): ts(28) is within the 5-min gap
+    // BEFORE the session start → merges backward (start drops to 28);
+    // ts(22) is > gap before start → its own single-event session.
+    input.addData(Event(7L, ts(28), 2.0), Event(7L, ts(22), 0.5))
+    q.processAllAvailable()
+    input.addData(Event(7L, ts(60), 9.0)) // gap-split closes [28, 30]
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions_ooo").as[ClosedSession].collect()
+      .map(s => (s.start, s.end, s.n_events, s.total_value)).toSet
+    assert(got == Set(
+      (ts(22), ts(22), 1L, 0.5),
+      (ts(28), ts(30), 2L, 3.0)))
+  }
+
   test("flatMapGroupsWithState sessionizer: gap split + watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

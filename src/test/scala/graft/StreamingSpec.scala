@@ -38,6 +38,28 @@ class StreamingSpec extends SparkTestBase {
     assert(t3.filter(col("date") === "2025-04-28").count() == 1)
   }
 
+  test("streaming upsert: cross-file conflict resolves by file mtime, not layout (T5)") {
+    val base = Fixtures.tempDir("streamorder")
+    val data = base.resolve("data")
+    // Conflicting key in two files of ONE micro-batch. The newer file is
+    // lexicographically SMALLER, so path/listing order disagrees with
+    // mtime order — last-writer-wins must follow mtime (the batch
+    // path's _file_order), not partition/file layout.
+    Fixtures.writeDay(data, "2025_05_01",
+      Seq(Fixtures.clientRow("2025-05-01", 1, "Old", "999")), "z-first.csv")
+    Thread.sleep(1100) // cross fs mtime granularity
+    Fixtures.writeDay(data, "2025_05_01",
+      Seq(Fixtures.clientRow("2025-05-01", 1, "New", "7")), "a-second.csv")
+    val target = base.resolve("table").toString
+    val q = IngestStream.startUpsert(spark, data.toString, target,
+      base.resolve("ckpt").toString)
+    q.awaitTermination()
+    val rows = spark.read.parquet(target).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("total_consumed_tokens") == 7L,
+      "newer-mtime file must win the keyed upsert")
+  }
+
   test("streaming exact dedup within watermark bounds state") {
     val base = Fixtures.tempDir("sdedup")
     val data = base.resolve("data")

@@ -48,6 +48,30 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(tableState(dir) == s1)
   }
 
+  test("merge rewrites only the batch's date partitions") {
+    val dir = Fixtures.tempDir("sinkpart").resolve("t").toString
+    val sink = new UpsertSink(spark, dir)
+    sink.merge(batchDf(Seq(
+      ("2025-05-01", "A", 1L), ("2025-05-02", "B", 2L), ("2025-05-03", "C", 3L))))
+    def partFiles(day: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$dir/date=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.lastModified(), f.length())).toMap
+    }
+    val d1Before = partFiles("2025-05-01")
+    val d3Before = partFiles("2025-05-03")
+    assert(d1Before.nonEmpty && d3Before.nonEmpty)
+    Thread.sleep(1100) // cross mtime granularity so rewrites are visible
+    sink.merge(batchDf(Seq(("2025-05-02", "B", 20L), ("2025-05-02", "D", 4L))))
+    assert(partFiles("2025-05-01") == d1Before,
+      "untouched partition 2025-05-01 must not be rewritten")
+    assert(partFiles("2025-05-03") == d3Before,
+      "untouched partition 2025-05-03 must not be rewritten")
+    assert(tableState(dir) == Map(
+      ("2025-05-01", "A") -> 1L, ("2025-05-02", "B") -> 20L,
+      ("2025-05-02", "D") -> 4L, ("2025-05-03", "C") -> 3L))
+  }
+
   test("dedupBatch: deterministic last-writer-wins, not dropDuplicates") {
     val dir = Fixtures.tempDir("sink3").resolve("t").toString
     val sink = new UpsertSink(spark, dir)
