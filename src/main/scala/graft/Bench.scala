@@ -3,10 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A warmup pass at
-  * sf0.001 runs first so timings measure steady-state plans (codegen
-  * compiled, JIT warm, parquet footers cached) rather than first-query
-  * JVM warmup. */
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A full untimed pass at
+  * the BENCH SF runs first so timings measure steady-state plans:
+  * warming at a smaller SF is not enough, because AQE picks different
+  * physical plans at different sizes and each distinct plan compiles
+  * its own codegen on first run (VERDICT r01 #7 — the driver's cold
+  * 100.8 s vs ~35-40 s steady state). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,9 +21,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.sink.UpsertSink
+import graft.util.Log
 
 /** Batch orchestration of the full reference pipeline (SURVEY.md §3:
   * `lambda_handler` → discover → process → checkpoint), one run =
@@ -40,18 +41,63 @@ object Pipeline {
       skippedDates: Seq[LocalDate],
       rowsInTable: Long)
 
+  /** HTTP-shaped response envelope (reference contract:
+    * `/root/reference/src/lambda_handler.py:79-102` — 200 + JSON body
+    * on success or no-op, error envelope when the run throws; the
+    * reference re-raises and its platform wraps the error, here the
+    * envelope is produced directly). */
+  final case class Response(statusCode: Int, body: String)
+
+  private val log = Log("graft.ingest.Pipeline")
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Run with the reference's handler semantics: log the run's
+    * progress and wrap the result (`lambda_handler.py:37-106`). */
+  def handle(spark: SparkSession, cfg: Config): Response = {
+    Log.init()
+    try {
+      val r = run(spark, cfg)
+      if (r.processedDates.isEmpty && r.skippedDates.isEmpty)
+        Response(200, jstr(r.message))
+      else {
+        val dates = r.processedDates.sorted
+          .map(d => jstr(d.format(java.time.format.DateTimeFormatter.ofPattern("yyyy_MM_dd"))))
+          .mkString("[", ", ", "]")
+        Response(200,
+          s"""{"message": ${jstr(s"Successfully processed ${r.processedDates.size} files")}, "processed_dates": $dates}""")
+      }
+    } catch {
+      case e: Exception =>
+        log.error(s"Error in pipeline handler: ${e.getMessage}")
+        Response(500,
+          s"""{"errorMessage": ${jstr(String.valueOf(e.getMessage))}, "errorType": ${jstr(e.getClass.getSimpleName)}}""")
+    }
+  }
+
   def run(spark: SparkSession, cfg: Config): RunResult = {
     val checkpoint = new Checkpoint(spark, cfg.checkpointDir, cfg.defaultDate)
     val registry = new LateRegistry(spark, cfg.registryDir, cfg.horizonDays)
     val sink = new UpsertSink(spark, cfg.targetDir)
 
     val ckpt = checkpoint.read()
+    log.info(s"Last processed date: ${checkpoint.format(ckpt)}")
     val late = registry.read()
     val disc = Discovery.discover(spark, cfg.prefix, ckpt, cfg.today, late)
     registry.add(disc.missingDates)
+    if (disc.missingDates.nonEmpty)
+      log.info(s"Recorded ${disc.missingDates.size} missing date(s)")
 
-    if (disc.files.isEmpty)
+    if (disc.files.isEmpty) {
+      log.info("No new files to process")
       return RunResult("No new files to process", Nil, Nil, sink.read().count())
+    }
+    log.info(s"Found ${disc.files.size} files to process")
 
     val byDate = disc.files.groupBy(_.date).toSeq.sortBy(_._1)
     var processed = Vector.empty[LocalDate]
@@ -63,13 +109,16 @@ object Pipeline {
         val batch = CsvIngest.ingestWithProvenance(spark, files.map(_.path))
         rows = sink.merge(sink.dedupBatch(batch, "_file_order").drop("_file_order"))
         processed :+= date
+        log.info(s"Processed date $date (${files.size} file(s)); table now $rows row(s)")
       } catch {
-        case _: CsvIngest.SchemaViolation =>
+        case e: CsvIngest.SchemaViolation =>
           // E2 intent: schema-invalid file halts the rest of the run.
+          log.error(s"Schema violation on $date, halting run: ${e.getMessage}")
           skipped :+= date
           halted = true
-        case _: Exception =>
+        case e: Exception =>
           // E1/E3: unreadable file — skip this date, continue.
+          log.warn(s"Skipping date $date: ${e.getMessage}")
           skipped :+= date
       }
     }

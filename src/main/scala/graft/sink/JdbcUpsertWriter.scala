@@ -16,6 +16,22 @@ import graft.model.Consumption
   * the EXECUTORS (inside `foreachPartition`), so the factory must be
   * serializable — exactly the foreachBatch JDBC recipe.
   */
+/** Connection coordinates for the reference's Postgres sink
+  * (`/root/reference/src/lambda_handler.py:50-66` `DB_CONFIG` dict);
+  * resolved by [[graft.ingest.AppConfig]] from env vars or a secret
+  * JSON document. `toString` masks the password so the config can be
+  * logged safely. */
+final case class DbConfig(
+    dbname: String,
+    user: String,
+    password: String,
+    host: String,
+    port: Int) {
+  def jdbcUrl: String = s"jdbc:postgresql://$host:$port/$dbname"
+  override def toString: String =
+    s"DbConfig($dbname,$user,****,$host,$port)"
+}
+
 object JdbcUpsertWriter {
 
   val upsertSql: String =

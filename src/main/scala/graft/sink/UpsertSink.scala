@@ -91,9 +91,11 @@ final class UpsertSink(spark: SparkSession, targetDir: String) {
       .drop("_rn", "_src", "_created")
     // Dynamic partition overwrite: only the date= directories present
     // in `merged` are replaced, through the committer's staging dir —
-    // no window where the live table is deleted.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode("overwrite").partitionBy("date").parquet(targetDir)
+    // no window where the live table is deleted. Scoped per-write so
+    // the session's static-overwrite default is untouched for callers.
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date").parquet(targetDir)
     tableCount()
   }
 

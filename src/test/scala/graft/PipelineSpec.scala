@@ -12,6 +12,13 @@ import graft.ingest.Pipeline
   * file for a missed date is picked up via the registry. */
 class PipelineSpec extends SparkTestBase {
 
+  /** Collect engine log lines emitted while `body` runs. */
+  private def capturingLogs[A](body: => A): (A, Seq[(String, String)]) = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val h = graft.util.Log.addListener((lvl, _, msg) => buf.synchronized { buf += lvl -> msg; () })
+    try (body, { val r = buf.synchronized(buf.toSeq); r }) finally h.close()
+  }
+
   private def cfg(base: java.nio.file.Path, today: String) = Pipeline.Config(
     prefix = base.resolve("data").toString,
     checkpointDir = base.resolve("ckpt").toString,
@@ -46,10 +53,35 @@ class PipelineSpec extends SparkTestBase {
     // audit columns present and active
     assert(table.filter(!col("is_active")).count() == 0)
 
-    // second run: no new files, state unchanged
-    val r2 = Pipeline.run(spark, c)
+    // second run: no new files, state unchanged — and the run says so
+    // in the log, like the reference (`lambda_handler.py:83`)
+    val (r2, logs) = capturingLogs(Pipeline.run(spark, c))
     assert(r2.message == "No new files to process")
     assert(r2.rowsInTable == 29)
+    assert(logs.exists { case (lvl, m) => lvl == "INFO" && m == "No new files to process" })
+    assert(logs.exists { case (_, m) => m.startsWith("Last processed date: 2025_05_03") })
+  }
+
+  test("handle() wraps runs in the reference's response envelope") {
+    val base = Fixtures.tempDir("envelope")
+    Fixtures.writeLayout(base.resolve("data"))
+    val c = cfg(base, "2025-05-04")
+
+    val ok = Pipeline.handle(spark, c)
+    assert(ok.statusCode == 200)
+    assert(ok.body.contains("\"message\": \"Successfully processed 3 files\""))
+    assert(ok.body.contains("\"processed_dates\": [\"2025_05_01\", \"2025_05_02\", \"2025_05_03\"]"))
+
+    val noop = Pipeline.handle(spark, c)
+    assert(noop == Pipeline.Response(200, "\"No new files to process\""))
+
+    // a run that throws (unparseable default date) → 500 error envelope
+    val (bad, logs) = capturingLogs(
+      Pipeline.handle(spark, c.copy(checkpointDir = base.resolve("ck2").toString,
+        defaultDate = "garbage")))
+    assert(bad.statusCode == 500)
+    assert(bad.body.contains("\"errorType\": \"DateTimeParseException\""))
+    assert(logs.exists { case (lvl, m) => lvl == "ERROR" && m.startsWith("Error in pipeline handler:") })
   }
 
   test("late-arriving file is remembered and ingested when it shows up") {
@@ -87,9 +119,13 @@ class PipelineSpec extends SparkTestBase {
     Fixtures.writeDay(data, "2025_05_03", Seq(Fixtures.clientRow("2025-05-03", 1, "A", "3")))
     val c = cfg(base, "2025-05-04")
 
-    val r = Pipeline.run(spark, c)
+    val (r, logs) = capturingLogs(Pipeline.run(spark, c))
     assert(r.processedDates.map(_.toString) == Seq("2025-05-01"))
     assert(r.skippedDates.map(_.toString) == Seq("2025-05-02"))
+    assert(logs.exists { case (lvl, m) =>
+      lvl == "ERROR" && m.startsWith("Schema violation on 2025-05-02, halting run") })
+    assert(logs.exists { case (lvl, m) =>
+      lvl == "INFO" && m.startsWith("Processed date 2025-05-01") })
     // halted: 05-03 not processed, checkpoint stuck at 05-01
     val ck = new graft.ingest.Checkpoint(spark, c.checkpointDir, c.defaultDate)
     assert(ck.read().toString == "2025-05-01")
