@@ -22,7 +22,8 @@ object Plans {
     val picks = Seq(
       "q_projection_filter", "q_pricing_summary", "q_revenue_by_nation",
       "q_topk", "q_ingest_dedup", "q_asof_join", "q_dedup_minhash",
-      "q_knn_bruteforce", "q_sessionize")
+      "q_knn_bruteforce", "q_sessionize",
+      "q_set_ops_all", "q_embed_neardup", "q_ann_lsh", "q_ann_ivf")
     val sb = new StringBuilder
     for (name <- picks) {
       val df = SparkEntry.queries(name)(spark, sfDir)
