@@ -1,0 +1,170 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+
+/** Native vector kernels for the embedding operators.
+  *
+  * The declarative forms (`aggregate`/`zip_with`/`transform` higher-
+  * order functions) are evaluated interpretively per ELEMENT, and
+  * lambdas re-evaluate shared outer subexpressions per element after
+  * projection collapse (the same pitfall that motivated
+  * [[Trigrams]]/[[SimHash]]). A 64-dim dot product is 64 interpreted
+  * expression evaluations; the LSH band keys of `q_embed_neardup`
+  * were 64 dims × 4 bits × 32 bands ≈ 8k evaluations per row. These
+  * expressions do the same arithmetic in one tight JVM loop per row
+  * and participate in whole-stage codegen via `defineCodeGen`.
+  *
+  * Numeric parity: `dotLong` is exact 64-bit integer arithmetic;
+  * `dotDouble` accumulates left-to-right in double exactly like the
+  * `aggregate(zip_with(...))` form it replaces, so results are
+  * bit-identical and the DuckDB oracle SQL is unchanged.
+  */
+object VectorOpsImpl {
+
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** All LSH band keys of one quantized vector in one pass — the same
+    * integer LCG mix as `VectorQueries.signExpr` (and its DuckDB twin):
+    * for band b, bit h, dim i the hyperplane entry is
+    * `1 - 2*((((b*1619 + h*31337 + i*2621 + 1013904223) * 2654435761)
+    * % 4294967296) >> 13 & 1)`; key(b) packs `bitsPerBand` sign bits
+    * of the projections. All intermediates stay positive and far below
+    * 2^63, so Scala, Spark SQL, and DuckDB agree bit-for-bit. */
+  def lshKeys(qv: ArrayData, nBands: Int, bitsPerBand: Int): GenericArrayData = {
+    val dim = qv.numElements()
+    val v = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { v(i) = qv.getLong(i); i += 1 }
+    val keys = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      var key = 0L
+      var h = 0
+      while (h < bitsPerBand) {
+        var dot = 0L
+        var j = 0
+        while (j < dim) {
+          val mix = ((b * 1619L + h * 31337L + j * 2621L + 1013904223L) * 2654435761L) % 4294967296L
+          val sign = 1L - 2L * ((mix >> 13) & 1L)
+          dot += v(j) * sign
+          j += 1
+        }
+        if (dot >= 0) key |= (1L << h)
+        h += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+}
+
+/** `dot_long(array<long>, array<long>) -> long` */
+case class DotLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dot_long expects two array<bigint>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_long"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOpsImpl.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOpsImpl.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLong =
+    copy(left = l, right = r)
+}
+
+/** `dot_double(array<double>, array<double>) -> double` (callers cast
+  * float/int arrays up; the cast is codegen'd and cheap). */
+case class DotDouble(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dot_double expects two array<double>, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_double"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOpsImpl.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOpsImpl.dotDouble($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotDouble =
+    copy(left = l, right = r)
+}
+
+/** `lsh_band_keys(array<long>, nBands, bitsPerBand) -> array<long>` */
+case class LshBandKeys(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), IntegerType, IntegerType) =>
+        if (second.foldable && third.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("nBands/bitsPerBand must be literals")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"lsh_band_keys expects (array<bigint>, int, int), got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+  override protected def nullSafeEval(v: Any, nb: Any, bp: Any): Any =
+    VectorOpsImpl.lshKeys(v.asInstanceOf[ArrayData],
+      nb.asInstanceOf[Int], bp.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, nb, bp) =>
+      s"graft.functions.VectorOpsImpl.lshKeys($v, $nb, $bp)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): LshBandKeys =
+    copy(first = f, second = s, third = t)
+}
+
+object VectorOps {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("dot_long",
+      exprs => DotLong(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_double",
+      exprs => DotDouble(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("lsh_band_keys",
+      exprs => LshBandKeys(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
+
+  def dotLong(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("dot_long", a, b)
+  }
+
+  /** Double dot product; casts both sides to array<double> so float/
+    * long/int embeddings all work. Left-to-right accumulation order
+    * matches the `aggregate(zip_with(...))` it replaces. */
+  def dotDouble(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("dot_double",
+      a.cast(ArrayType(DoubleType)), b.cast(ArrayType(DoubleType)))
+  }
+
+  def lshBandKeys(spark: SparkSession, qv: Column, nBands: Int, bitsPerBand: Int): Column = {
+    register(spark)
+    call_function("lsh_band_keys", qv, lit(nBands), lit(bitsPerBand))
+  }
+}

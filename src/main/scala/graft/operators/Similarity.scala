@@ -2,19 +2,23 @@ package graft.operators
 
 import scala.util.Random
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import graft.functions.VectorOps
 
 /** Similarity search over an embedding column (`Array[Float]`)
   * (SURVEY.md §2.11): brute-force cosine top-k as the exact baseline,
   * and a random-hyperplane LSH-bucketed variant as the scale path.
   *
-  * All vector math is `zip_with`/`aggregate` higher-order functions
-  * over the array column — no UDF, no collect; the data never leaves
-  * the executors.
-  */
+  * No UDF, no collect; the data never leaves the executors. The
+  * DataFrame operators score through the native codegen'd
+  * [[graft.functions.DotDouble]] kernel (one JVM loop per row); the
+  * standalone Column helpers below keep the declarative
+  * `zip_with`/`aggregate` form, which accumulates in the same
+  * left-to-right order — both give identical results. */
 object Similarity {
 
   /** Sum of elementwise products, computed in double. */
@@ -27,6 +31,13 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native-kernel twins used by the DataFrame operators. */
+  private def ndot(s: SparkSession, a: Column, b: Column): Column =
+    VectorOps.dotDouble(s, a, b)
+  private def nnorm(s: SparkSession, a: Column): Column = sqrt(ndot(s, a, a))
+  private def ncosine(s: SparkSession, a: Column, b: Column): Column =
+    ndot(s, a, b) / (nnorm(s, a) * nnorm(s, b))
+
   /** Exact brute-force cosine top-k: broadcast the (small) query set
     * against the corpus — each executor scores its corpus slice
     * locally, then one shuffle on query id ranks the top k. This is
@@ -34,14 +45,15 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = corpus.sparkSession
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-      .withColumn("c_norm", norm(col("c_vec")))
+      .withColumn("c_norm", nnorm(s, col("c_vec")))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_norm", norm(col("q_vec")))
+      .withColumn("q_norm", nnorm(s, col("q_vec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("cosine",
-        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+        ndot(s, col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("c_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -58,12 +70,12 @@ object Similarity {
   /** Per-band LSH bucket keys: `nBands` keys per vector, each packing
     * `bitsPerBand` hyperplane signs. Vectors sharing any band key are
     * candidates. */
-  def bandKeys(vec: Column, planes: Seq[Seq[Double]], nBands: Int): Column = {
+  def bandKeys(s: SparkSession, vec: Column, planes: Seq[Seq[Double]], nBands: Int): Column = {
     val bitsPerBand = planes.size / nBands
     val keys = (0 until nBands).map { b =>
       val bits = (0 until bitsPerBand).map { i =>
         val p = typedlit(planes(b * bitsPerBand + i))
-        when(dot(vec, p) > 0, lit(1 << i)).otherwise(lit(0))
+        when(ndot(s, vec, p) > 0, lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
       struct(lit(b).as("band"), bits.as("bits"))
     }
@@ -83,25 +95,26 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = corpus.sparkSession
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
     // deterministic sample: the nCentroids smallest ids
     val centroids = c.orderBy("c_id").limit(nCentroids)
       .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"))
     val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("score", cosine(col("c_vec"), col("cent_vec")))
+      .withColumn("score", ncosine(s, col("c_vec"), col("cent_vec")))
       .groupBy("c_id")
       .agg(max_by(col("cent_id"), col("score")).as("cluster"),
         first(col("c_vec")).as("c_vec"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("score", cosine(col("q_vec"), col("cent_vec")))
+      .withColumn("score", ncosine(s, col("q_vec"), col("cent_vec")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("score").desc, col("cent_id").asc)))
       .filter(col("rnk") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("cent_id").as("cluster"))
     val scored = probes.join(assigned, "cluster")
       .filter(col("c_id") =!= col("q_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", ncosine(s, col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("c_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -119,16 +132,17 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nPlanes: Int = 16, nBands: Int = 4, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = corpus.sparkSession
     val planes = hyperplanes(dim, nPlanes)
     val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-      .withColumn("key", explode(bandKeys(col("c_vec"), planes, nBands)))
+      .withColumn("key", explode(bandKeys(s, col("c_vec"), planes, nBands)))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("key", explode(bandKeys(col("q_vec"), planes, nBands)))
+      .withColumn("key", explode(bandKeys(s, col("q_vec"), planes, nBands)))
     val cand = q.join(c, "key")
       .filter(col("c_id") =!= col("q_id"))
       .select("q_id", "q_vec", "c_id", "c_vec")
       .dropDuplicates("q_id", "c_id")
-    val scored = cand.withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    val scored = cand.withColumn("cosine", ncosine(s, col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("c_id").asc)
     scored.withColumn("rnk", row_number().over(w))
