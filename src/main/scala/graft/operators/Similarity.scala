@@ -46,9 +46,11 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val s = corpus.sparkSession
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val c = corpus.select(col(idCol).as("c_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("c_vec"))
       .withColumn("c_norm", nnorm(s, col("c_vec")))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val q = queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("q_vec"))
       .withColumn("q_norm", nnorm(s, col("q_vec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("c_id") =!= col("q_id"))
@@ -96,7 +98,8 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val s = corpus.sparkSession
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val c = corpus.select(col(idCol).as("c_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("c_vec"))
     // deterministic sample: the nCentroids smallest ids
     val centroids = c.orderBy("c_id").limit(nCentroids)
       .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"))
@@ -105,7 +108,8 @@ object Similarity {
       .groupBy("c_id")
       .agg(max_by(col("cent_id"), col("score")).as("cluster"),
         first(col("c_vec")).as("c_vec"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("q_vec"))
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("score", ncosine(s, col("q_vec"), col("cent_vec")))
       .withColumn("rnk", row_number().over(
@@ -134,9 +138,11 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val s = corpus.sparkSession
     val planes = hyperplanes(dim, nPlanes)
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val c = corpus.select(col(idCol).as("c_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("c_vec"))
       .withColumn("key", explode(bandKeys(s, col("c_vec"), planes, nBands)))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val q = queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("q_vec"))
       .withColumn("key", explode(bandKeys(s, col("q_vec"), planes, nBands)))
     val cand = q.join(c, "key")
       .filter(col("c_id") =!= col("q_id"))

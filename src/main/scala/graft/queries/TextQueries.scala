@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -270,7 +271,101 @@ object TextQueries {
       |WHERE levenshtein(lower(n_name), lower(r_name)) <= 6
       |ORDER BY n_name, r_name""".stripMargin
 
+  /** Within-document repetition (training-data quality signal): the
+    * duplicated word-trigram mass per document, aggregated per
+    * language. High repetition marks boilerplate/spam that poisons
+    * training data. Single token-explode + lead-window shingling (the
+    * [[graft.functions.TextFunctions.shingleSets]] form, which avoids
+    * the HOF re-evaluation pitfall), then two integer aggregations;
+    * all ratios are single IEEE divisions over exact integer sums so
+    * the DuckDB twin matches bitwise. One shuffle on doc_id, reused by
+    * the per-doc aggregation; one shuffle on lang. */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+    val perDoc = sh.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_sh"), countDistinct(col("sh")).as("nd"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("tot_sh"),
+        sum(col("nd")).as("tot_distinct"),
+        max(lit(1.0) - col("nd").cast(DoubleType) / col("n_sh").cast(DoubleType))
+          .as("max_doc_rep"))
+      .withColumn("corpus_rep",
+        lit(1.0) - col("tot_distinct").cast(DoubleType) / col("tot_sh").cast(DoubleType))
+      .select("lang", "n_docs", "tot_sh", "tot_distinct", "corpus_rep", "max_doc_rep")
+      .orderBy("lang")
+  }
+
+  val repetitionRatioSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, lang, unnest(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |per_doc AS (
+      |  SELECT doc_id, lang, COUNT(*) AS n_sh, COUNT(DISTINCT sh) AS nd
+      |  FROM sh GROUP BY doc_id, lang)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_sh) AS BIGINT) AS tot_sh,
+      |  CAST(SUM(nd) AS BIGINT) AS tot_distinct,
+      |  CAST(1.0 AS DOUBLE) - CAST(SUM(nd) AS DOUBLE) / CAST(SUM(n_sh) AS DOUBLE)
+      |    AS corpus_rep,
+      |  MAX(CAST(1.0 AS DOUBLE) - CAST(nd AS DOUBLE) / CAST(n_sh AS DOUBLE))
+      |    AS max_doc_rep
+      |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Deterministic training-shard assignment: shard is a pure hash of
+    * doc_id (same Knuth multiplicative idiom as [[consistentSample]]),
+    * so the export layout is reproducible across runs/engines and a
+    * document never moves between shards. Per-shard balance stats; the
+    * actual export is `df.withColumn("shard",…).write.partitionBy
+    * ("shard")` through [[graft.sink.PartitionedWriter]]. */
+  def shardExport(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("shard", pmod(col("doc_id") * lit(2654435761L), lit(16L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("shard")
+
+  val shardExportSql: String =
+    """SELECT (doc_id * 2654435761) % 16 AS shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  COUNT(DISTINCT lang) AS n_langs
+      |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** PII masking (data-hygiene pass before export): digits in contact
+    * fields replaced with '#'. Pure codegen'd `regexp_replace`, no
+    * UDF; the pattern set extends to emails/SSNs the same way. DuckDB
+    * needs the 'g' flag to match Spark's replace-all semantics. */
+  def redactPii(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 100)
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+        length(col("c_name")).as("n_orig"))
+      .orderBy("c_custkey")
+
+  val redactPiiSql: String =
+    """SELECT c_custkey,
+      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+      |  CAST(length(c_name) AS INT) AS n_orig
+      |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
+    QueryDef("q_shard_export", shardExport, Some(shardExportSql)),
+    QueryDef("q_redact_pii", redactPii, Some(redactPiiSql)),
     QueryDef("q_consistent_sample", consistentSample, Some(consistentSampleSql)),
     QueryDef("q_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)),
     QueryDef("q_train_test_split", trainTestSplit, Some(trainTestSplitSql)),

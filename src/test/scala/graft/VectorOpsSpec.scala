@@ -46,8 +46,8 @@ class VectorOpsSpec extends SparkTestBase {
     val nBands = 32
     val bits = 4
     def signExpr(band: org.apache.spark.sql.Column, h: Int, i: org.apache.spark.sql.Column) = {
-      val mix = ((band * lit(1619L) + lit(h * 31337L) + i * lit(2621L) +
-        lit(1013904223L)) * lit(2654435761L)) % lit(4294967296L)
+      val m = band * lit(1619L) + lit(h * 31337L) + i * lit(2621L) + lit(1013904223L)
+      val mix = (m * m) % lit(4294967296L)
       lit(1L) - lit(2L) * shiftright(mix, 13).bitwiseAND(lit(1L))
     }
     val e = Tables.embeddings(spark, sfDir).limit(50)
