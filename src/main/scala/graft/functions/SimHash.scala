@@ -63,7 +63,7 @@ case class SimHash(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"simhash expects array<string>, got ${other.simpleString(10)}")
+      s"simhash expects array<string>, got ${other.simpleString}")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash"

@@ -37,7 +37,7 @@ case class Trigrams(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"trigrams expects string, got ${other.simpleString(10)}")
+      s"trigrams expects string, got ${other.simpleString}")
   }
   override def dataType: DataType = ArrayType(StringType)
   override def prettyName: String = "trigrams"
