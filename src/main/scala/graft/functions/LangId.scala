@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Character-trigram language identification (SURVEY.md §2.11 "text
@@ -12,8 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * Pipeline shape: lowercase → trigram explode (plain substring, no
   * regex) → broadcast join against the ~90-row profile relation →
-  * per-(doc, lang) sum → window argmax. One small broadcast, one
-  * shuffle on doc_id. Profiles are integer weights so scores are
+  * one conditional aggregate per language in a single
+  * groupBy(doc_id) → argmax/tie-break as a fixed expression tree.
+  * One small broadcast, ONE shuffle. Profiles are integer weights so scores are
   * exact and the whole operator is DuckDB-expressible (the oracle SQL
   * embeds the same profile as a VALUES list — see
   * [[graft.queries.TextQueries]]).
@@ -63,20 +63,39 @@ object LangId {
       .agg(sum(col("w")).as("score"))
   }
 
-  /** Argmax over [[scores]] with the fixed tie order; docs with no
-    * scoring trigram at all fall out as ('und', 0) via the left join
-    * back onto the id set. */
+  /** Argmax over the per-language scores with the fixed tie order;
+    * docs with no scoring trigram at all fall out as ('und', 0) via
+    * the left join back onto the id set.
+    *
+    * The language domain is small and fixed, so instead of
+    * per-(doc, lang) rows + a row_number window (a second shuffle and
+    * sort of every scored row), ONE conditional aggregation per
+    * language computes all scores in a single groupBy(doc_id) — the
+    * argmax and tie-break become a fixed `greatest`/`when` expression
+    * tree. Identical results to the windowed form (the oracle SQL
+    * keeps the ROW_NUMBER formulation and hash-matches). */
   def predict(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val prio = langOrder.zipWithIndex.toMap
-    val prioCol = langOrder.foldRight(lit(99)) { case (l, acc) =>
-      when(col("lang") === l, lit(prio(l))).otherwise(acc)
+    val spark = docs.sparkSession
+    Trigrams.register(spark)
+    val tris = docs
+      .select(col(idCol).as("doc_id"),
+        explode(call_function("trigrams", lower(col(textCol)))).as("tri"))
+    val prof = broadcast {
+      import spark.implicits._
+      profiles.toDF("lang", "tri", "w")
     }
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, prioCol.asc)
-    val best = scores(docs, idCol, textCol)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("pred_lang"), col("score"))
+    val perLang = langOrder.map(l =>
+      sum(when(col("lang") === l, col("w"))).as(s"s_$l"))
+    val wide = tris.join(prof, "tri")
+      .groupBy("doc_id")
+      .agg(perLang.head, perLang.tail: _*)
+    val best = wide.withColumn("score",
+        greatest(langOrder.map(l => col(s"s_$l")): _*))
+      .withColumn("pred_lang",
+        langOrder.foldRight(lit("und")) { case (l, acc) =>
+          when(col(s"s_$l") === col("score"), lit(l)).otherwise(acc)
+        })
+      .select(col("doc_id"), col("pred_lang"), col("score"))
     docs.select(col(idCol).as("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
