@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ingest.{AppConfig, Pipeline}
+import graft.util.Log
+
+/** Local/cluster entry point (reference parity: `/root/reference/
+  * main.py` — resolve config, invoke the handler once, print the
+  * response envelope). Configuration comes entirely from the
+  * environment (see [[graft.ingest.AppConfig.resolve]]); exit code is
+  * 0 on a 2xx envelope, 1 otherwise, so shell callers and schedulers
+  * can branch on the outcome the same way the platform does on a
+  * raised error. */
+object Main {
+  def main(args: Array[String]): Unit = {
+    Log.init()
+    val resolved = AppConfig.resolve()
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-ingest")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try {
+      val resp = Pipeline.handle(spark, resolved.pipeline)
+      println(s"""{"statusCode": ${resp.statusCode}, "body": ${resp.body}}""")
+      if (resp.statusCode >= 300) sys.exit(1)
+    } finally spark.stop()
+  }
+}

@@ -49,19 +49,24 @@ object LangId {
   /** Fixed tie priority (first wins on equal score). */
   val langOrder: Seq[String] = Seq("en", "de", "es", "fr", "zh")
 
-  /** Per-(doc, lang) trigram-profile scores. */
-  def scores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Exploded (doc_id, lang, w) profile matches — the shared front of
+    * [[scores]] and [[predict]]: lowercase → native trigram explode →
+    * broadcast join against the profile relation. */
+  private def profileMatches(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val prof = broadcast(profiles.toDF("lang", "tri", "w"))
     Trigrams.register(spark)
-    val tris = docs
-      .select(col(idCol).as("doc_id"),
+    docs.select(col(idCol).as("doc_id"),
         explode(call_function("trigrams", lower(col(textCol)))).as("tri"))
-    tris.join(prof, "tri")
+      .join(prof, "tri")
+  }
+
+  /** Per-(doc, lang) trigram-profile scores. */
+  def scores(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    profileMatches(docs, idCol, textCol)
       .groupBy("doc_id", "lang")
       .agg(sum(col("w")).as("score"))
-  }
 
   /** Argmax over the per-language scores with the fixed tie order;
     * docs with no scoring trigram at all fall out as ('und', 0) via
@@ -75,18 +80,9 @@ object LangId {
     * tree. Identical results to the windowed form (the oracle SQL
     * keeps the ROW_NUMBER formulation and hash-matches). */
   def predict(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    Trigrams.register(spark)
-    val tris = docs
-      .select(col(idCol).as("doc_id"),
-        explode(call_function("trigrams", lower(col(textCol)))).as("tri"))
-    val prof = broadcast {
-      import spark.implicits._
-      profiles.toDF("lang", "tri", "w")
-    }
     val perLang = langOrder.map(l =>
       sum(when(col("lang") === l, col("w"))).as(s"s_$l"))
-    val wide = tris.join(prof, "tri")
+    val wide = profileMatches(docs, idCol, textCol)
       .groupBy("doc_id")
       .agg(perLang.head, perLang.tail: _*)
     val best = wide.withColumn("score",

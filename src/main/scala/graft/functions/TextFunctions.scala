@@ -110,18 +110,28 @@ object TextFunctions {
     * doc_id, reused by the immediately following collect_set
     * aggregation on the same key. */
   def shingleSets(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame =
+    shingleRows(docs, idCol, textCol, n = n)
+      .groupBy("doc_id")
+      .agg(collect_set(col("sh")).as("sh"))
+
+  /** Exploded word-3-gram rows `(doc_id, <extra…>, sh)` — the shared
+    * shingling front of [[shingleSets]] and the repetition-ratio
+    * query: split once, posexplode positions, assemble shingles via
+    * two `lead`s over (doc, pos). `extra` columns (constant per doc,
+    * e.g. `lang`) are carried through the explode. */
+  def shingleRows(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, extra: Seq[String] = Nil,
+      n: Int = 3): org.apache.spark.sql.DataFrame = {
     require(n == 3, "lead-based shingling is written for n=3")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    docs.select(col(idCol).as("doc_id"),
-        posexplode(wsTokens(col(textCol))).as(Seq("pos", "tok")))
+    docs.select(col(idCol).as("doc_id") +: extra.map(col) :+
+        posexplode(wsTokens(col(textCol))).as(Seq("pos", "tok")): _*)
       .withColumn("t1", lead(col("tok"), 1).over(w))
       .withColumn("t2", lead(col("tok"), 2).over(w))
       .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
-      .groupBy("doc_id")
-      .agg(collect_set(col("sh")).as("sh"))
+      .select(col("doc_id") +: extra.map(col) :+
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"): _*)
   }
 }

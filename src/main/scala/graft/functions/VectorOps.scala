@@ -27,20 +27,36 @@ import org.apache.spark.sql.types._
   */
 object VectorOpsImpl {
 
-  def dotLong(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Null semantics match `aggregate(zip_with(a, b, _*_), 0, _+_)`
+    * exactly: a length mismatch (zip_with pads with null) or any null
+    * element poisons the sum → SQL NULL (returned as boxed null, the
+    * expressions are declared nullable). The null checks are bitset
+    * lookups — negligible against the multiply-add. */
+  def dotLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
-    s
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
   }
 
-  def dotDouble(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** See [[dotLong]] for the null contract. */
+  def dotDouble(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
-    s
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
 
   /** All LSH band keys of one quantized vector in one pass, matching
@@ -59,7 +75,14 @@ object VectorOpsImpl {
     val dim = qv.numElements()
     val v = new Array[Long](dim)
     var i = 0
-    while (i < dim) { v(i) = qv.getLong(i); i += 1 }
+    while (i < dim) {
+      // Declarative twin: a null element nulls every dot, and
+      // when(dot >= 0, …).otherwise(0) then yields key 0 per band.
+      if (qv.isNullAt(i))
+        return new GenericArrayData(Array.fill[Any](nBands)(0L))
+      v(i) = qv.getLong(i)
+      i += 1
+    }
     val keys = new Array[Any](nBands)
     var b = 0
     while (b < nBands) {
@@ -85,7 +108,8 @@ object VectorOpsImpl {
   }
 }
 
-/** `dot_long(array<long>, array<long>) -> long` */
+/** `dot_long(array<long>, array<long>) -> long`; NULL on length
+  * mismatch or null element (see [[VectorOpsImpl.dotLong]]). */
 case class DotLong(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
@@ -93,17 +117,22 @@ case class DotLong(left: Expression, right: Expression) extends BinaryExpression
       s"dot_long expects two array<bigint>, got $other")
   }
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_long"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorOpsImpl.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOpsImpl.dotLong($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.VectorOpsImpl.dotLong($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotLong =
     copy(left = l, right = r)
 }
 
 /** `dot_double(array<double>, array<double>) -> double` (callers cast
-  * float/int arrays up; the cast is codegen'd and cheap). */
+  * float/int arrays up; the cast is codegen'd and cheap). NULL on
+  * length mismatch or null element. */
 case class DotDouble(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
@@ -111,11 +140,15 @@ case class DotDouble(left: Expression, right: Expression) extends BinaryExpressi
       s"dot_double expects two array<double>, got $other")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_double"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorOpsImpl.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOpsImpl.dotDouble($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.VectorOpsImpl.dotDouble($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotDouble =
     copy(left = l, right = r)
 }

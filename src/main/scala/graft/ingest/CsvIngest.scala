@@ -70,14 +70,21 @@ object CsvIngest {
 
   /** As [[ingest]], plus a `_file_order` provenance column
     * (modification time, then path — the reference's `last_modified`
-    * tiebreak, `src/s3_processor.py:65`) for deterministic
-    * last-writer-wins across files of one batch. */
+    * tiebreak, `src/s3_processor.py:65` — then position WITHIN the
+    * file) for deterministic last-writer-wins across AND within files
+    * of one batch. The reference iterates a file's rows in order and
+    * later upserts overwrite, so the file's last duplicate wins; the
+    * in-file position (`monotonically_increasing_id` taken at the
+    * scan, before any shuffle) reproduces that — exact when a file
+    * maps to one split (every fixture and any sanely-sized CSV), and
+    * stable for a fixed `maxPartitionBytes` otherwise. */
   def ingestWithProvenance(spark: SparkSession, paths: Seq[String]): DataFrame =
     parse(
       readRaw(spark, paths).withColumn("_file_order",
         struct(
           col("_metadata").getField("file_modification_time").as("mtime"),
-          col("_metadata").getField("file_path").as("path"))),
+          col("_metadata").getField("file_path").as("path"),
+          monotonically_increasing_id().as("pos"))),
       extra = Seq("_file_order"))
       .filter(col("date").isNotNull)
 }

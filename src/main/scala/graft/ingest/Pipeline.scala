@@ -39,7 +39,12 @@ object Pipeline {
       message: String,
       processedDates: Seq[LocalDate],
       skippedDates: Seq[LocalDate],
-      rowsInTable: Long)
+      rowsInTable: Long,
+      /** One entry per successfully processed FILE (its date), in
+        * processing order — the reference's `processed_files` list
+        * (`src/db_operations.py:33,54`), which keeps duplicates when
+        * a date has several files. */
+      processedFiles: Seq[LocalDate] = Nil)
 
   /** HTTP-shaped response envelope (reference contract:
     * `/root/reference/src/lambda_handler.py:79-102` — 200 + JSON body
@@ -49,13 +54,7 @@ object Pipeline {
   final case class Response(statusCode: Int, body: String)
 
   private val log = Log("graft.ingest.Pipeline")
-  private def jstr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def jstr(s: String): String = graft.util.Json.str(s)
 
   /** Run with the reference's handler semantics: log the run's
     * progress and wrap the result (`lambda_handler.py:37-106`). */
@@ -66,11 +65,13 @@ object Pipeline {
       if (r.processedDates.isEmpty && r.skippedDates.isEmpty)
         Response(200, jstr(r.message))
       else {
-        val dates = r.processedDates.sorted
+        // one entry per FILE, processing order, duplicates kept —
+        // exactly the reference's processed_files list
+        val dates = r.processedFiles
           .map(d => jstr(d.format(java.time.format.DateTimeFormatter.ofPattern("yyyy_MM_dd"))))
           .mkString("[", ", ", "]")
         Response(200,
-          s"""{"message": ${jstr(s"Successfully processed ${r.processedDates.size} files")}, "processed_dates": $dates}""")
+          s"""{"message": ${jstr(s"Successfully processed ${r.processedFiles.size} files")}, "processed_dates": $dates}""")
       }
     } catch {
       case e: Exception =>
@@ -101,6 +102,7 @@ object Pipeline {
 
     val byDate = disc.files.groupBy(_.date).toSeq.sortBy(_._1)
     var processed = Vector.empty[LocalDate]
+    var processedFiles = Vector.empty[LocalDate]
     var skipped = Vector.empty[LocalDate]
     var halted = false
     var rows = 0L
@@ -109,6 +111,7 @@ object Pipeline {
         val batch = CsvIngest.ingestWithProvenance(spark, files.map(_.path))
         rows = sink.merge(sink.dedupBatch(batch, "_file_order").drop("_file_order"))
         processed :+= date
+        processedFiles ++= files.map(_ => date)
         log.info(s"Processed date $date (${files.size} file(s)); table now $rows row(s)")
       } catch {
         case e: CsvIngest.SchemaViolation =>
@@ -133,6 +136,7 @@ object Pipeline {
     advanceTo.foreach(checkpoint.advance)
     registry.commit(processed.toSet, cfg.today)
 
-    RunResult(s"Processed ${processed.size} date(s)", processed, skipped, rows)
+    RunResult(s"Processed ${processed.size} date(s)", processed, skipped, rows,
+      processedFiles)
   }
 }

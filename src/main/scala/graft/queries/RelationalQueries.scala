@@ -359,8 +359,10 @@ object RelationalQueries {
   def setOpsAll(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .select(col("o_orderstatus").as("st"),
-        (col("o_totalprice") > 200000.0).cast(IntegerType).as("in_a"),
-        (col("o_orderpriority") === "1-URGENT").cast(IntegerType).as("in_b"))
+        // when/otherwise (not a bare cast) so a NULL predicate input
+        // counts 0 exactly like the oracle's CASE ... ELSE 0 END
+        when(col("o_totalprice") > 200000.0, 1).otherwise(0).as("in_a"),
+        when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("in_b"))
       .filter(col("in_a") === 1 || col("in_b") === 1)
       .groupBy("st")
       .agg(sum(col("in_a")).as("na"), sum(col("in_b")).as("nb"))

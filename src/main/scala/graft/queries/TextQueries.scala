@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -281,15 +280,8 @@ object TextQueries {
     * the DuckDB twin matches bitwise. One shuffle on doc_id, reused by
     * the per-doc aggregation; one shuffle on lang. */
   def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), col("lang"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+    val sh = shingleRows(Tables.documents(s, dir), "doc_id", "text",
+      extra = Seq("lang"))
     val perDoc = sh.groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_sh"), countDistinct(col("sh")).as("nd"))
     perDoc.groupBy("lang")

@@ -74,8 +74,25 @@ final class UpsertSink(spark: SparkSession, targetDir: String) {
       .withColumn("updated_at", now)
       .withColumn("is_active", lit(true))
       .withColumn("_src", lit(1))
+      // The date-collect job below and the write job would otherwise
+      // each recompute the full upstream batch (CSV parse + dedup
+      // window) — persist so the input is scanned once per merge.
+      .persist()
+    try {
+      mergePersisted(incoming)
+    } finally {
+      incoming.unpersist()
+      ()
+    }
+  }
+
+  private def mergePersisted(incoming: DataFrame): Long = {
     val dates = incoming.select("date").distinct().collect()
       .map(_.getDate(0))
+    // `date` is part of the natural key (NOT NULL in the reference's
+    // Postgres PK) and the partition column: isin(null) silently never
+    // matches existing rows, so reject rather than corrupt.
+    require(!dates.contains(null), "upsert batch contains NULL date rows")
     if (dates.isEmpty) return tableCount()
     val existing = read()
       .filter(col("date").isin(dates.toIndexedSeq: _*)) // partition-pruned scan

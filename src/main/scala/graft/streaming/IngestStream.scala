@@ -57,16 +57,27 @@ object IngestStream {
         struct(
           col("_metadata").getField("file_modification_time").as("mtime"),
           col("_metadata").getField("file_path").as("path"))),
+          // no within-file position here: monotonically_increasing_id
+          // is rejected in streaming plans and CSV has no row_index
+          // metadata — duplicate keys WITHIN one file resolve
+          // arbitrarily in the stream (across files stays
+          // deterministic by mtime/path); the batch path
+          // (CsvIngest.ingestWithProvenance) adds the in-file
+          // position and fully reproduces the reference's
+          // last-row-wins.
         extra = Seq("_file_order"))
       .filter(col("date").isNotNull)
   }
 
   /** The upsert pipeline: every micro-batch is deduplicated to one
-    * row per (date, client_id) — last writer by file (modification
-    * time, path) within the batch, the same total order as the batch
-    * path — and merged idempotently into the target table. A retried
-    * micro-batch therefore picks the SAME winner per key regardless of
-    * partition layout (T5; `monotonically_increasing_id` would not). */
+    * row per (date, client_id) — last writer by (file modification
+    * time, path), the same leading order as the batch path — and
+    * merged idempotently into the target table. A retried micro-batch
+    * therefore picks the SAME winner per key across files (T5; a bare
+    * `monotonically_increasing_id` would be partition-layout-
+    * dependent). Duplicate keys WITHIN one file tie — see
+    * [[sourceWithProvenance]] for why the stream cannot carry an
+    * in-file position. */
   def startUpsert(spark: SparkSession, prefix: String, targetDir: String,
       checkpointDir: String): StreamingQuery = {
     val sink = new UpsertSink(spark, targetDir)

@@ -65,12 +65,17 @@ class PipelineSpec extends SparkTestBase {
   test("handle() wraps runs in the reference's response envelope") {
     val base = Fixtures.tempDir("envelope")
     Fixtures.writeLayout(base.resolve("data"))
+    // a second file on day 1: the envelope counts FILES and keeps the
+    // duplicate date, like the reference's processed_files list
+    Fixtures.writeDay(base.resolve("data"), "2025_05_01",
+      Seq(Fixtures.clientRow("2025-05-01", 99, "Z", "9")), "part-1.csv")
     val c = cfg(base, "2025-05-04")
 
     val ok = Pipeline.handle(spark, c)
     assert(ok.statusCode == 200)
-    assert(ok.body.contains("\"message\": \"Successfully processed 3 files\""))
-    assert(ok.body.contains("\"processed_dates\": [\"2025_05_01\", \"2025_05_02\", \"2025_05_03\"]"))
+    assert(ok.body.contains("\"message\": \"Successfully processed 4 files\""))
+    assert(ok.body.contains(
+      "\"processed_dates\": [\"2025_05_01\", \"2025_05_01\", \"2025_05_02\", \"2025_05_03\"]"))
 
     val noop = Pipeline.handle(spark, c)
     assert(noop == Pipeline.Response(200, "\"No new files to process\""))

@@ -58,6 +58,26 @@ class StatefulStreamingSpec extends SparkTestBase {
       (ts(28), ts(30), 2L, 3.0)))
   }
 
+  test("sessionizer: adjacent stragglers in one batch merge into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = StatefulSessionizer.sessionize(spark, input.toDS(),
+      gapMs = 5 * 60000L)
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_chain").start()
+    input.addData(Event(9L, ts(30), 1.0)) // open session [30, 30]
+    q.processAllAvailable()
+    // batch 2, watermark = ts(20): two stragglers > gap before the
+    // session but within gap of EACH OTHER (ts(21), ts(24)) → ONE
+    // merged 2-event session, not two singletons.
+    input.addData(Event(9L, ts(21), 1.0), Event(9L, ts(24), 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions_chain").as[ClosedSession].collect()
+      .map(s => (s.start, s.end, s.n_events, s.total_value)).toSet
+    assert(got == Set((ts(21), ts(24), 2L, 3.0)))
+  }
+
   test("flatMapGroupsWithState sessionizer: gap split + watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

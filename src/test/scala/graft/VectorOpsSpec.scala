@@ -70,6 +70,25 @@ class VectorOpsSpec extends SparkTestBase {
     assert(native.count() == 50L * nBands)
   }
 
+  test("dot kernels go NULL on length mismatch or null element, like the HOF form") {
+    val mism = Seq((Seq(1L, 2L), Seq(3L, 4L, 5L))).toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val r1 = mism.select(VectorOps.dotLong(spark, col("a"), col("b")).as("k"),
+      hof.as("h")).collect()(0)
+    assert(r1.isNullAt(0) && r1.isNullAt(1))
+    val withNull = Seq((Seq(Some(1L), None), Seq(Some(3L), Some(4L))))
+      .toDF("a", "b")
+    val r2 = withNull.select(VectorOps.dotLong(spark, col("a"), col("b")).as("k"),
+      hof.as("h")).collect()(0)
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+    // lsh_band_keys: a null element zeroes every band key (the
+    // declarative when/otherwise(0) twin)
+    val keys = withNull.select(VectorOps.lshBandKeys(spark, col("a"), 4, 4))
+      .collect()(0).getSeq[Long](0)
+    assert(keys == Seq(0L, 0L, 0L, 0L))
+  }
+
   test("kernels reject wrong input types at analysis") {
     val df = Seq((Array(1L, 2L), Array(1.0, 2.0))).toDF("a", "b")
     intercept[Exception] {
