@@ -33,17 +33,27 @@ final class Checkpoint(spark: SparkSession, dir: String, defaultDate: String) {
   /** Read the checkpoint; any failure → the configured default
     * (reference E5: `DEFAULT_DATE` env fallback). */
   def read(): LocalDate =
-    try {
-      val in = fs.open(txtPath)
-      try parse(new String(in.readAllBytes(), StandardCharsets.UTF_8))
-      finally in.close()
-    } catch { case _: Exception => parse(defaultDate) }
+    try readStrict()
+    catch { case _: Exception => parse(defaultDate) }
+
+  /** Read with failures PROPAGATED (absent file still → default —
+    * that is genuine first-run state, not a fault). Used by
+    * [[advance]]: the E5 catch-all would turn a transient store
+    * error into `defaultDate`, letting the guard move the checkpoint
+    * BACKWARD — a violated A2 invariant re-processes months. */
+  private def readStrict(): LocalDate = {
+    if (!fs.exists(txtPath)) return parse(defaultDate)
+    val in = fs.open(txtPath)
+    try parse(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+    finally in.close()
+  }
 
   /** Monotonic write (reference A2: `date_value <= current → skip`,
     * `src/s3_processor.py:122-125`): returns true iff advanced.
-    * Also writes the JSON audit twin (`:147-154`). */
+    * Also writes the JSON audit twin (`:147-154`). A read fault here
+    * propagates (see [[readStrict]]) instead of defaulting. */
   def advance(candidate: LocalDate): Boolean = {
-    val current = read()
+    val current = readStrict()
     if (!candidate.isAfter(current)) return false
     write(txtPath, format(candidate))
     val ts = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)

@@ -11,9 +11,14 @@ import graft.model.Consumption
   *
   * Split into explicit, separately-testable stages mirroring the
   * reference's behavior:
-  *  - read: header'd CSV under PERMISSIVE mode with a
-  *    `_corrupt_record` column (reference: read error skips the file,
-  *    `src/s3_processor.py:108-110`);
+  *  - read: header'd, all-string CSV. With no explicit schema every
+  *    field parses as a string, so there are no type-level corrupt
+  *    records at this stage — a short row null-pads, a long row
+  *    truncates (same as pandas' tolerant read the reference relies
+  *    on, `src/s3_processor.py:108-110`); an UNREADABLE file (I/O)
+  *    throws and skips the file's date (E1/E3 in Pipeline). Malformed
+  *    VALUES are handled semantically downstream: bad dates drop in
+  *    [[ingest]]'s null filter, bad token counts coerce to 0;
   *  - validate: reject a file whose header lacks expected columns
   *    (`src/db_operations.py:68-72`) — the file fails, not the row;
   *  - parse: multi-format date chain (`dd-MMM-yy` first, then ISO,
@@ -32,7 +37,6 @@ object CsvIngest {
   def readRaw(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read
       .option("header", "true")
-      .option("mode", "PERMISSIVE")
       .csv(paths: _*)
 
   /** P2: fail the file when expected columns are missing. */

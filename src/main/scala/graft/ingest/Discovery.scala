@@ -46,10 +46,15 @@ object Discovery {
     val missing = Set.newBuilder[LocalDate]
     for (d <- dates) {
       val dir = new Path(base, s"consumption_${d.format(fmt)}")
+      // Only a genuinely ABSENT directory means "date missing"; any
+      // other listing fault (permissions, transient store error) must
+      // PROPAGATE — classifying it as missing would park the date in
+      // the late registry, where the 30-day horizon can expire it in
+      // the same run: silent permanent data loss.
       val listed =
         try fs.listStatus(dir).toSeq.filter(st =>
           st.isFile && st.getPath.getName.endsWith(".csv"))
-        catch { case _: Exception => Seq.empty }
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
       if (listed.isEmpty) missing += d
       else {
         found += d

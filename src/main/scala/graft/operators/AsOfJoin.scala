@@ -54,7 +54,10 @@ object AsOfJoin {
     // Payload travels as ONE struct: the matched right row is carried
     // whole, so a NULL in one of its fields stays NULL (no leakage
     // from an older right row) and no-match is the struct being null.
-    val r = right.select(
+    // A right row with NULL time can never satisfy the inequality
+    // (NULL <= t is never true) — drop it, or its payload would be
+    // carried to every left row preceding the first real right row.
+    val r = right.filter(col(rightTime).isNotNull).select(
       col(key).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
         col(rightTieBreak).as("_tie") +:
         struct(payload.map(col): _*).as("_payload") +:
@@ -68,7 +71,11 @@ object AsOfJoin {
     // Either way rights sort before lefts at equal time (inclusive
     // bound), and the desired tiebreak winner is seen LAST so
     // `last(ignoreNulls)` lands on it.
-    val timeOrd = if (forward) col("_t").desc else col("_t").asc
+    // NULL left times sort FIRST in both directions so such rows are
+    // scanned before any right row and come out with a NULL payload
+    // (no match is defined for a NULL time).
+    val timeOrd =
+      if (forward) col("_t").desc_nulls_first else col("_t").asc_nulls_first
     val tieOrd = if (forward) col("_tie").desc_nulls_last else col("_tie").asc_nulls_last
     val w = Window.partitionBy("_k")
       .orderBy(timeOrd, col("_side").asc, tieOrd)

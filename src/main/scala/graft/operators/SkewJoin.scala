@@ -16,9 +16,19 @@ object SkewJoin {
 
   /** Deterministic per-row salt: hash of the whole left row mod n —
     * stable across retries (no rand()), uniform enough to split a
-    * hot key. */
+    * hot key.
+    *
+    * Only left-preserving join types are accepted: the right side is
+    * replicated once per salt, so right_outer/full_outer would emit
+    * every unmatched right ROW once per salt (n spurious null-padded
+    * rows) — replicate the LEFT side instead if the right side must
+    * be preserved. */
   def salted(left: DataFrame, right: DataFrame, key: String, nSalts: Int,
       joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      s"salted join replicates the right side; '$joinType' would emit " +
+        "unmatched right rows once per salt — use a left-preserving type")
     val saltedLeft = left.withColumn("_salt",
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(nSalts)).cast("int"))
     val saltedRight = right.withColumn("_salt",

@@ -175,13 +175,27 @@ object AnalyticsQueries {
       .orderBy("kind")
   }
 
+  /** The checksum twin sums UTF-8 BYTES like the kernel (strlen is
+    * already byte length in DuckDB): chars split newline-safely via
+    * RE2's inline dotall `(?s).`, each codepoint expanded to its
+    * UTF-8 byte sum arithmetically; empty text COALESCEs to 0 (SUM
+    * over zero rows is NULL); video frames are duration-gated like
+    * `sampleFrameIndices` (duration_ms = n_chars*10 → 0-char video
+    * samples 0 frames). */
   val multimodalSql: String =
     """WITH m AS (
       |  SELECT doc_id,
       |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
       |    strlen(text) AS byte_len,
-      |    (SELECT SUM(ord(c)) FROM (SELECT unnest(regexp_extract_all(text, '.')) AS c)) AS checksum,
+      |    (SELECT COALESCE(SUM(CASE
+      |         WHEN cp < 128 THEN cp
+      |         WHEN cp < 2048 THEN 320 + (cp // 64) + (cp % 64)
+      |         WHEN cp < 65536 THEN 480 + (cp // 4096) + ((cp // 64) % 64) + (cp % 64)
+      |         ELSE 624 + (cp // 262144) + ((cp // 4096) % 64) + ((cp // 64) % 64) + (cp % 64)
+      |       END), 0)
+      |     FROM (SELECT unicode(unnest(regexp_extract_all(text, '(?s).'))) AS cp)) AS checksum,
       |    CASE WHEN ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] = 'video'
+      |           AND n_chars > 0
       |         THEN 4 ELSE 0 END AS n_frames
       |  FROM documents)
       |SELECT kind, COUNT(*) AS n,

@@ -21,14 +21,18 @@ object IngestQueries {
     * `event_date` column, tolerant of the source's physical type:
     * the harness parquet stores TIMESTAMP(NANOS), which Spark 4
     * refuses to read natively — read nanos as long and truncate
-    * (`div` = exact integer division, never a double round-trip);
+    * with FLOOR division in exact long arithmetic
+    * (`(ts - pmod(ts,1000)) div 1000`, never a double round-trip):
+    * Spark's bare `div` truncates toward zero while DuckDB's `//`
+    * floors, which diverges on pre-1970 (negative-nanos) rows;
     * micro-precision sources (TIMESTAMP / TIMESTAMP_NTZ) pass
     * through, so the same queries run on evolved schemas. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = Tables.events(s, dir)
     val ts = raw.schema("ts").dataType match {
-      case LongType => timestamp_micros(expr("ts div 1000"))
+      case LongType =>
+        timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000"))
       case _ => col("ts").cast(TimestampType)
     }
     raw.withColumn("ts", ts)
@@ -129,8 +133,12 @@ object IngestQueries {
     * aggregate per event_type. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
+      // try_cast on BOTH sides: a non-integral value coerces to 0
+      // instead of hard-erroring (Spark ANSI cast and DuckDB CAST
+      // both throw; TRY_CAST is the null-on-failure twin in each)
       .withColumn("k",
-        coalesce(get_json_object(col("props"), "$.k").cast(LongType), lit(0L)))
+        coalesce(expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"),
+          lit(0L)))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("k")).as("sum_k"),
@@ -141,7 +149,7 @@ object IngestQueries {
     s"""SELECT event_type, COUNT(*) AS n,
        |  CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
        |FROM (SELECT event_type,
-       |        COALESCE(CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS k
+       |        COALESCE(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT), 0) AS k
        |      FROM ($evSql))
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -206,8 +214,8 @@ object IngestQueries {
        |bounds AS (SELECT MIN(event_date) lo, MAX(event_date) hi FROM ev),
        |calendar AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
        |               AS event_date FROM bounds)
-       |SELECT event_date FROM calendar
-       |WHERE event_date NOT IN (SELECT DISTINCT event_date FROM ev)
+       |SELECT event_date FROM calendar c
+       |WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.event_date = c.event_date)
        |ORDER BY event_date""".stripMargin
 
   /** String functions F6-F9: key construction (f-string concat,

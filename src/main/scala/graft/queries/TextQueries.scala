@@ -216,7 +216,7 @@ object TextQueries {
   def consistentSample(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("in_sample",
-        pmod(col("doc_id") * lit(2654435761L), lit(100L)) < 10)
+        pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(100L)) < 10)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"))
@@ -224,7 +224,7 @@ object TextQueries {
 
   val consistentSampleSql: String =
     """SELECT lang, COUNT(*) AS n_total,
-      |  CAST(SUM(CASE WHEN (doc_id * 2654435761) % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT)
+      |  CAST(SUM(CASE WHEN ((doc_id % 100000000) * 2654435761) % 100 < 10 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_sampled
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -233,7 +233,7 @@ object TextQueries {
     * function of doc_id, so re-runs, engines and partitionings agree,
     * and a document can never leak between splits. */
   def trainTestSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+    val bucket = pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(100L))
     Tables.documents(s, dir)
       .withColumn("split",
         when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
@@ -247,8 +247,8 @@ object TextQueries {
     """SELECT lang, split, COUNT(*) AS n,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM (SELECT lang, n_chars,
-      |        CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
-      |             WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+      |        CASE WHEN ((doc_id % 100000000) * 2654435761) % 100 < 90 THEN 'train'
+      |             WHEN ((doc_id % 100000000) * 2654435761) % 100 < 95 THEN 'val'
       |             ELSE 'test' END AS split
       |      FROM documents)
       |GROUP BY lang, split ORDER BY lang, split""".stripMargin
@@ -323,7 +323,7 @@ object TextQueries {
     * ("shard")` through [[graft.sink.PartitionedWriter]]. */
   def shardExport(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("shard", pmod(col("doc_id") * lit(2654435761L), lit(16L)))
+      .withColumn("shard", pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(16L)))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
@@ -331,7 +331,7 @@ object TextQueries {
       .orderBy("shard")
 
   val shardExportSql: String =
-    """SELECT (doc_id * 2654435761) % 16 AS shard, COUNT(*) AS n_docs,
+    """SELECT ((doc_id % 100000000) * 2654435761) % 16 AS shard, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  COUNT(DISTINCT lang) AS n_langs
       |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin

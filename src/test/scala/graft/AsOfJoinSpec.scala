@@ -88,4 +88,25 @@ class AsOfJoinSpec extends SparkTestBase {
       Seq("rid", "payload")).select("rid").collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(9L))
   }
+
+  test("NULL times never match: null right rows dropped, null left rows unmatched") {
+    // right row with NULL time must not donate its payload to anyone
+    val left = Seq((1L, 5L, ts("2024-01-02 00:00:00")),
+      (2L, 5L, null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "key", "t")
+    val right = Seq(
+      (5L, null.asInstanceOf[java.sql.Timestamp], 99L, 9.9),
+      (5L, ts("2024-01-01 00:00:00"), 7L, 1.0)
+    ).toDF("key", "rt", "rid", "payload")
+    val back = AsOfJoin.backward(left, right, "key", "t", "rt", "rid",
+      Seq("rid", "payload")).select("id", "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(back(1L) == Some(7L))  // real match, not the null-time row
+    assert(back(2L) == None)      // null left time: no match
+    val fwd = AsOfJoin.forward(left, right, "key", "t", "rt", "rid",
+      Seq("rid", "payload")).select("id", "rid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fwd(1L) == None)       // no future right row
+    assert(fwd(2L) == None)       // null left time: no match
+  }
 }

@@ -27,6 +27,18 @@ class SkewAndBucketingSpec extends SparkTestBase {
     assert(salted("hot") == 10000L)
   }
 
+  test("salted join rejects right-preserving join types") {
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.salted(skewed, dim, "k", nSalts = 8, joinType = "right_outer")
+    }
+    assert(e.getMessage.contains("replicates the right side"))
+    intercept[IllegalArgumentException] {
+      SkewJoin.salted(skewed, dim, "k", nSalts = 8, joinType = "full_outer")
+    }
+    // left-preserving types still work
+    assert(SkewJoin.salted(skewed, dim, "k", 8, "left_outer").count() > 0)
+  }
+
   test("salted aggregation equals plain aggregation") {
     val plain = skewed.groupBy("k").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
