@@ -105,14 +105,15 @@ object Pipeline {
     var processedFiles = Vector.empty[LocalDate]
     var skipped = Vector.empty[LocalDate]
     var halted = false
-    var rows = 0L
     for ((date, files) <- byDate if !halted) {
       try {
         val batch = CsvIngest.ingestWithProvenance(spark, files.map(_.path))
-        rows = sink.merge(sink.dedupBatch(batch, "_file_order").drop("_file_order"))
+        val partRows =
+          sink.merge(sink.dedupBatch(batch, "_file_order").drop("_file_order"))
         processed :+= date
         processedFiles ++= files.map(_ => date)
-        log.info(s"Processed date $date (${files.size} file(s)); table now $rows row(s)")
+        log.info(s"Processed date $date (${files.size} file(s)); " +
+          s"$partRows row(s) in touched partition(s)")
       } catch {
         case e: CsvIngest.SchemaViolation =>
           // E2 intent: schema-invalid file halts the rest of the run.
@@ -136,6 +137,9 @@ object Pipeline {
     advanceTo.foreach(checkpoint.advance)
     registry.commit(processed.toSet, cfg.today)
 
+    // whole-table count ONCE per run (merge returns only the touched
+    // partitions' count — bounded per merge; this is the unbounded one)
+    val rows = sink.read().count()
     RunResult(s"Processed ${processed.size} date(s)", processed, skipped, rows,
       processedFiles)
   }

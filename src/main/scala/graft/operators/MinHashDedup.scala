@@ -97,18 +97,33 @@ object MinHashDedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 24, nBands: Int = 8, shingleN: Int = 3,
       threshold: Double = 0.5,
-      tokenHash: Column => Column = tokenHashXx): DataFrame = {
+      tokenHash: Column => Column = tokenHashXx,
+      maxBucket: Int = 200): DataFrame = {
     require(k % nBands == 0, "k must divide into bands")
     val r = k / nBands
     val ps = perms(k)
+    // persisted: this relation feeds the signature path AND both
+    // verification joins — without it the shingle window+collect_set
+    // subtree (the most expensive stage) executes three times. The
+    // cache manager dedups by canonical plan, so repeated query runs
+    // reuse one entry; eviction is LRU.
     val sh = TextFunctions.shingleSets(docs, idCol, textCol, shingleN)
       .filter(size(col("sh")) > 0)
+      .persist()
     val sig = signaturesAgg(sh, ps, tokenHash)
     val banded = explodeBands(sig, "sig", nBands, r)
       .select(col("doc_id"), col("band_key"))
-    val grouped = banded.groupBy("band_key")
+    // COUNT pre-filter before collect_list — identical rationale to
+    // SimHashDedup: a mass-duplicated corpus floods every band; the
+    // cap bounds both pair fan-out AND the aggregation buffer (the
+    // buffer materializes BEFORE any post-collect size filter could
+    // drop it). Mass duplicates are exact-dedup's job, run FIRST.
+    val keptKeys = banded.groupBy("band_key").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1 && col("_n") <= maxBucket)
+      .select("band_key")
+    val grouped = banded.join(keptKeys, "band_key")
+      .groupBy("band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
     val cand = grouped.select(explode(
         flatten(transform(col("ds"), (x, i) =>
           transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1), y =>

@@ -47,9 +47,18 @@ object SimHashDedup {
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
       }: _*)).as("bk"))
-    val grouped = banded.groupBy("bk")
+    // Cap via a COUNT pre-filter, not a post-collect size filter: the
+    // count aggregate combines map-side and the filtered key set is
+    // small (AQE broadcasts it), so a pathological bucket is dropped
+    // BEFORE collect_list materializes an unbounded array in one
+    // aggregation buffer (the post-filter form still OOM'd the
+    // executor holding a hot bucket at stress scale).
+    val keptKeys = banded.groupBy("bk").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1 && col("_n") <= maxBucket)
+      .select("bk")
+    val grouped = banded.join(keptKeys, "bk")
+      .groupBy("bk")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
     grouped.select(explode(
         flatten(transform(col("ds"), (x, i) =>
           transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1), y =>

@@ -22,12 +22,13 @@ object DedupQueries {
   private val Bands = 8
   private val R = K / Bands
   private val Threshold = 0.2
+  private val MaxBucket = 200
   private val ps = MinHashDedup.perms(K)
 
   def minhashQ(s: SparkSession, dir: String): DataFrame =
     MinHashDedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
         k = K, nBands = Bands, shingleN = 3, threshold = Threshold,
-        tokenHash = MinHashDedup.tokenHashMd5)
+        tokenHash = MinHashDedup.tokenHashMd5, maxBucket = MaxBucket)
       .orderBy("doc_a", "doc_b")
 
   /** DuckDB oracle generated from the same constants. */
@@ -50,9 +51,12 @@ object DedupQueries {
        |  FROM sh),
        |sig AS (SELECT doc_id, [$minExprs] AS sig FROM hs GROUP BY doc_id),
        |banded AS ($bandSelects),
+       |kept AS (
+       |  SELECT * FROM banded
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band, sl) <= $MaxBucket),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM banded a JOIN banded b
+       |  FROM kept a JOIN kept b
        |    ON a.band = b.band AND a.sl = b.sl AND a.doc_id < b.doc_id),
        |sets AS (SELECT doc_id, list(DISTINCT sh) AS sl FROM sh GROUP BY doc_id)
        |SELECT doc_a, doc_b,

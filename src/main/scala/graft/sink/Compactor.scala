@@ -21,27 +21,43 @@ import org.apache.spark.sql.functions._
   */
 object Compactor {
 
+  /** Data-file count, recursing into partition directories. */
   def fileCount(spark: SparkSession, dir: String): Int = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
   }
 
   /** Rewrite `dir` into ~targetRowsPerFile-row files; `clusterBy`
-    * sorts within partitions for stats-based pruning. Returns the new
-    * file count. */
+    * sorts within partitions for stats-based pruning; `partitionBy`
+    * MUST name the table's Hive partition columns when the directory
+    * is partitioned — a flat rewrite would collapse `col=value/`
+    * directories into plain files and break the layout (and any
+    * later dynamic-partition merge into it). Returns the new file
+    * count. */
   def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long,
-      clusterBy: Seq[String] = Nil): Int = {
+      clusterBy: Seq[String] = Nil, partitionBy: Seq[String] = Nil): Int = {
     val df = spark.read.parquet(dir)
+    require(partitionBy.forall(df.columns.contains),
+      s"partitionBy ${partitionBy.mkString(",")} not all present in table")
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
     val arranged =
       if (clusterBy.nonEmpty)
         df.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
+      else if (partitionBy.nonEmpty)
+        df.repartition(nFiles, partitionBy.map(col): _*)
       else df.repartition(nFiles)
     val tmp = dir + "_compact_tmp"
-    arranged.write.mode("overwrite").parquet(tmp)
+    val writer = arranged.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(tmp)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = new Path(dir + "_compact_bak")

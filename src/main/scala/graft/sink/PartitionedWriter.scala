@@ -15,13 +15,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PartitionedWriter {
 
-  def write(df: DataFrame, targetDir: String, partitionCol: String = "date"): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def write(df: DataFrame, targetDir: String, partitionCol: String = "date"): Unit =
+    // per-write option, NOT a session conf set: a session-wide
+    // "dynamic" leaks into unrelated overwrites that expect static
+    // replace-the-table semantics (stale partitions would survive)
     df.write
       .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(targetDir)
-  }
 
   def read(spark: SparkSession, targetDir: String): DataFrame =
     spark.read.parquet(targetDir)

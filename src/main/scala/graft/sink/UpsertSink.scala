@@ -113,11 +113,19 @@ final class UpsertSink(spark: SparkSession, targetDir: String) {
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("date").parquet(targetDir)
-    tableCount()
+    // Return the row count of the TOUCHED partitions only (partition-
+    // pruned, footer-only) — a whole-table count would list every
+    // file of the table on every merge, growing per-merge cost with
+    // table age instead of batch span. Whole-table observability is
+    // one read().count() per RUN (Pipeline) or on demand.
+    spark.read.parquet(targetDir)
+      .filter(col("date").cast(DateType).isin(dates.toIndexedSeq: _*))
+      .count()
   }
 
-  /** Post-merge table row count — a metadata-only scan (parquet
-    * footer row counts; no data pages read). */
+  /** Table row count — a metadata-only scan (parquet footer row
+    * counts; no data pages read), but it LISTS the whole table: call
+    * once per run, not per merge. */
   private def tableCount(): Long =
     if (exists) spark.read.parquet(targetDir).count() else 0L
 }

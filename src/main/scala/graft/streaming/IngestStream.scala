@@ -40,6 +40,13 @@ object IngestStream {
       maxFilesPerTrigger: Int): DataFrame =
     spark.readStream
       .option("header", "true")
+      // With an explicit schema Spark DEFAULT-ignores the file header
+      // and maps columns by POSITION; enforceSchema=false makes the
+      // reader validate each file's header against the schema instead,
+      // so a reordered/renamed header fails the file (the batch path's
+      // P2 semantics) rather than silently loading values into the
+      // wrong columns and corrupting the (date, client_id) upsert key.
+      .option("enforceSchema", "false")
       .option("mode", "PERMISSIVE")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("pathGlobFilter", "*.csv")

@@ -21,6 +21,26 @@ class CompactionSpec extends SparkTestBase {
     assert(after.toSeq == before.toSeq)
   }
 
+  test("compaction preserves Hive partition layout") {
+    val dir = Fixtures.tempDir("compactpart").resolve("t").toString
+    (1 to 100).map(i => (s"2025-05-${"%02d".format(i % 4 + 1)}", i.toLong))
+      .toDF("date", "id")
+      .repartition(20).write.partitionBy("date").parquet(dir)
+    assert(Compactor.fileCount(spark, dir) > 4) // recursive count sees them
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted
+
+    Compactor.compact(spark, dir, targetRowsPerFile = 50,
+      partitionBy = Seq("date"))
+    // date= directories survive and partition discovery still works
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted
+    assert(dirs.count(_.startsWith("date=")) == 4, dirs.mkString(","))
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(after.toSeq == before.toSeq)
+  }
+
   test("cluster-by compaction sorts within files for stats pruning") {
     val dir = Fixtures.tempDir("cluster").resolve("t").toString
     val rnd = new scala.util.Random(3)
