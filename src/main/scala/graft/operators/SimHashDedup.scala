@@ -42,11 +42,16 @@ object SimHashDedup {
   def nearDupPairs(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
     val sigs = signatures(spark, docs, idCol, textCol)
+    // persisted: the count pre-filter below and the kept-key join both
+    // consume `banded`, and the signature stage is a plain projection
+    // (no shuffle, so no ReusedExchange) — unpersisted, the whole
+    // tokenize+simhash pass would run twice.
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("bits"))
       }: _*)).as("bk"))
+      .persist()
     // Cap via a COUNT pre-filter, not a post-collect size filter: the
     // count aggregate combines map-side and the filtered key set is
     // small (AQE broadcasts it), so a pathological bucket is dropped
