@@ -23,10 +23,16 @@ object Main {
         sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try {
-      val resp = Pipeline.handle(spark, resolved.pipeline)
-      println(s"""{"statusCode": ${resp.statusCode}, "body": ${resp.body}}""")
-      if (resp.statusCode >= 300) sys.exit(1)
-    } finally spark.stop()
+    // Compute the exit code inside try, stop Spark in finally, and only
+    // then exit: System.exit does not unwind the stack, so calling it
+    // inside the try would skip `finally spark.stop()` and leave shutdown
+    // to Spark's JVM hook.
+    val exitCode =
+      try {
+        val resp = Pipeline.handle(spark, resolved.pipeline)
+        println(s"""{"statusCode": ${resp.statusCode}, "body": ${resp.body}}""")
+        if (resp.statusCode >= 300) 1 else 0
+      } finally spark.stop()
+    if (exitCode != 0) sys.exit(exitCode)
   }
 }

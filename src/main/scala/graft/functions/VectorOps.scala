@@ -202,8 +202,18 @@ object VectorOps {
       a.cast(ArrayType(DoubleType)), b.cast(ArrayType(DoubleType)))
   }
 
+  /** Band keys with the oracle's NULL contract: the raw expression is
+    * null-propagating (nullSafeEval/codegen skip on a NULL array), but
+    * the DuckDB twin's `CASE WHEN dot >= 0 …` yields key 0 for every
+    * band of a NULL embedding — so a NULL input coalesces to the
+    * all-zero key vector here, keeping the engines pair-identical if a
+    * null embedding ever enters the corpus. (SQL-only callers of the
+    * bare `lsh_band_keys` function get SQL NULL; this wrapper is the
+    * parity-correct entry point.) */
   def lshBandKeys(spark: SparkSession, qv: Column, nBands: Int, bitsPerBand: Int): Column = {
     register(spark)
-    call_function("lsh_band_keys", qv, lit(nBands), lit(bitsPerBand))
+    org.apache.spark.sql.functions.coalesce(
+      call_function("lsh_band_keys", qv, lit(nBands), lit(bitsPerBand)),
+      org.apache.spark.sql.functions.array_repeat(lit(0L), nBands))
   }
 }

@@ -131,7 +131,7 @@ object MinHashDedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
     // exact verification on candidates only
-    cand
+    val verified = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -139,5 +139,12 @@ object MinHashDedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
+    // Materialize the (small) verified pair set eagerly, then release
+    // the shingle cache: without this, every call on a new input leaked
+    // a session-lifetime cache entry and relied on LRU eviction under
+    // pressure. The checkpointed result severs lineage, so downstream
+    // consumers never re-trigger the shingle pipeline.
+    try verified.localCheckpoint(true)
+    finally { sh.unpersist(); () }
   }
 }

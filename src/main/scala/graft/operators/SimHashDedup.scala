@@ -64,7 +64,7 @@ object SimHashDedup {
     val grouped = banded.join(keptKeys, "bk")
       .groupBy("bk")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
-    grouped.select(explode(
+    val verified = grouped.select(explode(
         flatten(transform(col("ds"), (x, i) =>
           transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1), y =>
             struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
@@ -76,5 +76,10 @@ object SimHashDedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
+    // Materialize the (small) pair set eagerly, then release the banded
+    // cache — same rationale as MinHashDedup: a lazy return leaked one
+    // cache entry per call for the session lifetime.
+    try verified.localCheckpoint(true)
+    finally { banded.unpersist(); () }
   }
 }

@@ -94,9 +94,19 @@ final class UpsertSink(spark: SparkSession, targetDir: String) {
     // matches existing rows, so reject rather than corrupt.
     require(!dates.contains(null), "upsert batch contains NULL date rows")
     if (dates.isEmpty) return tableCount()
+    // Eager localCheckpoint severs the merged plan's lineage from the
+    // live table's files BEFORE the overwrite job runs against the same
+    // directory. Dynamic partition overwrite already stages-and-swaps
+    // (no delete-before-scan window), but that safety hangs on the
+    // per-write option below surviving every future refactor; if a
+    // static overwrite ever took effect, the table would be deleted
+    // before the scan ran. Materializing the touched partitions here —
+    // bounded by the batch's date span, never table size — makes the
+    // self-overwrite safe under either mode.
     val existing = read()
       .filter(col("date").isin(dates.toIndexedSeq: _*)) // partition-pruned scan
       .withColumn("_src", lit(0))
+      .localCheckpoint(true)
     val w = Window.partitionBy(Consumption.key.map(col): _*)
       .orderBy(col("_src").desc)
     val wAll = Window.partitionBy(Consumption.key.map(col): _*)

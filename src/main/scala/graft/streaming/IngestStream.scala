@@ -42,10 +42,14 @@ object IngestStream {
       .option("header", "true")
       // With an explicit schema Spark DEFAULT-ignores the file header
       // and maps columns by POSITION; enforceSchema=false makes the
-      // reader validate each file's header against the schema instead,
-      // so a reordered/renamed header fails the file (the batch path's
-      // P2 semantics) rather than silently loading values into the
-      // wrong columns and corrupting the (date, client_id) upsert key.
+      // reader validate each file's header against the schema instead.
+      // A reordered/renamed header then fails its task and with it the
+      // whole AvailableNow micro-batch (and query) — stricter than the
+      // batch path's per-date skip/halt P2 semantics, but the safety
+      // direction (fail vs silently loading values into the wrong
+      // columns and corrupting the (date, client_id) upsert key) is the
+      // same. Recovery: remove or fix the offending file and restart;
+      // the checkpoint re-attempts the failed batch from its offsets.
       .option("enforceSchema", "false")
       .option("mode", "PERMISSIVE")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
