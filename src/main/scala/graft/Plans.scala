@@ -23,7 +23,8 @@ object Plans {
       "q_projection_filter", "q_pricing_summary", "q_revenue_by_nation",
       "q_topk", "q_ingest_dedup", "q_asof_join", "q_dedup_minhash",
       "q_knn_bruteforce", "q_sessionize",
-      "q_set_ops_all", "q_embed_neardup", "q_ann_lsh", "q_ann_ivf")
+      "q_set_ops_all", "q_embed_neardup", "q_ann_lsh", "q_ann_ivf",
+      "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q18", "q_tpch_q19")
     val sb = new StringBuilder
     for (name <- picks) {
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -181,11 +181,18 @@ object TpchQueries {
     * 100-row supplier dim is broadcast. Two aggregations, one of which
     * reduces to a scalar that AQE folds into a broadcast. */
   def q15(s: SparkSession, dir: String): DataFrame = {
+    // Eager checkpoint of the per-supplier aggregate (one row per
+    // supplier — tiny next to lineitem): `rev` feeds BOTH the max
+    // selection and the final join, and without a barrier each consumer
+    // re-runs the filtered lineitem scan+agg (the same two-consumer
+    // recompute that made set-ops triple-scan in round 1). One fact
+    // scan, then both consumers read the materialized aggregate.
     val rev = Tables.lineitem(s, dir)
       .filter(col("l_shipdate").cast(DateType) >= lit("1999-01-01").cast(DateType) &&
         col("l_shipdate").cast(DateType) < lit("1999-04-01").cast(DateType))
       .groupBy("l_suppkey")
       .agg(sum(col("l_extendedprice").cast(dec2) * disc1).as("tr"))
+      .localCheckpoint(true)
     val maxRev = rev.agg(max(col("tr")).as("tr_max"))
     rev.join(broadcast(maxRev), col("tr") === col("tr_max"))
       .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
