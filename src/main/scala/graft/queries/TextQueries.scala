@@ -336,6 +336,69 @@ object TextQueries {
       |  COUNT(DISTINCT lang) AS n_langs
       |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** Corpus vocabulary statistics: top tokens by DOCUMENT frequency
+    * (how many docs contain the token — the quantity stopword lists,
+    * IDF weights and tokenizer-vocab pruning are built from). The
+    * per-doc distinct is one explode + distinct; the df-count
+    * aggregation map-side combines, so the shuffle carries one row per
+    * (partition × token), never per occurrence — the 100 TB shape for
+    * vocabulary building. Ties broken by token for determinism. */
+  def vocabTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("tok").asc)
+      .limit(25)
+
+  val vocabTopkSql: String =
+    """SELECT tok, COUNT(*) AS n_docs FROM (
+      |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents) WHERE tok <> ''
+      |GROUP BY tok ORDER BY n_docs DESC, tok ASC LIMIT 25""".stripMargin
+
+  /** Train/eval contamination check (decontamination pass): documents
+    * in the val/test splits whose EXACT content (md5 fingerprint) also
+    * appears in the train split — the standard benchmark-leakage scan
+    * run before any training export. Composes [[trainTestSplit]]'s
+    * deterministic hash split with [[fingerprintMd5]]; the join is a
+    * fingerprint equi-join against the distinct train fingerprint set
+    * (at 100 TB: one shuffle on a 32-char key; the eval side is tiny
+    * next to train, AQE broadcasts it). Output is per-split counts so
+    * the result is meaningful even on a dup-free corpus. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(100L))
+    val fps = Tables.documents(s, dir)
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"), fingerprintMd5(col("text")).as("fp"))
+    val trainFps = fps.filter(col("split") === "train")
+      .select("fp").distinct().withColumn("_in_train", lit(1))
+    fps.join(trainFps, Seq("fp"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("split") =!= "train" && col("_in_train") === 1, 1L)
+          .otherwise(0L)).as("n_contaminated"))
+      .orderBy("split")
+  }
+
+  val contaminationSql: String =
+    """WITH fps AS (
+      |  SELECT doc_id,
+      |    CASE WHEN ((doc_id % 100000000) * 2654435761) % 100 < 90 THEN 'train'
+      |         WHEN ((doc_id % 100000000) * 2654435761) % 100 < 95 THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    md5(text) AS fp
+      |  FROM documents),
+      |train_fps AS (SELECT DISTINCT fp, 1 AS in_train FROM fps WHERE split = 'train')
+      |SELECT split, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN split <> 'train' AND in_train = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contaminated
+      |FROM fps LEFT JOIN train_fps USING (fp)
+      |GROUP BY split ORDER BY split""".stripMargin
+
   /** PII masking (data-hygiene pass before export): digits in contact
     * fields replaced with '#'. Pure codegen'd `regexp_replace`, no
     * UDF; the pattern set extends to emails/SSNs the same way. DuckDB
@@ -355,6 +418,8 @@ object TextQueries {
       |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_vocab_topk", vocabTopk, Some(vocabTopkSql)),
+    QueryDef("q_contamination", contamination, Some(contaminationSql)),
     QueryDef("q_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
     QueryDef("q_shard_export", shardExport, Some(shardExportSql)),
     QueryDef("q_redact_pii", redactPii, Some(redactPiiSql)),
