@@ -1,0 +1,469 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Second TPC-H-shaped pack (adapted to the harness star schema —
+  * no partsupp table, so Q2/Q9/Q11/Q16/Q20 derive the part↔supplier
+  * relation from lineitem; no l_commitdate/l_receiptdate, so Q21's
+  * "kept waiting" is shipdate lag vs orderdate). Plan shapes covered:
+  * correlated-min via window (Q2), 6-way region join (Q5), nation-pair
+  * disjunction (Q7), market-share double division (Q8), profit
+  * expression over two fact columns (Q9), scalar-threshold HAVING with
+  * a two-consumer aggregate (Q11), left-outer histogram (Q13),
+  * distinct-count with NOT IN dim exclusion (Q16), correlated avg via
+  * window (Q17), agg-then-semi-join (Q20), single-scan exactly-one-late
+  * supplier (Q21), scalar-avg anti-join (Q22).
+  *
+  * All follow the [[QueryDef]] oracle-parity rules: decimal sums cast
+  * to double at the edge, identical IEEE trees for any double
+  * arithmetic, total ORDER BY.
+  */
+object TpchQueries2 {
+
+  private val dec2 = DecimalType(18, 2)
+  private val dec42 = DecimalType(4, 2)
+  private val dec122 = DecimalType(12, 2)
+  private def disc1 = lit(1).cast(dec42) - col("l_discount").cast(dec42)
+  private def revenue = col("l_extendedprice").cast(dec2) * disc1
+
+  /** Q2-shaped: min-cost supplier — for each LARGE part of size ≥ 40,
+    * the cheapest (lowest-acctbal, then lowest-key) EUROPE supplier
+    * that has actually supplied it. The part↔supplier relation is the
+    * distinct (l_partkey, l_suppkey) pairs from lineitem; the
+    * correlated MIN is a row_number window over that relation — one
+    * fact scan, one shuffle by partkey, dims broadcast. */
+  def q2(s: SparkSession, dir: String): DataFrame = {
+    val eurSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val bigParts = Tables.part(s, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size") >= 40)
+      .select("p_partkey", "p_name")
+    val pairs = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+    val w = Window.partitionBy("p_partkey")
+      .orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
+    pairs
+      .join(broadcast(bigParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("s_acctbal"), col("n_name"))
+      .orderBy("p_partkey")
+  }
+
+  val q2Sql: String =
+    """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |ranked AS (
+      |  SELECT p_partkey, p_name, s_name, s_acctbal, n_name,
+      |    ROW_NUMBER() OVER (PARTITION BY p_partkey
+      |                       ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+      |  FROM pairs
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE p_type = 'LARGE' AND p_size >= 40 AND r_name = 'EUROPE')
+      |SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+      |FROM ranked WHERE rn = 1 ORDER BY p_partkey""".stripMargin
+
+  /** Q5-shaped: local-supplier volume — revenue per nation in ASIA for
+    * 1999 orders where the customer and supplier share the nation.
+    * One lineitem⨝orders fact shuffle; customer/supplier/nation/region
+    * broadcast (at 100 TB customer would shuffle — never hinted here;
+    * AQE decides). */
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate").cast(DateType) >= lit("1999-01-01").cast(DateType) &&
+        col("o_orderdate").cast(DateType) < lit("2000-01-01").cast(DateType))
+    val asiaNation = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    Tables.lineitem(s, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revenue).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '2000-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  /** Q7-shaped: volume shipping between two nations — revenue by
+    * (supplier nation, customer nation, ship year) for the NATION_1 ↔
+    * NATION_2 pairs, either direction. */
+  def q7(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate").cast(DateType)).as("l_year"))
+      .agg(sum(revenue).cast(DoubleType).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String =
+    """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+      |GROUP BY sn.n_name, cn.n_name, year(CAST(l_shipdate AS DATE))
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Q8-shaped: national market share — NATION_3's share of PROMO-part
+    * revenue sold to ASIA customers, per order year. The share is ONE
+    * IEEE division of two exact decimal sums (cast to double), so both
+    * engines produce the identical bit pattern. */
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    val asiaCust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val zero = lit(0).cast(DecimalType(23, 4))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate").cast(DateType)).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", revenue).otherwise(zero))
+          .cast(DoubleType) / sum(revenue).cast(DoubleType)).as("mkt_share"),
+        count(lit(1)).as("n"))
+      .orderBy("o_year")
+  }
+
+  val q8Sql: String =
+    """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+      |  CAST(SUM(CASE WHEN n_name = 'NATION_3'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |      ELSE CAST(0 AS DECIMAL(23,4)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |    AS mkt_share,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_type = 'PROMO'
+      |  AND o_custkey IN (SELECT c_custkey FROM customer
+      |                    JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |                    JOIN region ON cn.n_regionkey = r_regionkey
+      |                    WHERE r_name = 'ASIA')
+      |GROUP BY year(CAST(o_orderdate AS DATE)) ORDER BY o_year""".stripMargin
+
+  /** Q9-shaped: product-type profit — per supplier nation and order
+    * year, profit on 'widget' parts where cost is retailprice×quantity
+    * (the schema has no partsupp.supplycost). All arithmetic stays in
+    * DECIMAL until the output cast. */
+  def q9(s: SparkSession, dir: String): DataFrame = {
+    val widget = Tables.part(s, dir).filter(col("p_name").contains("widget"))
+    val amount = revenue -
+      col("p_retailprice").cast(dec2) * col("l_quantity").cast(dec122)
+    Tables.lineitem(s, dir)
+      .join(broadcast(widget), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate").cast(DateType)).as("o_year"))
+      .agg(sum(amount).cast(DoubleType).as("profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  val q9Sql: String =
+    """SELECT n_name AS nation, CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |         - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, year(CAST(o_orderdate AS DATE))
+      |ORDER BY nation ASC, o_year DESC""".stripMargin
+
+  /** Q11-shaped: important parts — per-part shipped value from
+    * NATION_1 suppliers, keeping parts above 0.1% of the total. The
+    * per-part aggregate feeds BOTH the threshold scalar and the final
+    * filter, so it is localCheckpoint'ed (one fact scan — the q15 /
+    * set-ops two-consumer lesson). Threshold compare is double vs
+    * double with the identical multiply tree in both engines. */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    val n1Supp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_1")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val value = Tables.lineitem(s, dir)
+      .join(broadcast(n1Supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast(dec2) * col("l_quantity").cast(dec122))
+        .as("v"))
+      .localCheckpoint(true)
+    val threshold = value.agg((sum(col("v")).cast(DoubleType) * lit(0.001)).as("thr"))
+    value.join(broadcast(threshold), col("v").cast(DoubleType) > col("thr"))
+      .select(col("l_partkey"), col("v").cast(DoubleType).as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey").asc)
+  }
+
+  val q11Sql: String =
+    """WITH value AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS v
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+      |                      JOIN nation ON s_nationkey = n_nationkey
+      |                      WHERE n_name = 'NATION_1')
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+      |FROM value
+      |WHERE CAST(v AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) * 0.001 FROM value)
+      |ORDER BY part_value DESC, l_partkey ASC""".stripMargin
+
+  /** Q13-shaped: customer order-count distribution — orders per
+    * customer (left outer join keeps zero-order customers, excluding
+    * urgent orders), then the histogram of those counts. Two
+    * aggregations; the second is over at most |customers| rows. */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    val perCust = Tables.customer(s, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """WITH per_cust AS (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer
+      |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, COUNT(*) AS custdist
+      |FROM per_cust GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q16-shaped: parts/supplier relationship — distinct suppliers per
+    * (brand, size) for non-Brand#5 mid-size parts, excluding suppliers
+    * in the red (acctbal < 0; stands in for TPC-H's complaint filter).
+    * The part↔supplier relation again comes from lineitem. */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    val okParts = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_size").between(10, 30))
+      .select("p_partkey", "p_brand", "p_size")
+    val badSupp = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(okParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_size").asc)
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_size BETWEEN 10 AND 30
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC""".stripMargin
+
+  /** Q17-shaped: small-quantity-order revenue — Brand#3 lineitems
+    * whose quantity is below 20% of the part's average quantity;
+    * "yearly" revenue = total/7. The correlated per-part average is a
+    * WINDOW over the brand-filtered join output — ONE lineitem scan
+    * (the classic formulation scans it twice). The threshold
+    * `0.2 * (sum/count)` is the identical IEEE tree in both engines. */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+    val avgQty = sum(col("l_quantity").cast(dec122)).over(w).cast(DoubleType) /
+      count(lit(1)).over(w).cast(DoubleType)
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#3")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"), "left_semi")
+      .withColumn("qty_thr", lit(0.2) * avgQty)
+      .filter(col("l_quantity") < col("qty_thr"))
+      .agg((sum(col("l_extendedprice").cast(dec2)).cast(DoubleType) / lit(7.0))
+        .as("avg_yearly"), count(lit(1)).as("n"))
+  }
+
+  val q17Sql: String =
+    """WITH flagged AS (
+      |  SELECT l_quantity, l_extendedprice,
+      |    0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+      |           / CAST(COUNT(*) OVER (PARTITION BY l_partkey) AS DOUBLE)) AS qty_thr
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'))
+      |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  COUNT(*) AS n
+      |FROM flagged WHERE l_quantity < qty_thr""".stripMargin
+
+  /** Q20-shaped: part promotion — suppliers who moved more than 50
+    * units of 'cold' parts in 1999. Aggregate lineitem per supplier
+    * first (map-side combine), then semi-join the 100-row supplier
+    * dim against it. */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    val coldParts = Tables.part(s, dir)
+      .filter(col("p_name").startsWith("cold")).select("p_partkey")
+    val heavy = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate").cast(DateType) >= lit("1999-01-01").cast(DateType) &&
+        col("l_shipdate").cast(DateType) < lit("2000-01-01").cast(DateType))
+      .join(broadcast(coldParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_quantity").cast(dec122)).as("qty"))
+      .filter(col("qty") > 50)
+    Tables.supplier(s, dir)
+      .join(broadcast(heavy), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  val q20Sql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+      |    AND CAST(l_shipdate AS DATE) >= DATE '1999-01-01'
+      |    AND CAST(l_shipdate AS DATE) < DATE '2000-01-01'
+      |  GROUP BY l_suppkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q21-shaped: suppliers who kept orders waiting — for finalized
+    * multi-supplier orders, count per supplier the orders where that
+    * supplier was the ONLY late shipper (late = shipped > 90 days
+    * after order date). Single fact-fact join + one groupBy(order)
+    * computing both distinct counts — no self-joins (the reference
+    * formulation needs EXISTS + NOT EXISTS = two more fact scans). */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    val late = datediff(col("l_shipdate").cast(DateType),
+      col("o_orderdate").cast(DateType)) > 90
+    val perOrder = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    perOrder.groupBy("late_supp")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir)), col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+  }
+
+  val q21Sql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |    COUNT(DISTINCT l_suppkey) AS n_supp,
+      |    COUNT(DISTINCT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+      |                        THEN l_suppkey END) AS n_late_supp,
+      |    MAX(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90
+      |             THEN l_suppkey END) AS late_supp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY l_orderkey)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM per_order JOIN supplier ON late_supp = s_suppkey
+      |WHERE n_supp >= 2 AND n_late_supp = 1
+      |GROUP BY s_name ORDER BY numwait DESC, s_name ASC""".stripMargin
+
+  /** Q22-shaped: global sales opportunity — per nation, the count and
+    * total balance of customers with above-average positive balance
+    * and no orders at all. The scalar average is exact (decimal sum /
+    * count, one IEEE division) and broadcast into the filter; the
+    * no-orders test is a left-anti join. */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val avgBal = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast(dec122)).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("avg_bal"))
+    Tables.customer(s, dir)
+      .join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, dir).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(dec122)).cast(DoubleType).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  val q22Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |                          / CAST(COUNT(*) AS DOUBLE)
+      |                   FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_tpch_q2", q2, Some(q2Sql)),
+    QueryDef("q_tpch_q5", q5, Some(q5Sql)),
+    QueryDef("q_tpch_q7", q7, Some(q7Sql)),
+    QueryDef("q_tpch_q8", q8, Some(q8Sql)),
+    QueryDef("q_tpch_q9", q9, Some(q9Sql)),
+    QueryDef("q_tpch_q11", q11, Some(q11Sql)),
+    QueryDef("q_tpch_q13", q13, Some(q13Sql)),
+    QueryDef("q_tpch_q16", q16, Some(q16Sql)),
+    QueryDef("q_tpch_q17", q17, Some(q17Sql)),
+    QueryDef("q_tpch_q20", q20, Some(q20Sql)),
+    QueryDef("q_tpch_q21", q21, Some(q21Sql)),
+    QueryDef("q_tpch_q22", q22, Some(q22Sql)))
+}
