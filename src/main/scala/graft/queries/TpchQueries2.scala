@@ -17,7 +17,7 @@ import graft.Tables
   * a two-consumer aggregate (Q11), left-outer histogram (Q13),
   * distinct-count with NOT IN dim exclusion (Q16), correlated avg via
   * window (Q17), agg-then-semi-join (Q20), single-scan exactly-one-late
-  * supplier (Q21), scalar-avg anti-join (Q22).
+  * supplier (Q21), scalar-avg threshold + left-outer order count (Q22).
   *
   * All follow the [[QueryDef]] oracle-parity rules: decimal sums cast
   * to double at the edge, identical IEEE trees for any double
@@ -114,8 +114,10 @@ object TpchQueries2 {
       |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin
 
   /** Q7-shaped: volume shipping between two nations — revenue by
-    * (supplier nation, customer nation, ship year) for the NATION_1 ↔
-    * NATION_2 pairs, either direction. */
+    * (supplier nation, customer nation, ship year) for the NATION_3 ↔
+    * NATION_8 pairs, either direction. (Nations 3 and 8 both have
+    * suppliers at every SF incl. sf0.001, where only 10 of 25 nations
+    * do — NATION_1/2 made the query vacuous at the smallest gate.) */
   def q7(s: SparkSession, dir: String): DataFrame = {
     val n1 = Tables.nation(s, dir)
       .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
@@ -127,8 +129,8 @@ object TpchQueries2 {
       .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
       .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+        (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate").cast(DateType)).as("l_year"))
       .agg(sum(revenue).cast(DoubleType).as("revenue"))
@@ -145,8 +147,8 @@ object TpchQueries2 {
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation sn ON s_nationkey = sn.n_nationkey
       |JOIN nation cn ON c_nationkey = cn.n_nationkey
-      |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-      |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+      |WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_8')
+      |   OR (sn.n_name = 'NATION_8' AND cn.n_name = 'NATION_3')
       |GROUP BY sn.n_name, cn.n_name, year(CAST(l_shipdate AS DATE))
       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
@@ -403,10 +405,13 @@ object TpchQueries2 {
     perOrder.groupBy("late_supp")
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(s, dir)), col("late_supp") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
-      .orderBy(col("numwait").desc, col("s_name").asc)
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
   }
 
+  /** Both engines group by the supplier KEY (not s_name — two suppliers
+    * sharing a name must stay distinct rows), and s_suppkey is in the
+    * output so the ORDER BY is total. */
   val q21Sql: String =
     """WITH per_order AS (
       |  SELECT l_orderkey,
@@ -417,17 +422,24 @@ object TpchQueries2 {
       |             THEN l_suppkey END) AS late_supp
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  WHERE o_orderstatus = 'F'
-      |  GROUP BY l_orderkey)
-      |SELECT s_name, COUNT(*) AS numwait
-      |FROM per_order JOIN supplier ON late_supp = s_suppkey
-      |WHERE n_supp >= 2 AND n_late_supp = 1
-      |GROUP BY s_name ORDER BY numwait DESC, s_name ASC""".stripMargin
+      |  GROUP BY l_orderkey),
+      |per_supp AS (
+      |  SELECT late_supp, COUNT(*) AS numwait
+      |  FROM per_order WHERE n_supp >= 2 AND n_late_supp = 1
+      |  GROUP BY late_supp)
+      |SELECT s_suppkey, s_name, numwait
+      |FROM per_supp JOIN supplier ON late_supp = s_suppkey
+      |ORDER BY numwait DESC, s_suppkey ASC""".stripMargin
 
   /** Q22-shaped: global sales opportunity — per nation, the count and
-    * total balance of customers with above-average positive balance
-    * and no orders at all. The scalar average is exact (decimal sum /
-    * count, one IEEE division) and broadcast into the filter; the
-    * no-orders test is a left-anti join. */
+    * total balance of LOW-ENGAGEMENT customers: above-average positive
+    * balance and fewer than 8 orders (the synthetic data has ~10
+    * orders/customer and almost nobody with zero, so TPC-H's literal
+    * "no orders" anti-join was vacuous at the gate SFs — 0 qualifying
+    * customers at sf0.01; <8 gives 16/150/1558 across the three SFs).
+    * The scalar average is exact (decimal sum / count, one IEEE
+    * division) and broadcast into the filter; the order count is a
+    * left-outer count so zero-order customers still qualify. */
   def q22(s: SparkSession, dir: String): DataFrame = {
     val avgBal = Tables.customer(s, dir)
       .filter(col("c_acctbal") > 0)
@@ -436,7 +448,10 @@ object TpchQueries2 {
     Tables.customer(s, dir)
       .join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
       .join(Tables.orders(s, dir).select("o_custkey"),
-        col("c_custkey") === col("o_custkey"), "left_anti")
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_nationkey", "c_acctbal")
+      .agg(count(col("o_custkey")).as("n_orders"))
+      .filter(col("n_orders") < 8)
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("numcust"),
         sum(col("c_acctbal").cast(dec122)).cast(DoubleType).as("totacctbal"))
@@ -444,13 +459,18 @@ object TpchQueries2 {
   }
 
   val q22Sql: String =
-    """SELECT c_nationkey, COUNT(*) AS numcust,
+    """WITH rich AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      |  WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |                            / CAST(COUNT(*) AS DOUBLE)
+      |                     FROM customer WHERE c_acctbal > 0)),
+      |counted AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal, COUNT(o_custkey) AS n_orders
+      |  FROM rich LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey, c_nationkey, c_acctbal)
+      |SELECT c_nationkey, COUNT(*) AS numcust,
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
-      |FROM customer
-      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
-      |                          / CAST(COUNT(*) AS DOUBLE)
-      |                   FROM customer WHERE c_acctbal > 0)
-      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |FROM counted WHERE n_orders < 8
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
