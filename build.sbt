@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The harness parses Bench's one-line JSON metric from the run's raw
+// output. sbt's default LoggedOutput prefixes every forked-process line
+// with "[info] " and appends a "[success] Total time" line, which defeated
+// the parse in rounds 1-4 (BENCH_r0*.json all ended `parsed: null` even
+// when the line sat complete inside the tail window). StdoutOutput pipes
+// the child's stdout/stderr through unprefixed, and showSuccess drops the
+// trailing [success] line, so the metric line is the last raw line printed.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -57,9 +57,11 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Belt and braces: if the query map ever grows past the window, drop it
-    // rather than lose the headline metric.
+    // rather than lose the headline metric. Since build.sbt now pipes forked
+    // output raw (no [info] prefix, no trailing [success] line), the line
+    // only has to fit the harness's 2000-char tail window by itself.
     val safe =
-      if (line.length <= 1900) line
+      if (line.length <= 1950) line
       else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir"}"""
     // Stop Spark BEFORE printing: shutdown logging would otherwise land
     // after the metric line and push it away from the end of the tail
