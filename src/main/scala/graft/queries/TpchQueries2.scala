@@ -232,14 +232,21 @@ object TpchQueries2 {
       |ORDER BY nation ASC, o_year DESC""".stripMargin
 
   /** Q11-shaped: important parts — per-part shipped value from
-    * NATION_1 suppliers, keeping parts above 0.1% of the total. The
-    * per-part aggregate feeds BOTH the threshold scalar and the final
-    * filter, so it is localCheckpoint'ed (one fact scan — the q15 /
-    * set-ops two-consumer lesson). Threshold compare is double vs
-    * double with the identical multiply tree in both engines. */
+    * suppliers of a nation group, keeping parts above 0.1% of the
+    * total. The group is a SET of nations (not TPC-H's single one)
+    * because sf0.001 has only 10 suppliers over 25 nations and a
+    * single-nation filter can be empty there (QueriesSpec requires
+    * rows>0 at every SF). The per-part aggregate feeds BOTH the
+    * threshold scalar and the final filter, so it is
+    * localCheckpoint'ed (one fact scan — the q15 / set-ops
+    * two-consumer lesson). Threshold compare is double vs double
+    * with the identical multiply tree in both engines. */
+  private val q11Nations = Seq("NATION_1", "NATION_12", "NATION_13")
+
   def q11(s: SparkSession, dir: String): DataFrame = {
     val n1Supp = Tables.supplier(s, dir)
-      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_1")),
+      .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name").isin(q11Nations: _*))),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
     val value = Tables.lineitem(s, dir)
@@ -261,7 +268,7 @@ object TpchQueries2 {
       |  FROM lineitem
       |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
       |                      JOIN nation ON s_nationkey = n_nationkey
-      |                      WHERE n_name = 'NATION_1')
+      |                      WHERE n_name IN ('NATION_1', 'NATION_12', 'NATION_13'))
       |  GROUP BY l_partkey)
       |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
       |FROM value
