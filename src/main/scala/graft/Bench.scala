@@ -24,18 +24,20 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // Two timed passes, per-query minimum: a single pass is at the
+    // Three timed passes, per-query minimum: a single pass is at the
     // mercy of transient co-tenant load / GC pauses on the bench host
     // (the round-2 harness run showed unrelated trivial queries 2-3×
-    // their steady-state times). The min of two steady-state runs is a
-    // far lower-variance estimator of the plan's cost.
+    // their steady-state times, and min-of-two still wobbled ±20%
+    // per query between rounds 4 and 5 with no code change). The min
+    // of three steady-state runs is the lowest-variance estimator of
+    // the plan's intrinsic cost that fits the round's time budget.
     def timedPass(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val passes = Seq(timedPass(), timedPass())
+    val passes = Seq(timedPass(), timedPass(), timedPass())
     val results = SparkEntry.queries.map { case (name, _) =>
       name -> passes.map(_(name)).min
     }

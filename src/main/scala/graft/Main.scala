@@ -23,6 +23,10 @@ object Main {
         sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    // Object-store credentials (fs.s3a.*) resolved from env/secret
+    // reach the Hadoop FS layer before any path is touched, so a
+    // DATA_ROOT like s3a://bucket works end-to-end.
+    AppConfig.applyHadoopConf(spark, resolved.hadoopConf)
     // Compute the exit code inside try, stop Spark in finally, and only
     // then exit: System.exit does not unwind the stack, so calling it
     // inside the try would skip `finally spark.stop()` and leave shutdown

@@ -42,7 +42,8 @@ object AppConfig {
   final case class Resolved(
       pipeline: Pipeline.Config,
       db: DbConfig,
-      inPlatform: Boolean)
+      inPlatform: Boolean,
+      hadoopConf: Map[String, String] = Map.empty)
 
   /** Required env lookup (reference `os.environ['X']`). */
   private def req(env: Map[String, String], key: String): String =
@@ -70,6 +71,52 @@ object AppConfig {
       req(env, "DB_HOST"),
       try req(env, "DB_PORT").toInt catch { case _: NumberFormatException =>
         throw ConfigError("DB_PORT", "env value is not an integer") })
+
+  /** Optional string field from a secret JSON document (None when the
+    * JSON is invalid or the key is absent — object-store keys are
+    * optional, unlike the required DB credentials). */
+  private def secretField(json: String, key: String): Option[String] =
+    try {
+      Option(new ObjectMapper().readTree(json))
+        .flatMap(n => Option(n.get(key))).map(_.asText())
+    } catch { case _: Exception => None }
+
+  /** Object-store configuration as standard Hadoop `fs.s3a.*` keys
+    * (public hadoop-aws configuration surface; the reference is
+    * S3-native — `/root/reference/src/s3_processor.py:46-50,82-91` —
+    * but Spark reaches object stores through the Hadoop FS layer, so
+    * the engine's analogue is session configuration, not an SDK
+    * client). Per-key precedence: env var > secret JSON field >
+    * default. `fs.s3a.path.style.access` defaults to "true" whenever
+    * a custom endpoint is configured (the common non-AWS layout);
+    * with no endpoint no s3a keys are emitted and the default
+    * provider chain applies.
+    *
+    * Source keys: `S3_ENDPOINT`, `S3_ACCESS_KEY`, `S3_SECRET_KEY`,
+    * `S3_PATH_STYLE` — read from the environment first, then from the
+    * same secret JSON document that carries the DB credentials. */
+  def s3aConf(env: Map[String, String], secretJson: Option[String]): Map[String, String] = {
+    def pick(key: String): Option[String] =
+      env.get(key).orElse(secretJson.flatMap(secretField(_, key)))
+    val endpoint = pick("S3_ENDPOINT")
+    val entries = Seq(
+      "fs.s3a.endpoint" -> endpoint,
+      "fs.s3a.access.key" -> pick("S3_ACCESS_KEY"),
+      "fs.s3a.secret.key" -> pick("S3_SECRET_KEY"),
+      "fs.s3a.path.style.access" ->
+        pick("S3_PATH_STYLE").orElse(endpoint.map(_ => "true")))
+    entries.collect { case (k, Some(v)) => k -> v }.toMap
+  }
+
+  /** Apply the resolved object-store keys to the live session's
+    * Hadoop configuration (the step a real deployment touches first:
+    * credentials reach the `s3a://` scheme through here). */
+  def applyHadoopConf(
+      spark: org.apache.spark.sql.SparkSession,
+      conf: Map[String, String]): Unit =
+    conf.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
 
   /** Default secret fetcher: `SECRET_NAME` names a mounted secret
     * file whose content is the JSON document. */
@@ -105,17 +152,18 @@ object AppConfig {
     val defaultDate = req(env, "DEFAULT_DATE")
 
     val platform = Log.inPlatform(env)
-    val db =
+    val (db, secretJson) =
       if (platform) {
         log.info("Running in-platform")
         val secretName = req(env, "SECRET_NAME")
         log.info(s"secret_name = '$secretName'")
-        val resolved = parseSecret(fetchSecret(secretName))
+        val json = fetchSecret(secretName)
+        val resolved = parseSecret(json)
         log.info("Secret loaded")
-        resolved
+        (resolved, Some(json))
       } else {
         log.info("Running Locally")
-        dbFromEnv(env)
+        (dbFromEnv(env), None)
       }
 
     Resolved(
@@ -127,6 +175,7 @@ object AppConfig {
         defaultDate = defaultDate,
         today = today),
       db,
-      platform)
+      platform,
+      s3aConf(env, secretJson))
   }
 }

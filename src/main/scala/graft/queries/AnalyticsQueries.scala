@@ -151,14 +151,29 @@ object AnalyticsQueries {
       |  o_orderstatus_distinct, o_totalprice_min, o_totalprice_max, row_count))
       |ORDER BY metric""".stripMargin
 
-  /** HLL++ approximate distinct (§2.11) — engine-specific sketch, so
-    * rows-only driver check; ScalaTest bounds the error vs exact. */
+  /** HLL++ approximate distinct (§2.11). The raw sketch value is
+    * engine-specific, so the query emits the EXACT distinct count
+    * plus a boolean `within_5pct` (|approx − exact| / exact ≤ 0.05);
+    * the DuckDB twin emits the exact count and literal TRUE, so the
+    * hash gate verifies the sketch's error bound — not just row
+    * count. (HLL++ default rsd = 0.05, and the per-event_type
+    * cardinalities at the gate SFs are well inside it.) */
   def approxDistinctQ(s: SparkSession, dir: String): DataFrame =
     IngestQueries.events(s, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id")).as("approx"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")).cast(DoubleType) /
+          col("exact_users").cast(DoubleType) <= 0.05).as("within_5pct"),
+        col("n"))
       .orderBy("event_type")
+
+  val approxDistinctSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS within_5pct, COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Multimodal decode pipeline as a query: synthesize binary media
     * from documents, run the batched mapPartitions feature kernel,
@@ -337,7 +352,7 @@ object AnalyticsQueries {
     QueryDef("q_sessionize", sessionizeQ, Some(sessionizeSql)),
     QueryDef("q_pivot", pivotQ, Some(pivotSql)),
     QueryDef("q_median", medianQ, Some(medianSql)),
-    QueryDef("q_approx_distinct", approxDistinctQ, None),
+    QueryDef("q_approx_distinct", approxDistinctQ, Some(approxDistinctSql)),
     QueryDef("q_profile_stats", profileStats, Some(profileStatsSql)),
     QueryDef("q_multimodal_features", multimodalQ, Some(multimodalSql)))
 }

@@ -59,9 +59,10 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q5-shaped multi-join: fact-fact shuffle join on the big
-    * side (orders⨝lineitem), broadcast hash joins for every
-    * dimension (customer/supplier/nation/region) — the 100 TB plan:
-    * exactly one big shuffle, dims never shuffled. */
+    * side (orders⨝lineitem), broadcast hash joins for the bounded
+    * dims (supplier/nation/region). Customer is deliberately NOT
+    * hinted: it grows linearly with the dataset (multi-TB at 100 TB),
+    * so AQE decides — broadcast at test SF, shuffle at scale. */
   def revenueByNation(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
     val ord = Tables.orders(s, dir)
@@ -73,7 +74,7 @@ object RelationalQueries {
     val reg = Tables.region(s, dir)
     val disc1 = lit(1).cast(dec42) - col("l_discount").cast(dec42)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(sup),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
@@ -100,12 +101,13 @@ object RelationalQueries {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
-  /** Broadcast-hash inner equi-join (J-category; dim side explicitly
-    * broadcast — at scale the 1000-executor cluster never shuffles
-    * `customer` rows to join them). */
+  /** Inner equi-join (J-category). No broadcast hint: customer grows
+    * linearly with the dataset, so a hard hint would pin a driver-OOM
+    * plan at 100 TB. AQE picks BroadcastHashJoin at test SF on its
+    * own and falls back to a shuffle join at scale. */
   def joinInner(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)),
+      .join(Tables.customer(s, dir),
         col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
         col("o_totalprice"))
@@ -173,6 +175,43 @@ object RelationalQueries {
        |FROM (${IngestQueries.evSql}) e
        |JOIN bands b ON e.value >= b.lo AND e.value < b.hi
        |GROUP BY band_id ORDER BY band_id""".stripMargin
+
+  /** Batch twin of the stream-stream interval join
+    * ([[graft.streaming.IngestStream.intervalJoin]], T-category —
+    * previously ScalaTest-only): each click matched to purchases by
+    * the same user within 2 hours after it, the same join condition
+    * the streaming operator bounds state with (key equality +
+    * event-time interval). Batch Catalyst plans it as an equi-join
+    * on the key with the interval as a residual filter — one
+    * key-partitioned shuffle, no unbounded state. The bound compares
+    * epoch micros (exact integers) so the gate is engine-exact. */
+  def intervalJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = IngestQueries.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("b_uid"),
+        unix_micros(col("ts")).as("buy_us"))
+    clicks.join(buys,
+        col("user_id") === col("b_uid") &&
+          col("buy_us") >= col("click_us") &&
+          col("buy_us") <= col("click_us") + lit(7200000000L))
+      .select(col("click_id"), col("buy_id"), col("user_id"),
+        (col("buy_us") - col("click_us")).as("gap_us"))
+      .orderBy("click_id", "buy_id")
+  }
+
+  val intervalJoinSql: String =
+    s"""WITH ev AS (${IngestQueries.evSql}),
+       |clicks AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+       |           FROM ev WHERE event_type = 'click'),
+       |buys AS (SELECT event_id AS buy_id, user_id, epoch_us(ts) AS buy_us
+       |         FROM ev WHERE event_type = 'purchase')
+       |SELECT click_id, buy_id, c.user_id, buy_us - click_us AS gap_us
+       |FROM clicks c JOIN buys b ON c.user_id = b.user_id
+       |  AND buy_us >= click_us AND buy_us <= click_us + 7200000000
+       |ORDER BY click_id, buy_id""".stripMargin
 
   /** Backward as-of join (union+window implementation, see
     * [[graft.operators.AsOfJoin]]): each event picks up the latest
@@ -450,6 +489,7 @@ object RelationalQueries {
     QueryDef("q_anti_join", antiJoin, Some(antiJoinSql)),
     QueryDef("q_semi_join", semiJoin, Some(semiJoinSql)),
     QueryDef("q_range_join", rangeJoin, Some(rangeJoinSql)),
+    QueryDef("q_interval_join", intervalJoinQ, Some(intervalJoinSql)),
     QueryDef("q_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("q_asof_forward", asofForward, Some(asofForwardSql)),
     QueryDef("q_topk", topK, Some(topKSql)),

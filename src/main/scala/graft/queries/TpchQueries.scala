@@ -26,7 +26,7 @@ object TpchQueries {
     val li = Tables.lineitem(s, dir)
       .filter(col("l_shipdate").cast(DateType) > lit("1999-01-01").cast(DateType))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("o_date"))
       .agg(sum(col("l_extendedprice").cast(dec2) * disc1).cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -99,7 +99,7 @@ object TpchQueries {
         col("o_orderdate").cast(DateType) < lit("2000-01-01").cast(DateType))
     val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
       .agg(sum(col("l_extendedprice").cast(dec2) * disc1).cast(DoubleType).as("revenue"))
@@ -217,7 +217,8 @@ object TpchQueries {
     * exceeds 180 (sum over integral-valued doubles, cast to decimal so
     * the aggregation is exact/order-insensitive), with customer and
     * order header. Aggregate-then-join: the HAVING prunes before the
-    * orders join, and customer is broadcast. */
+    * orders join; customer is unhinted (linear-growth table — AQE
+    * broadcasts at test SF, shuffles at 100 TB). */
   def q18(s: SparkSession, dir: String): DataFrame = {
     val dq = DecimalType(12, 2)
     val big = Tables.lineitem(s, dir)
@@ -225,7 +226,7 @@ object TpchQueries {
       .agg(sum(col("l_quantity").cast(dq)).as("total_qty"))
       .filter(col("total_qty") > 180)
     big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate").cast(DateType).as("o_date"), col("o_totalprice"),
         col("total_qty").cast(DoubleType).as("total_qty"))

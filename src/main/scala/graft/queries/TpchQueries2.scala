@@ -77,9 +77,9 @@ object TpchQueries2 {
 
   /** Q5-shaped: local-supplier volume — revenue per nation in ASIA for
     * 1999 orders where the customer and supplier share the nation.
-    * One lineitem⨝orders fact shuffle; customer/supplier/nation/region
-    * broadcast (at 100 TB customer would shuffle — never hinted here;
-    * AQE decides). */
+    * One lineitem⨝orders fact shuffle; supplier/nation/region are
+    * hinted broadcasts (bounded dims). Customer carries no hint — it
+    * grows linearly and would shuffle at 100 TB; AQE decides. */
   def q5(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir)
       .filter(col("o_orderdate").cast(DateType) >= lit("1999-01-01").cast(DateType) &&
@@ -89,7 +89,7 @@ object TpchQueries2 {
         col("n_regionkey") === col("r_regionkey"))
     Tables.lineitem(s, dir)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.supplier(s, dir)),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
@@ -125,7 +125,7 @@ object TpchQueries2 {
       .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
       .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
@@ -169,7 +169,7 @@ object TpchQueries2 {
       .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")),
         col("l_partkey") === col("p_partkey"))
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
       .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
       .groupBy(year(col("o_orderdate").cast(DateType)).as("o_year"))
@@ -232,15 +232,18 @@ object TpchQueries2 {
       |ORDER BY nation ASC, o_year DESC""".stripMargin
 
   /** Q11-shaped: important parts — per-part shipped value from
-    * suppliers of a nation group, keeping parts above 0.1% of the
-    * total. The group is a SET of nations (not TPC-H's single one)
-    * because sf0.001 has only 10 suppliers over 25 nations and a
-    * single-nation filter can be empty there (QueriesSpec requires
-    * rows>0 at every SF). The per-part aggregate feeds BOTH the
-    * threshold scalar and the final filter, so it is
-    * localCheckpoint'ed (one fact scan — the q15 / set-ops
-    * two-consumer lesson). Threshold compare is double vs double
-    * with the identical multiply tree in both engines. */
+    * suppliers of a nation group, keeping the TOP 100 parts by value
+    * (rank-based, mirroring TPC-H Q11's "most important parts"
+    * intent). Rank-based top-N is scale-robust where the previous
+    * fixed 0.1%-of-total threshold was not: at sf0.1+ the relative
+    * threshold excluded every part (0 rows). The nation group is a
+    * SET (not TPC-H's single nation) because sf0.001 has only 10
+    * suppliers over 25 nations and a single-nation filter can be
+    * empty there (QueriesSpec asserts rows>0 at sf0.001). The top-N
+    * plans as TakeOrderedAndProject — distributed per-partition
+    * top-k, no single-partition window, no scalar-threshold join.
+    * Deterministic under ties via the l_partkey tiebreak over exact
+    * decimal sums. */
   private val q11Nations = Seq("NATION_1", "NATION_12", "NATION_13")
 
   def q11(s: SparkSession, dir: String): DataFrame = {
@@ -249,31 +252,26 @@ object TpchQueries2 {
           .filter(col("n_name").isin(q11Nations: _*))),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
-    val value = Tables.lineitem(s, dir)
+    Tables.lineitem(s, dir)
       .join(broadcast(n1Supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy("l_partkey")
       .agg(sum(col("l_extendedprice").cast(dec2) * col("l_quantity").cast(dec122))
         .as("v"))
-      .localCheckpoint(true)
-    val threshold = value.agg((sum(col("v")).cast(DoubleType) * lit(0.001)).as("thr"))
-    value.join(broadcast(threshold), col("v").cast(DoubleType) > col("thr"))
       .select(col("l_partkey"), col("v").cast(DoubleType).as("part_value"))
       .orderBy(col("part_value").desc, col("l_partkey").asc)
+      .limit(100)
   }
 
   val q11Sql: String =
-    """WITH value AS (
-      |  SELECT l_partkey,
-      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS v
-      |  FROM lineitem
-      |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
-      |                      JOIN nation ON s_nationkey = n_nationkey
-      |                      WHERE n_name IN ('NATION_1', 'NATION_12', 'NATION_13'))
-      |  GROUP BY l_partkey)
-      |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
-      |FROM value
-      |WHERE CAST(v AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) * 0.001 FROM value)
-      |ORDER BY part_value DESC, l_partkey ASC""".stripMargin
+    """SELECT l_partkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+      |FROM lineitem
+      |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+      |                    JOIN nation ON s_nationkey = n_nationkey
+      |                    WHERE n_name IN ('NATION_1', 'NATION_12', 'NATION_13'))
+      |GROUP BY l_partkey
+      |ORDER BY part_value DESC, l_partkey ASC
+      |LIMIT 100""".stripMargin
 
   /** Q13-shaped: customer order-count distribution — orders per
     * customer (left outer join keeps zero-order customers, excluding

@@ -12,7 +12,7 @@ import graft.util.Log
   * `/root/reference/src/lambda_handler.py:15-66`): required-env
   * errors, platform-vs-local DB credential switch, secret-JSON
   * parsing, and the E5 default-date feed into Pipeline.Config. */
-class AppConfigSpec extends AnyFunSuite {
+class AppConfigSpec extends AnyFunSuite with SparkTestBase {
 
   private val storageEnv = Map(
     "DATA_ROOT" -> "file:///tmp/graft-root/",
@@ -86,5 +86,75 @@ class AppConfigSpec extends AnyFunSuite {
     val db = DbConfig("consumption", "svc", "hunter2", "db.internal", 5433)
     assert(db.jdbcUrl == "jdbc:postgresql://db.internal:5433/consumption")
     assert(!db.toString.contains("hunter2"))
+  }
+
+  // --- object-store (fs.s3a.*) configuration -------------------------
+
+  private val s3Secret =
+    """{"DB_NAME":"consumption","DB_USER":"svc","DB_PASS":"pw-secret",
+      |"DB_HOST":"db.internal","DB_PORT":"5433",
+      |"S3_ENDPOINT":"https://secret-store.example:9000",
+      |"S3_ACCESS_KEY":"secret-ak","S3_SECRET_KEY":"secret-sk"}""".stripMargin
+
+  test("s3aConf precedence: env var > secret JSON field > default") {
+    // env wins for the endpoint; secret fills the keys env lacks;
+    // path-style defaults to true because an endpoint is configured.
+    val conf = AppConfig.s3aConf(
+      Map("S3_ENDPOINT" -> "https://env-store.example:9000"),
+      Some(s3Secret))
+    assert(conf("fs.s3a.endpoint") == "https://env-store.example:9000")
+    assert(conf("fs.s3a.access.key") == "secret-ak")
+    assert(conf("fs.s3a.secret.key") == "secret-sk")
+    assert(conf("fs.s3a.path.style.access") == "true")
+    // explicit env S3_PATH_STYLE overrides the endpoint-driven default
+    val conf2 = AppConfig.s3aConf(
+      Map("S3_ENDPOINT" -> "e", "S3_PATH_STYLE" -> "false"), Some(s3Secret))
+    assert(conf2("fs.s3a.path.style.access") == "false")
+  }
+
+  test("s3aConf with no endpoint anywhere emits no s3a keys (provider chain)") {
+    assert(AppConfig.s3aConf(Map.empty, None).isEmpty)
+    // access keys without an endpoint still flow through; only the
+    // path-style default is endpoint-gated
+    val conf = AppConfig.s3aConf(Map("S3_ACCESS_KEY" -> "ak"), None)
+    assert(conf == Map("fs.s3a.access.key" -> "ak"))
+  }
+
+  test("resolve carries hadoopConf; platform secret feeds it") {
+    val env = storageEnv ++ localDbEnv ++
+      Map(Log.PlatformMarker -> "cluster-7", "SECRET_NAME" -> "prod/db")
+    val r = AppConfig.resolve(env, fetchSecret = _ => s3Secret,
+      today = LocalDate.parse("2025-05-04"))
+    assert(r.hadoopConf("fs.s3a.endpoint") == "https://secret-store.example:9000")
+    assert(r.hadoopConf("fs.s3a.access.key") == "secret-ak")
+    // local mode with no S3_* env → empty map, nothing applied
+    val rLocal = AppConfig.resolve(storageEnv ++ localDbEnv,
+      today = LocalDate.parse("2025-05-04"))
+    assert(rLocal.hadoopConf.isEmpty)
+  }
+
+  test("non-file scheme DATA_ROOT builds object-store paths unchanged") {
+    val env = storageEnv.updated("DATA_ROOT", "s3a://ingest-bucket") ++ localDbEnv
+    val p = AppConfig.resolve(env, today = LocalDate.parse("2025-05-04")).pipeline
+    assert(p.prefix == "s3a://ingest-bucket/incoming/consumption")
+    assert(p.checkpointDir == "s3a://ingest-bucket/state/checkpoint")
+    assert(p.registryDir == "s3a://ingest-bucket/state/missing")
+    assert(p.targetDir == "s3a://ingest-bucket/table")
+  }
+
+  test("applyHadoopConf sets keys on the live session's hadoopConfiguration") {
+    val key = "fs.s3a.endpoint"
+    val prev = Option(spark.sparkContext.hadoopConfiguration.get(key))
+    try {
+      AppConfig.applyHadoopConf(spark,
+        Map(key -> "https://apply-test.example:9000"))
+      assert(spark.sparkContext.hadoopConfiguration.get(key) ==
+        "https://apply-test.example:9000")
+    } finally {
+      prev match {
+        case Some(v) => spark.sparkContext.hadoopConfiguration.set(key, v)
+        case None    => spark.sparkContext.hadoopConfiguration.unset(key)
+      }
+    }
   }
 }
