@@ -24,7 +24,12 @@ object Plans {
       "q_topk", "q_ingest_dedup", "q_asof_join", "q_dedup_minhash",
       "q_knn_bruteforce", "q_sessionize",
       "q_set_ops_all", "q_embed_neardup", "q_ann_lsh", "q_ann_ivf",
-      "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q18", "q_tpch_q19")
+      "q_tpch_q12", "q_tpch_q14", "q_tpch_q15", "q_tpch_q18", "q_tpch_q19",
+      // the r6 de-hinted customer joins: the plan must show the
+      // optimizer (size stats / AQE) choosing BroadcastHashJoin at
+      // test SF with no hint in the query
+      "q_join_inner", "q_interval_join", "q_tpch_q3", "q_tpch_q5",
+      "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q11")
     val sb = new StringBuilder
     for (name <- picks) {
       val df = SparkEntry.queries(name)(spark, sfDir)

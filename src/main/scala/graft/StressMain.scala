@@ -43,6 +43,38 @@ object StressMain {
         corpus, corpus.filter(col("vec_id") < 8), k = 5,
         nPlanes = 64, nBands = 4).count())
     }
+    // Ingest-dedup skew stress: the realistic hot spot is one
+    // (date, client) receiving most of a day's rows. 2M-row batches,
+    // one 90%-hot key vs uniform over 200k keys; window dedup
+    // (single-task sort for the hot key — AQE cannot split a window
+    // partition) vs max_by aggregation (map-side combine collapses
+    // the hot key per input partition before the shuffle).
+    if (sys.env.contains("SPARK_GRAFT_STRESS_SKEW")) {
+      import org.apache.spark.sql.functions._
+      val sink = new graft.sink.UpsertSink(spark, "/tmp/stress_skew_unused")
+      def mkBatch(hot: Boolean) = {
+        val n = 2000000L
+        val base = spark.range(n).select(
+          (if (hot) when(col("id") % 10 =!= 0, lit(77777L))
+              .otherwise(pmod(col("id"), lit(200000L)))
+            else pmod(col("id"), lit(200000L))).as("cid"),
+          col("id"))
+        base.select(
+          lit(java.sql.Date.valueOf("2025-05-01")).as("date"),
+          concat(lit("C"), col("cid")).as("client_id"),
+          concat(lit("N"), col("cid")).as("client_name"),
+          lit("svc").as("service_name"),
+          col("id").as("total_consumed_tokens"),
+          col("id").as("_ord"))
+      }
+      val uni = mkBatch(hot = false).persist(); uni.count()
+      val skewed = mkBatch(hot = true).persist(); skewed.count()
+      time("dedup_window uniform")(sink.dedupBatch(uni, "_ord").count())
+      time("dedup_window 90%-hot")(sink.dedupBatch(skewed, "_ord").count())
+      time("dedup_maxby  uniform")(sink.dedupBatchAgg(uni, "_ord").count())
+      time("dedup_maxby  90%-hot")(sink.dedupBatchAgg(skewed, "_ord").count())
+      uni.unpersist(); skewed.unpersist()
+    }
     // events-side stress (2M events, 20x sf0.1; orders copied alongside)
     time("ingest_dedup 2M")(queries.IngestQueries.ingestDedup(spark, "/tmp/stress").count())
     time("sessionize 2M")(queries.AnalyticsQueries.sessionizeQ(spark, "/tmp/stress").count())

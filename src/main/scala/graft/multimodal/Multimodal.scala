@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * of `mapInPandas`: an iterator of batches in, an iterator of
   * batches out, executed where the data lives).
   *
-  * The container has no image/audio codecs, so the decode kernel is
-  * a clearly-marked deterministic STUB (byte-level pseudo-decode);
-  * everything around it — schema, batch shape, partitioning, the
-  * Dataset plumbing — is real and tested, and swapping the stub for
-  * a JNI/codec call changes nothing structurally.
+  * The IMAGE decode path is real: `javax.imageio` ships PNG/BMP/GIF
+  * readers with every JRE, so image payloads are genuinely decoded
+  * (dimensions + mean luminance from pixels) inside the batched
+  * kernel. Payloads no registered reader understands — e.g. the
+  * synthesized text-byte corpora, or audio/video, for which the
+  * container has no codecs — fall back to a clearly-marked
+  * deterministic byte-level pseudo-decode, so the plumbing stays
+  * testable end-to-end and swapping in an audio/video codec changes
+  * nothing structurally.
   */
 object Multimodal {
 
@@ -49,22 +53,61 @@ object Multimodal {
       lit(16000).as("sample_rate"),
       (col("n_chars") * 10).cast("long").as("duration_ms"))
 
-  /** Batched pseudo-decode. STUB: a real implementation feeds each
-    * batch of payloads to a codec (JPEG decode, PCM resample, …);
-    * here the "decode" reads bytes deterministically so the
-    * plumbing is testable end-to-end. Batch shape (`batchSize`
-    * records per kernel call) mirrors Arrow-batch execution. */
+  /** Decoded-image summary: dimensions and mean luminance (mean of
+    * (R+G+B)/3 over all pixels — deterministic integer arithmetic
+    * per pixel, so goldens are hand-computable). */
+  final case class ImageMeta(width: Int, height: Int, meanLuma: Double)
+
+  /** Real image decode via the pure-JDK `javax.imageio` readers
+    * (PNG/BMP/GIF/JPEG are registered in every JRE). None when no
+    * reader recognises the payload — corrupt bytes or a non-image
+    * format; the caller falls back to the pseudo-decode. The
+    * in-memory stream keeps ImageIO away from its disk cache (a
+    * per-record temp file would be an executor-local I/O storm at
+    * scale — see setUseCache below). */
+  def decodeImage(bytes: Array[Byte]): Option[ImageMeta] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          ImageMeta(w, h, if (n == 0) 0.0 else sum.toDouble / (3.0 * n))
+        }
+    } catch { case _: Exception => None }
+
+  /** Batched decode. Images go through the REAL `javax.imageio`
+    * decode (brightness = mean pixel luminance); payloads no codec
+    * understands (synthesized text bytes; audio/video — the
+    * container ships no codecs, clearly-marked STUB fallback) use a
+    * deterministic byte-level pseudo-decode. Batch shape
+    * (`batchSize` records per kernel call) mirrors Arrow-batch
+    * execution: the codec is amortised over a batch, executed where
+    * the data lives. */
   def decodeFeatures(spark: SparkSession, media: DataFrame,
       batchSize: Int = 64, framesPerVideo: Int = 4): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // === STUB decode kernel (codec would be invoked per batch) ===
+        // === decode kernel: real ImageIO for images, STUB otherwise ===
         batch.iterator.map { m =>
           val bytes = m.payload
           var sum = 0L
           var i = 0
           while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+          val decoded =
+            if (m.kind == "image") decodeImage(bytes) else None
           val frames =
             if (m.kind == "video") sampleFrameIndices(m.duration_ms, framesPerVideo).length
             else 0
@@ -73,7 +116,8 @@ object Multimodal {
             kind = m.kind,
             byte_len = bytes.length,
             checksum = sum,
-            brightness = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
+            brightness = decoded.map(_.meanLuma).getOrElse(
+              if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length),
             n_frames_sampled = frames)
         }
       }

@@ -51,12 +51,38 @@ final class UpsertSink(spark: SparkSession, targetDir: String) {
 
   /** A5: deterministic last-writer-wins within a batch: one row per
     * key, greatest `orderCol` wins (never `dropDuplicates`, which is
-    * order-nondeterministic — SURVEY.md §7.5). */
+    * order-nondeterministic — SURVEY.md §7.5).
+    *
+    * Skew note: the window shuffles EVERY row of a key to one task
+    * and sorts there — fine for the realistic many-keys batch, but a
+    * 90%-one-key batch concentrates in a single task, and AQE cannot
+    * split a window partition (the semantics need all of a key's
+    * rows together). [[dedupBatchAgg]] is the skew-immune equivalent
+    * used under hot-key pressure; the StressMain `skew` section
+    * measures both. */
   def dedupBatch(batch: DataFrame, orderCol: String): DataFrame = {
     val w = Window.partitionBy(Consumption.key.map(col): _*)
       .orderBy(col(orderCol).desc)
     batch.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Skew-immune last-writer-wins: argmax by `orderCol` as a
+    * `max_by(struct(*), orderCol)` aggregation instead of a window.
+    * Partial aggregation combines map-side, so a hot key collapses
+    * to ONE row per input partition before the shuffle — the hot
+    * task receives ~nPartitions rows, not 90% of the batch. Same
+    * result as [[dedupBatch]] whenever `orderCol` is unique per key
+    * (the sink always passes a strictly ordering column: ingest
+    * sequence / event id); under orderCol ties both variants pick an
+    * arbitrary-but-single winner. Preferred at scale; kept alongside
+    * the window form because the window generalises to top-k>1 and
+    * running audits where the aggregate does not. */
+  def dedupBatchAgg(batch: DataFrame, orderCol: String): DataFrame = {
+    val cols = batch.columns
+    batch.groupBy(Consumption.key.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*), col(orderCol)).as("_row"))
+      .select(cols.map(c => col("_row").getField(c).as(c)): _*)
   }
 
   /** Merge a (pre-deduplicated) batch: batch rows beat existing rows

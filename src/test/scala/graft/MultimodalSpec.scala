@@ -57,6 +57,52 @@ class MultimodalSpec extends SparkTestBase {
       media.agg(sum(length(col("payload")))).collect()(0).getLong(0))
   }
 
+  // --- real javax.imageio decode path --------------------------------
+
+  /** 4×4 RGB PNG with pixel (x,y) = (x*16, y*16, 128), encoded with
+    * the JDK's own PNG writer (no fixtures on disk, no new deps). */
+  private def testPng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, (x * 16 << 16) | (y * 16 << 8) | 128)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decodeImage: real 4x4 PNG matches the hand-computed golden") {
+    val meta = Multimodal.decodeImage(testPng()).get
+    assert(meta.width == 4 && meta.height == 4)
+    // sum of (r+g+b) over pixels: r sums to (0+16+32+48)*4 = 384, g
+    // likewise 384, b = 128*16 = 2048 → 2816; mean luma = 2816/(3*16).
+    assert(meta.meanLuma == 2816.0 / 48.0)
+  }
+
+  test("decodeImage: undecodable payloads return None") {
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    // a PNG magic number with a truncated body must not decode
+    assert(Multimodal.decodeImage(testPng().take(12)).isEmpty)
+  }
+
+  test("decodeFeatures routes image payloads through the real decoder") {
+    val png = testPng()
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "image", png, 4, 4, 0, 0L),
+      Multimodal.MediaRecord(2L, "audio", png, 0, 0, 16000, 1000L))
+    val feats = Multimodal.decodeFeatures(spark, rows.toDF())
+      .collect().map(f => f.media_id -> f).toMap
+    // image row: brightness is the decoded mean luminance
+    assert(feats(1L).brightness == 2816.0 / 48.0)
+    assert(feats(1L).byte_len == png.length)
+    // audio row carries the same bytes but takes the byte-mean
+    // fallback (no audio codec in the container) — different value,
+    // proving the image row really decoded pixels
+    assert(feats(2L).brightness == feats(2L).checksum.toDouble / png.length)
+    assert(feats(2L).brightness != feats(1L).brightness)
+  }
+
   test("approx_count_distinct within 5% of exact (HLL sanity)") {
     val ev = graft.queries.IngestQueries.events(spark, sfDir)
     val approx = ev.agg(approx_count_distinct(col("user_id")).as("a"))

@@ -54,4 +54,27 @@ class SinksSpec extends SparkTestBase {
         r.getAs[Long]("total_consumed_tokens")).toMap
     assert(all == Map("A" -> 99L, "B" -> 2L))
   }
+
+  test("shard export: 16 shard dirs on disk, single-shard read prunes") {
+    // the documented export path behind q_shard_export: the same pure
+    // doc_id hash, written partitionBy("shard") via PartitionedWriter
+    val dir = Fixtures.tempDir("shards").resolve("t").toString
+    val sharded = Tables.documents(spark, sfDir)
+      .withColumn("shard",
+        pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(16L)))
+    PartitionedWriter.write(sharded, dir, partitionCol = "shard")
+    // exactly 16 Hive-style shard directories
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName)
+    assert(shardDirs.sorted.toSeq == (0 until 16).map(i => s"shard=$i").sorted)
+    // a single-shard read prunes to one partition at plan time...
+    val one = PartitionedWriter.read(spark, dir).filter(col("shard") === 7)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    // ...and returns exactly that shard's documents (vs the source)
+    val expected = sharded.filter(col("shard") === 7).count()
+    assert(one.count() == expected && expected > 0)
+    // round-trip completeness: nothing lost or duplicated across shards
+    assert(PartitionedWriter.read(spark, dir).count() == sharded.count())
+  }
 }

@@ -83,6 +83,26 @@ class UpsertSinkSpec extends SparkTestBase {
     assert(out(0).getAs[Long]("total_consumed_tokens") == 7L)
   }
 
+  test("dedupBatchAgg (skew-immune max_by) matches window dedupBatch") {
+    val dir = Fixtures.tempDir("sink4").resolve("t").toString
+    val sink = new UpsertSink(spark, dir)
+    // hot key: client H gets 90 of 100 rows; unique order column, so
+    // both variants must pick the identical winner per key
+    val rows = (0 until 90).map(i => ("2025-05-01", "H", i.toLong)) ++
+      (0 until 10).map(i => ("2025-05-02", s"U$i", 1000L + i))
+    val batch = batchDf(rows)
+      .withColumn("ord", monotonically_increasing_id())
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.drop("ord").collect()
+        .map(r => (r.getAs[Date]("date").toString, r.getAs[String]("client_id"),
+          r.getAs[Long]("total_consumed_tokens"))).sortBy(t => (t._1, t._2)).toSeq
+    // persist so both consumers see the same monotonic ids
+    batch.persist(); batch.count()
+    try assert(canon(sink.dedupBatchAgg(batch, "ord")) ==
+      canon(sink.dedupBatch(batch, "ord")))
+    finally { batch.unpersist(); () }
+  }
+
   test("property: sequential merges == merge of per-key-latest (upsert fold)") {
     val dates = Gen.oneOf("2025-05-01", "2025-05-02")
     val clients = Gen.oneOf("A", "B", "C")
