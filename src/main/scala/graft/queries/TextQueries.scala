@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -228,6 +229,56 @@ object TextQueries {
       |    AS n_sampled
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Stratified QUOTA sampling — exactly min(N, |stratum|) documents
+    * per language, chosen by rank of the pure doc_id hash (the
+    * training-mix primitive: cap each source/language at a quota,
+    * where [[consistentSample]] keeps a global RATE). Deterministic
+    * and engine-/partitioning-independent like its siblings.
+    *
+    * Scale shape (two-phase): a per-stratum window over ALL rows
+    * would shuffle every document of a language into one task — the
+    * same wall the dedup window has (PLANS.md "Hot-key skew"). So
+    * phase 1 counts strata (column-pruned scan, map-side combine; the
+    * counts relation is bounded by |languages|, broadcastable by
+    * construction) and pre-filters to a ~3N-expected-survivor hash
+    * slice per stratum; phase 2 ranks only the survivors — the
+    * window's input is O(N · strata), never corpus-sized. The 3×
+    * oversample makes a short stratum astronomically unlikely, and
+    * both engines compute the identical deterministic result either
+    * way. Documents are scanned twice (count + sample) — the correct
+    * trade at 100 TB, where materializing is worse (the
+    * q_contamination precedent). */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val n = 20
+    val d = Tables.documents(s, dir)
+      .withColumn("h",
+        pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(1000L)))
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val pre = d.join(broadcast(counts), "lang")
+      .filter(col("h") < least(lit(1000L),
+        ceil(lit(3000.0) * n / col("n_docs")).cast(LongType)))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    pre.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("lang"), col("doc_id"))
+      .orderBy("lang", "doc_id")
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |pre AS (
+      |  SELECT d.doc_id, d.lang,
+      |    ((d.doc_id % 100000000) * 2654435761) % 1000 AS h
+      |  FROM documents d JOIN counts c USING (lang)
+      |  WHERE ((d.doc_id % 100000000) * 2654435761) % 1000
+      |        < LEAST(1000, CAST(ceil(3000.0 * 20 / c.n_docs) AS BIGINT))),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      |  FROM pre)
+      |SELECT lang, doc_id FROM ranked WHERE rn <= 20
+      |ORDER BY lang, doc_id""".stripMargin
+
   /** Deterministic train/val/test split (90/5/5) by key hash — the
     * companion idiom to [[consistentSample]]: the split is a pure
     * function of doc_id, so re-runs, engines and partitionings agree,
@@ -424,6 +475,7 @@ object TextQueries {
     QueryDef("q_shard_export", shardExport, Some(shardExportSql)),
     QueryDef("q_redact_pii", redactPii, Some(redactPiiSql)),
     QueryDef("q_consistent_sample", consistentSample, Some(consistentSampleSql)),
+    QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("q_fuzzy_match", fuzzyMatch, Some(fuzzyMatchSql)),
     QueryDef("q_train_test_split", trainTestSplit, Some(trainTestSplitSql)),
     QueryDef("q_token_count", tokenCountQ, Some(tokenCountSql)),
