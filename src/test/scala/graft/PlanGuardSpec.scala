@@ -1,0 +1,47 @@
+package graft
+
+/** Physical-plan regression guard over EVERY registered query: the
+  * scale-killers the round audits hunt for must not reappear.
+  *
+  *  - `CartesianProduct` (a non-broadcast cross join — O(n·m) shuffle
+  *    materialization) is allowed nowhere: even the deliberate tiny
+  *    cross joins must plan as broadcast nested-loop, never a
+  *    shuffled cartesian.
+  *  - `BroadcastNestedLoopJoin` is allowed only where one side is
+  *    constant-size by construction (documented allowlist below);
+  *    anywhere else it means an equi-join degraded to an O(n·m) scan
+  *    — at 100 TB, a cluster-killer.
+  *
+  * Plans are inspected at sf0.001; operator CHOICE between
+  * equi-join strategies (broadcast-hash vs sort-merge) is AQE's and
+  * deliberately unguarded — only the structurally quadratic
+  * operators are.
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  /** Queries where a BroadcastNestedLoopJoin is the intended plan,
+    * with the bounded side in parentheses: */
+  private val bnljAllowed: Set[String] = Set(
+    "q_cross_join",     // deliberate tiny cross join (25×5 rows)
+    "q_fuzzy_match",    // levenshtein threshold join (tiny dims)
+    "q_range_join",     // band predicate vs 8 derived bands
+    "q_ann_ivf",        // 16-centroid assignment + probe (constants)
+    "q_ann_lsh",        // in-query brute-force baseline (8 queries)
+    "q_knn_bruteforce", // 8 broadcast query vectors
+    "q_above_avg",      // scalar aggregate broadcast into the filter
+    "q_tpch_q11",       // scalar threshold broadcast (historical)
+    "q_tpch_q15",       // scalar max-revenue broadcast
+    "q_tpch_q22",       // scalar avg-balance broadcast
+    "q_retention_window") // 1-row high-water-mark scalar broadcast
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name plans without unexpected quadratic joins") {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a shuffled CartesianProduct")
+      if (!bnljAllowed.contains(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin but is not allowlisted")
+    }
+  }
+}
