@@ -8,13 +8,14 @@ import graft.operators.{MinHashDedup, SimHashDedup}
 
 /** Sketch-based near-dup operators as driver-visible queries.
   *
-  * `q_dedup_minhash` is fully oracle-checked: the Spark pipeline and
-  * the generated DuckDB SQL share the same permutation constants and
-  * the same md5-derived token hash, so signatures, band collisions,
-  * candidates and Jaccard scores are identical integers/doubles in
-  * both engines. `q_dedup_simhash` uses the native [[graft.functions.SimHash]]
-  * codegen expression (FNV-1a has no cheap DuckDB twin) → rows-only
-  * driver check + ScalaTest.
+  * All fully oracle-checked. `q_dedup_minhash`: the Spark pipeline
+  * and the generated DuckDB SQL share the same permutation constants
+  * and the same md5-derived token hash, so signatures, band
+  * collisions, candidates and Jaccard scores are identical
+  * integers/doubles in both engines. `q_dedup_simhash` (and the
+  * clustering built on it) uses the native [[graft.functions.SimHash]]
+  * codegen expression; since r6 the DuckDB twin reproduces FNV-1a
+  * bit-exactly in HUGEINT mod-2^64 arithmetic.
   */
 object DedupQueries {
 
@@ -89,12 +90,16 @@ object DedupQueries {
   /** HUGEINT-domain constants: 2^64 (FNV wraparound), 2^63 and the
     * signed conversion used to mirror Spark's two's-complement longs
     * before the final xor/bit_count. */
-  val simhashSql: String = {
-    val toSigned = (u: String) =>
-      s"""CAST(CASE WHEN $u >= CAST('9223372036854775808' AS HUGEINT)
-         |  THEN $u - CAST('18446744073709551616' AS HUGEINT)
-         |  ELSE $u END AS BIGINT)""".stripMargin
-    s"""WITH toks AS (
+  private val toSigned = (u: String) =>
+    s"""CAST(CASE WHEN $u >= CAST('9223372036854775808' AS HUGEINT)
+       |  THEN $u - CAST('18446744073709551616' AS HUGEINT)
+       |  ELSE $u END AS BIGINT)""".stripMargin
+
+  /** Shared CTE chain `toks → … → pairs` (no WITH keyword): the
+    * bit-exact DuckDB SimHash pipeline, reused by [[simhashSql]] and
+    * the clustering twin [[clustersSql]]. */
+  private val simhashPairsCte: String =
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
        |  FROM documents),
        |th AS (
@@ -129,15 +134,81 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.usig AS ua, b.usig AS ub
        |  FROM kept k
        |  JOIN banded a ON a.band = k.band AND a.bits = k.bits
-       |  JOIN banded b ON b.band = k.band AND b.bits = k.bits AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b,
-       |  CAST(bit_count(xor(${toSigned("ua")}, ${toSigned("ub")})) AS INT) AS hamming
-       |FROM pairs
-       |WHERE bit_count(xor(${toSigned("ua")}, ${toSigned("ub")})) <= 12
+       |  JOIN banded b ON b.band = k.band AND b.bits = k.bits AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(bit_count(xor(${toSigned("ua")}, ${toSigned("ub")})) AS INT) AS hamming
+       |  FROM pairs
+       |  WHERE bit_count(xor(${toSigned("ua")}, ${toSigned("ub")})) <= 12)""".stripMargin
+
+  val simhashSql: String =
+    s"""WITH $simhashPairsCte
+       |SELECT doc_a, doc_b, hamming FROM verified
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Near-dup CLUSTERING — the step a dedup pipeline runs after pair
+    * generation: connected components over the (simhash, hamming≤12)
+    * pair graph, labeling each clustered document with the smallest
+    * doc_id reachable from it (the canonical representative a
+    * keep-one-per-cluster pass retains). Emits one row per cluster.
+    *
+    * Spark side: min-label propagation iterated to convergence on
+    * the EDGE graph only (nodes appearing in some pair — bounded by
+    * near-dup mass, never corpus-sized; the capped banding already
+    * bounds the edge set). Each round is one join + one groupBy
+    * (partial-agg min), with an eager localCheckpoint per iteration:
+    * the label frame is small and the checkpoint severs the
+    * otherwise-exponential lineage — the textbook Spark iterative-
+    * algorithm shape. Convergence needs diameter rounds (≤ a few for
+    * near-dup clusters, which are dense by construction); the loop
+    * stops when an iteration changes nothing, capped at 25.
+    *
+    * DuckDB twin: recursive CTE closure over the same edges, then
+    * MIN(label) per node — semantics identical by definition of
+    * connected components. */
+  def clustersQ(s: SparkSession, dir: String): DataFrame = {
+    val pairs = SimHashDedup.nearDupPairs(s, Tables.documents(s, dir),
+      "doc_id", "text", maxHamming = 12)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // consumed every iteration; sever the simhash tree
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val viaEdge = edges.join(labels, col("dst") === col("node"))
+        .select(col("src").as("node"), col("label"))
+      val next = labels.unionByName(viaEdge)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+      .orderBy("cluster")
   }
+
+  val clustersSql: String =
+    s"""WITH RECURSIVE $simhashPairsCte,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM verified
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM verified),
+       |reach(node, lab) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst),
+       |final AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node)
+       |SELECT label AS cluster, COUNT(*) AS n_docs, MAX(node) AS max_doc
+       |FROM final GROUP BY label ORDER BY cluster""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_minhash", minhashQ, Some(minhashSql)),
-    QueryDef("q_dedup_simhash", simhashQ, Some(simhashSql)))
+    QueryDef("q_dedup_simhash", simhashQ, Some(simhashSql)),
+    QueryDef("q_dedup_clusters", clustersQ, Some(clustersSql)))
 }
