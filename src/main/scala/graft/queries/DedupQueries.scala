@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.operators.{MinHashDedup, SimHashDedup}
@@ -175,6 +176,13 @@ object DedupQueries {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // Convergence via the label-sum fixpoint: min-propagation is
+    // monotone (labels only ever decrease), so the total is strictly
+    // decreasing until converged and a cheap scalar aggregate over
+    // the materialized frame replaces a join-with-previous + isEmpty
+    // (which cost as much as the propagation step itself). DECIMAL
+    // sum so an astronomically large id-sum cannot overflow.
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
     while (!converged && iter < 25) {
@@ -183,8 +191,10 @@ object DedupQueries {
       val next = labels.unionByName(viaEdge)
         .groupBy("node").agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).isEmpty
+      val s = next.agg(sum(col("label").cast(DecimalType(38, 0))).as("s"))
+        .collect()(0).getDecimal(0)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
