@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   * of `mapInPandas`: an iterator of batches in, an iterator of
   * batches out, executed where the data lives).
   *
-  * The IMAGE decode path is real: `javax.imageio` ships PNG/BMP/GIF
-  * readers with every JRE, so image payloads are genuinely decoded
-  * (dimensions + mean luminance from pixels) inside the batched
-  * kernel. Payloads no registered reader understands — e.g. the
-  * synthesized text-byte corpora, or audio/video, for which the
-  * container has no codecs — fall back to a clearly-marked
+  * The IMAGE and AUDIO decode paths are real: `javax.imageio` ships
+  * PNG/BMP/GIF readers and `javax.sound.sampled` ships PCM
+  * WAV/AIFF/AU readers with every JRE, so those payloads are
+  * genuinely decoded (pixel luminance; PCM amplitude) inside the
+  * batched kernel. Payloads no registered reader understands — e.g.
+  * the synthesized text-byte corpora, or video, for which the
+  * container has no codec — fall back to a clearly-marked
   * deterministic byte-level pseudo-decode, so the plumbing stays
-  * testable end-to-end and swapping in an audio/video codec changes
+  * testable end-to-end and swapping in a video codec changes
   * nothing structurally.
   */
 object Multimodal {
@@ -87,14 +88,52 @@ object Multimodal {
         }
     } catch { case _: Exception => None }
 
+  /** Decoded-audio summary: format header fields plus the mean
+    * absolute sample amplitude over all PCM frames (normalized to
+    * [0,1] — integer sample arithmetic, goldens hand-computable). */
+  final case class AudioMeta(sampleRate: Int, nFrames: Long, meanAbsAmplitude: Double)
+
+  /** Real audio decode via the pure-JDK `javax.sound.sampled` stack
+    * (PCM WAV/AIFF/AU readers ship with every JRE — no external
+    * codec). Supports the 16-bit little-endian PCM common case;
+    * None for payloads no reader recognises or non-16-bit encodings
+    * (those fall back to the byte-level pseudo-decode). */
+  def decodeAudio(bytes: Array[Byte]): Option[AudioMeta] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val ok = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+        if (!ok) None
+        else {
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          var sum = 0L
+          var i = 0
+          while (i + 1 < data.length) {
+            val s = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+            sum += math.abs(s.toInt)
+            i += 2
+          }
+          Some(AudioMeta(fmt.getSampleRate.toInt,
+            in.getFrameLength,
+            if (n == 0) 0.0 else sum.toDouble / (n.toDouble * 32768.0)))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** Batched decode. Images go through the REAL `javax.imageio`
-    * decode (brightness = mean pixel luminance); payloads no codec
-    * understands (synthesized text bytes; audio/video — the
-    * container ships no codecs, clearly-marked STUB fallback) use a
-    * deterministic byte-level pseudo-decode. Batch shape
-    * (`batchSize` records per kernel call) mirrors Arrow-batch
-    * execution: the codec is amortised over a batch, executed where
-    * the data lives. */
+    * decode (brightness = mean pixel luminance) and audio through
+    * the REAL `javax.sound.sampled` PCM decode (brightness = mean
+    * absolute amplitude); payloads no reader understands
+    * (synthesized text bytes; video — the container ships no video
+    * codec, clearly-marked STUB fallback) use a deterministic
+    * byte-level pseudo-decode. Batch shape (`batchSize` records per
+    * kernel call) mirrors Arrow-batch execution: the codec is
+    * amortised over a batch, executed where the data lives. */
   def decodeFeatures(spark: SparkSession, media: DataFrame,
       batchSize: Int = 64, framesPerVideo: Int = 4): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -106,8 +145,11 @@ object Multimodal {
           var sum = 0L
           var i = 0
           while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-          val decoded =
-            if (m.kind == "image") decodeImage(bytes) else None
+          val decoded: Option[Double] = m.kind match {
+            case "image" => decodeImage(bytes).map(_.meanLuma)
+            case "audio" => decodeAudio(bytes).map(_.meanAbsAmplitude)
+            case _ => None
+          }
           val frames =
             if (m.kind == "video") sampleFrameIndices(m.duration_ms, framesPerVideo).length
             else 0
@@ -116,7 +158,7 @@ object Multimodal {
             kind = m.kind,
             byte_len = bytes.length,
             checksum = sum,
-            brightness = decoded.map(_.meanLuma).getOrElse(
+            brightness = decoded.getOrElse(
               if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length),
             n_frames_sampled = frames)
         }

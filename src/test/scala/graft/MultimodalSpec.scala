@@ -86,6 +86,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeImage(testPng().take(12)).isEmpty)
   }
 
+  /** Mono 16-bit LE PCM WAV, 16 samples alternating ±8192 → mean
+    * absolute amplitude exactly 8192/32768 = 0.25. */
+  private def testWav(): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val pcm = new Array[Byte](32)
+    for (i <- 0 until 16) {
+      val s: Short = if (i % 2 == 0) 8192 else -8192
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 16)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeAudio: real 16-sample WAV matches the hand-computed golden") {
+    val meta = Multimodal.decodeAudio(testWav()).get
+    assert(meta.sampleRate == 16000)
+    assert(meta.nFrames == 16)
+    assert(meta.meanAbsAmplitude == 0.25)
+  }
+
+  test("decodeAudio: undecodable payloads return None") {
+    assert(Multimodal.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAudio(testPng()).isEmpty)
+    assert(Multimodal.decodeAudio(testWav().take(16)).isEmpty)
+  }
+
+  test("decodeFeatures routes audio payloads through the real decoder") {
+    val wav = testWav()
+    val rows = Seq(Multimodal.MediaRecord(9L, "audio", wav, 0, 0, 16000, 1000L))
+    val feats = Multimodal.decodeFeatures(spark, rows.toDF()).collect()
+    assert(feats.head.brightness == 0.25)
+    assert(feats.head.byte_len == wav.length)
+  }
+
   test("decodeFeatures routes image payloads through the real decoder") {
     val png = testPng()
     val rows = Seq(
