@@ -73,6 +73,18 @@ object StressMain {
       time("dedup_window 90%-hot")(sink.dedupBatch(skewed, "_ord").count())
       time("dedup_maxby  uniform")(sink.dedupBatchAgg(uni, "_ord").count())
       time("dedup_maxby  90%-hot")(sink.dedupBatchAgg(skewed, "_ord").count())
+      // The PRODUCTION ingest path end-to-end: pre-dedup (max_by) then
+      // merge — whose union-dedup is itself the max_by aggregation
+      // shape since r7, so the hot-key batch flows map-side-combined
+      // through BOTH shuffles. Second run measures the idempotent
+      // re-merge (table side now populated — the 2-rows-per-key case).
+      val tgtDir = "/tmp/stress_skew_merge"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tgtDir))
+      val mergeSink = new graft.sink.UpsertSink(spark, tgtDir)
+      time("merge 90%-hot insert")(
+        mergeSink.merge(mergeSink.dedupBatchAgg(skewed, "_ord").drop("_ord")))
+      time("merge 90%-hot re-merge")(
+        mergeSink.merge(mergeSink.dedupBatchAgg(skewed, "_ord").drop("_ord")))
       uni.unpersist(); skewed.unpersist()
     }
     // events-side stress (2M events, 20x sf0.1; orders copied alongside)

@@ -43,7 +43,24 @@ object AppConfig {
       pipeline: Pipeline.Config,
       db: DbConfig,
       inPlatform: Boolean,
-      hadoopConf: Map[String, String] = Map.empty)
+      hadoopConf: Map[String, String] = Map.empty) {
+    /** Masks object-store credentials (same standard as [[DbConfig]]'s
+      * password masking) so the resolved config can be logged safely:
+      * the auto-generated case-class toString would print
+      * `fs.s3a.secret.key` in clear. */
+    override def toString: String = {
+      val masked = hadoopConf.map {
+        case (k, _) if Resolved.sensitive(k) => k -> "***"
+        case kv => kv
+      }
+      s"Resolved($pipeline, $db, inPlatform=$inPlatform, hadoopConf=$masked)"
+    }
+  }
+
+  object Resolved {
+    private val sensitive =
+      Set("fs.s3a.secret.key", "fs.s3a.access.key", "fs.s3a.session.token")
+  }
 
   /** Required env lookup (reference `os.environ['X']`). */
   private def req(env: Map[String, String], key: String): String =
@@ -77,8 +94,12 @@ object AppConfig {
     * optional, unlike the required DB credentials). */
   private def secretField(json: String, key: String): Option[String] =
     try {
+      // filterNot(isNull): a JSON null (`"S3_ENDPOINT": null`) would
+      // otherwise map through NullNode.asText() to the literal string
+      // "null" and configure fs.s3a.endpoint=null (flipping the
+      // path-style default on the way) — treat it as absent instead.
       Option(new ObjectMapper().readTree(json))
-        .flatMap(n => Option(n.get(key))).map(_.asText())
+        .flatMap(n => Option(n.get(key))).filterNot(_.isNull).map(_.asText())
     } catch { case _: Exception => None }
 
   /** Object-store configuration as standard Hadoop `fs.s3a.*` keys

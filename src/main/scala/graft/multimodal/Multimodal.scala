@@ -10,16 +10,19 @@ import org.apache.spark.sql.functions._
   * of `mapInPandas`: an iterator of batches in, an iterator of
   * batches out, executed where the data lives).
   *
-  * The IMAGE and AUDIO decode paths are real: `javax.imageio` ships
-  * PNG/BMP/GIF readers and `javax.sound.sampled` ships PCM
-  * WAV/AIFF/AU readers with every JRE, so those payloads are
-  * genuinely decoded (pixel luminance; PCM amplitude) inside the
-  * batched kernel. Payloads no registered reader understands — e.g.
-  * the synthesized text-byte corpora, or video, for which the
-  * container has no codec — fall back to a clearly-marked
+  * The IMAGE, AUDIO and VIDEO-FRAME decode paths are real:
+  * `javax.imageio` ships PNG/BMP/GIF readers (the GIF reader is a
+  * true MULTI-FRAME decoder — [[decodeVideoFrames]] samples and
+  * decodes individual frames through the indexed multi-image API)
+  * and `javax.sound.sampled` ships PCM WAV/AIFF/AU readers with
+  * every JRE, so those payloads are genuinely decoded (pixel
+  * luminance; PCM amplitude; per-frame luminance) inside the batched
+  * kernel. Payloads no registered reader understands — e.g. the
+  * synthesized text-byte corpora, or MP4-style containers for which
+  * the JDK has no codec — fall back to a clearly-marked
   * deterministic byte-level pseudo-decode, so the plumbing stays
-  * testable end-to-end and swapping in a video codec changes
-  * nothing structurally.
+  * testable end-to-end and swapping in an MP4 codec changes nothing
+  * structurally.
   */
 object Multimodal {
 
@@ -70,22 +73,77 @@ object Multimodal {
     try {
       javax.imageio.ImageIO.setUseCache(false)
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        .map { img =>
-          val (w, h) = (img.getWidth, img.getHeight)
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              x += 1
+        .map(img => ImageMeta(img.getWidth, img.getHeight, meanLuma(img)))
+    } catch { case _: Exception => None }
+
+  /** Mean (R+G+B)/3 luminance over all pixels of a decoded frame —
+    * deterministic integer arithmetic per pixel, goldens
+    * hand-computable. */
+  private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    if (n == 0) 0.0 else sum.toDouble / (3.0 * n)
+  }
+
+  /** Decoded-video summary: container frame count plus the mean
+    * luminance of each SAMPLED frame (in sample order). */
+  final case class VideoMeta(nFrames: Int, frameLumas: Seq[Double])
+
+  /** Real video-frame decode via `javax.imageio`'s MULTI-IMAGE reader
+    * API (`getNumImages` / indexed `read(i)`) — pure JDK: the GIF
+    * reader shipped with every JRE is a genuine multi-frame decoder,
+    * so animated-GIF payloads exercise the whole frame-sampling path
+    * (decode frame i, reduce to luminance) with zero external codecs.
+    * A payload whose format no registered multi-image reader
+    * understands (including the synthesized text-byte corpora, and
+    * real video containers — MP4 etc. ship no JDK codec) returns None
+    * and the caller falls back to the byte-level pseudo-decode;
+    * swapping in an MP4 codec changes nothing structurally.
+    *
+    * Each ms offset in `offsetsMs` (from [[sampleFrameIndices]]) maps
+    * to frame index `offset * nFrames / durationMs` — uniform
+    * sampling positions projected onto the frame sequence under the
+    * constant-frame-rate assumption (exact for the fixed-delay GIFs
+    * the JDK writes; a variable-rate container would consult its
+    * per-frame timebase here). */
+  def decodeVideoFrames(bytes: Array[Byte], offsetsMs: Seq[Long],
+      durationMs: Long): Option[VideoMeta] =
+    if (offsetsMs.isEmpty || durationMs <= 0) None
+    else try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            // seekForwardOnly=false: sampled frame indices are read in
+            // order here, but the reader must be free to count frames
+            // first (getNumImages(allowSearch=true) scans the stream).
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            if (n <= 0) None
+            else {
+              val idxs = offsetsMs
+                .map(off => ((off * n) / durationMs).toInt.min(n - 1).max(0))
+              Some(VideoMeta(n, idxs.map(i => meanLuma(reader.read(i)))))
             }
-            y += 1
-          }
-          val n = w.toLong * h
-          ImageMeta(w, h, if (n == 0) 0.0 else sum.toDouble / (3.0 * n))
+          } finally reader.dispose()
         }
+      } finally iis.close()
     } catch { case _: Exception => None }
 
   /** Decoded-audio summary: format header fields plus the mean
@@ -139,20 +197,26 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // === decode kernel: real ImageIO for images, STUB otherwise ===
+        // === decode kernel: real codecs first, STUB fallback ===
         batch.iterator.map { m =>
           val bytes = m.payload
           var sum = 0L
           var i = 0
           while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-          val decoded: Option[Double] = m.kind match {
-            case "image" => decodeImage(bytes).map(_.meanLuma)
-            case "audio" => decodeAudio(bytes).map(_.meanAbsAmplitude)
-            case _ => None
+          val (decoded: Option[Double], frames: Int) = m.kind match {
+            case "image" => (decodeImage(bytes).map(_.meanLuma), 0)
+            case "audio" => (decodeAudio(bytes).map(_.meanAbsAmplitude), 0)
+            case "video" =>
+              val offs = sampleFrameIndices(m.duration_ms, framesPerVideo)
+              decodeVideoFrames(bytes, offs, m.duration_ms) match {
+                // real multi-frame decode: brightness = mean luminance
+                // over the sampled frames, count = frames decoded
+                case Some(v) =>
+                  (Some(v.frameLumas.sum / v.frameLumas.length), v.frameLumas.length)
+                case None => (None, offs.length)
+              }
+            case _ => (None, 0)
           }
-          val frames =
-            if (m.kind == "video") sampleFrameIndices(m.duration_ms, framesPerVideo).length
-            else 0
           MediaFeatures(
             media_id = m.media_id,
             kind = m.kind,

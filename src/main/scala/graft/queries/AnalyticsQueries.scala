@@ -179,6 +179,57 @@ object AnalyticsQueries {
       |  TRUE AS within_5pct, COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Watermarked exact dedup, BATCH TWIN of the streaming T4+dedup
+    * semantics ([[graft.streaming.IngestStream.dedupStream]];
+    * reference horizon: `/root/reference/src/s3_processor.py:179-180`
+    * — rows older than 30 days behind the newest observation are
+    * outside the processing horizon): keep the FIRST-SEEN event per
+    * key among events within 30 days of the corpus' max event time,
+    * epoch-micros exact. This gives the last streaming-only semantic
+    * a DuckDB hash gate (the `q_interval_join` recipe): first-seen =
+    * `dropDuplicatesWithinWatermark`'s keep rule, the horizon filter
+    * = the watermark's late-row drop rule. `n_suppressed` counts the
+    * duplicates the stream would have absorbed into state.
+    *
+    * Scale: the horizon cut is a 1-row scalar aggregate broadcast
+    * into the filter (never collected); first-seen is one window
+    * over the (user_id, event_type) key — same shape as sessionize;
+    * under a hot key the `max_by`/`min_by` aggregation form
+    * ([[graft.sink.UpsertSink.dedupBatchAgg]]) is the drop-in
+    * skew-immune variant. */
+  def watermarkDedup(s: SparkSession, dir: String): DataFrame = {
+    val horizonUs = 30L * 86400L * 1000000L
+    val ev = IngestQueries.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+    val cut = ev.agg((max(col("us")) - horizonUs).as("cut"))
+    val w = Window.partitionBy("user_id", "event_type")
+    val inHorizon = ev.crossJoin(broadcast(cut)).filter(col("us") >= col("cut"))
+    inHorizon
+      .withColumn("rn", row_number().over(w.orderBy(col("us"), col("event_id"))))
+      .withColumn("n_in_horizon", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("us").as("first_us"), col("event_id").as("first_event_id"),
+        (col("n_in_horizon") - 1).as("n_suppressed"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val watermarkDedupSql: String =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM (${IngestQueries.evSql})),
+      |r AS (
+      |  SELECT user_id, event_type, us, event_id,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY us, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_in_horizon
+      |  FROM ev
+      |  WHERE us >= (SELECT MAX(us) - 2592000000000 FROM ev))
+      |SELECT user_id, event_type, us AS first_us, event_id AS first_event_id,
+      |  CAST(n_in_horizon - 1 AS BIGINT) AS n_suppressed
+      |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   /** Multimodal decode pipeline as a query: synthesize binary media
     * from documents, run the batched mapPartitions feature kernel,
     * aggregate per kind. Features are deterministic integers, so even
@@ -358,5 +409,6 @@ object AnalyticsQueries {
     QueryDef("q_median", medianQ, Some(medianSql)),
     QueryDef("q_approx_distinct", approxDistinctQ, Some(approxDistinctSql)),
     QueryDef("q_profile_stats", profileStats, Some(profileStatsSql)),
+    QueryDef("q_watermark_dedup", watermarkDedup, Some(watermarkDedupSql)),
     QueryDef("q_multimodal_features", multimodalQ, Some(multimodalSql)))
 }

@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.operators.{MinHashDedup, SimHashDedup}
@@ -147,61 +146,49 @@ object DedupQueries {
        |SELECT doc_a, doc_b, hamming FROM verified
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Near-dup CLUSTERING — the step a dedup pipeline runs after pair
-    * generation: connected components over the (simhash, hamming≤12)
-    * pair graph, labeling each clustered document with the smallest
-    * doc_id reachable from it (the canonical representative a
-    * keep-one-per-cluster pass retains). Emits one row per cluster.
+  /** Per-document cluster labels over the (simhash, hamming≤12) pair
+    * graph: connected components labeling each clustered document
+    * with the smallest doc_id reachable from it (the canonical
+    * representative a keep-one-per-cluster pass retains).
     *
-    * Spark side: min-label propagation iterated to convergence on
-    * the EDGE graph only (nodes appearing in some pair — bounded by
-    * near-dup mass, never corpus-sized; the capped banding already
-    * bounds the edge set). Each round is one join + one groupBy
-    * (partial-agg min), with an eager localCheckpoint per iteration:
-    * the label frame is small and the checkpoint severs the
-    * otherwise-exponential lineage — the textbook Spark iterative-
-    * algorithm shape. Convergence needs diameter rounds (≤ a few for
-    * near-dup clusters, which are dense by construction); the loop
-    * stops when an iteration changes nothing, capped at 25.
-    *
-    * DuckDB twin: recursive CTE closure over the same edges, then
-    * MIN(label) per node — semantics identical by definition of
-    * connected components. */
-  def clustersQ(s: SparkSession, dir: String): DataFrame = {
+    * Components run on the EDGE graph only (nodes appearing in some
+    * pair — bounded by near-dup mass, never corpus-sized; the capped
+    * banding already bounds the edge set), via
+    * [[graft.operators.ConnectedComponents.minLabels]] — pointer-
+    * jumped min-label propagation, O(log diameter) rounds, throwing
+    * rather than returning silently-wrong labels if unconverged. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val pairs = SimHashDedup.nearDupPairs(s, Tables.documents(s, dir),
       "doc_id", "text", maxHamming = 12)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true) // consumed every iteration; sever the simhash tree
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
-    // Convergence via the label-sum fixpoint: min-propagation is
-    // monotone (labels only ever decrease), so the total is strictly
-    // decreasing until converged and a cheap scalar aggregate over
-    // the materialized frame replaces a join-with-previous + isEmpty
-    // (which cost as much as the propagation step itself). DECIMAL
-    // sum so an astronomically large id-sum cannot overflow.
-    var prevSum: java.math.BigDecimal = null
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 25) {
-      val viaEdge = edges.join(labels, col("dst") === col("node"))
-        .select(col("src").as("node"), col("label"))
-      val next = labels.unionByName(viaEdge)
-        .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
-      val s = next.agg(sum(col("label").cast(DecimalType(38, 0))).as("s"))
-        .collect()(0).getDecimal(0)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
-      iter += 1
-    }
-    labels.groupBy(col("label").as("cluster"))
+    graft.operators.ConnectedComponents.minLabels(edges)._1
+  }
+
+  /** Near-dup clustering summary — one row per cluster.
+    *
+    * DuckDB twin: recursive CTE closure over the same edges, then
+    * MIN(label) per node — semantics identical by definition of
+    * connected components. */
+  def clustersQ(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
+      .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
       .orderBy("cluster")
-  }
+
+  /** The DROP-LIST — what the dedup pipeline's consumer actually
+    * applies: every clustered document that is NOT its cluster's
+    * canonical representative (`doc_id != cluster`; the
+    * representative is the min doc_id by construction, so exactly
+    * one document per cluster survives an anti-join against this
+    * list). The keep-list is its complement: unclustered documents
+    * plus the representatives themselves. */
+  def droplistQ(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"), col("label").as("cluster"))
+      .orderBy("doc_id")
 
   val clustersSql: String =
     s"""WITH RECURSIVE $simhashPairsCte,
@@ -217,8 +204,23 @@ object DedupQueries {
        |SELECT label AS cluster, COUNT(*) AS n_docs, MAX(node) AS max_doc
        |FROM final GROUP BY label ORDER BY cluster""".stripMargin
 
+  val droplistSql: String =
+    s"""WITH RECURSIVE $simhashPairsCte,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM verified
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM verified),
+       |reach(node, lab) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst),
+       |final AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node)
+       |SELECT node AS doc_id, label AS cluster FROM final
+       |WHERE node <> label ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_minhash", minhashQ, Some(minhashSql)),
     QueryDef("q_dedup_simhash", simhashQ, Some(simhashSql)),
-    QueryDef("q_dedup_clusters", clustersQ, Some(clustersSql)))
+    QueryDef("q_dedup_clusters", clustersQ, Some(clustersSql)),
+    QueryDef("q_dedup_droplist", droplistQ, Some(droplistSql)))
 }

@@ -258,9 +258,19 @@ object TextQueries {
       .filter(col("h") < least(lit(1000L),
         ceil(lit(3000.0) * n / col("n_docs")).cast(LongType)))
     val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    // quota_met hash-verifies the exactly-min(N,|stratum|) CONTRACT
+    // (VERDICT r6 #3): the Spark side computes the ACTUAL per-stratum
+    // sample size against the quota, while the DuckDB twin emits the
+    // literal TRUE expectation — if the 3× hash-slice oversample ever
+    // leaves a stratum short (both engines would sample identically,
+    // so the row sets alone could not catch it), the computed FALSE
+    // mismatches the oracle's TRUE and the gate goes red.
     pre.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n)
-      .select(col("lang"), col("doc_id"))
+      .withColumn("quota_met",
+        count(lit(1)).over(Window.partitionBy("lang")) ===
+          least(lit(n.toLong), col("n_docs")))
+      .select(col("lang"), col("doc_id"), col("quota_met"))
       .orderBy("lang", "doc_id")
   }
 
@@ -276,7 +286,7 @@ object TextQueries {
       |  SELECT doc_id, lang,
       |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
       |  FROM pre)
-      |SELECT lang, doc_id FROM ranked WHERE rn <= 20
+      |SELECT lang, doc_id, TRUE AS quota_met FROM ranked WHERE rn <= 20
       |ORDER BY lang, doc_id""".stripMargin
 
   /** Deterministic train/val/test split (90/5/5) by key hash — the

@@ -87,8 +87,8 @@ final class UpsertSink(spark: SparkSession, targetDir: String) {
 
   /** Merge a (pre-deduplicated) batch: batch rows beat existing rows
     * per key; `created_at` keeps the oldest value seen for the key.
-    * One window over the union — a single shuffle on the natural key —
-    * but the union's existing side is pruned to the batch's date
+    * One aggregation over the union — a single shuffle on the natural
+    * key — but the union's existing side is pruned to the batch's date
     * partitions, and only those partitions are rewritten. The distinct
     * dates are collected to the driver: bounded by the batch's day
     * span (a handful), never by table or batch row count. */
@@ -133,15 +133,25 @@ final class UpsertSink(spark: SparkSession, targetDir: String) {
       .filter(col("date").isin(dates.toIndexedSeq: _*)) // partition-pruned scan
       .withColumn("_src", lit(0))
       .localCheckpoint(true)
-    val w = Window.partitionBy(Consumption.key.map(col): _*)
-      .orderBy(col("_src").desc)
-    val wAll = Window.partitionBy(Consumption.key.map(col): _*)
-    val merged = existing.unionByName(incoming)
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("_created", min(col("created_at")).over(wAll))
-      .filter(col("_rn") === 1)
-      .withColumn("created_at", col("_created"))
-      .drop("_rn", "_src", "_created")
+    // Skew-immune union-dedup (the [[dedupBatchAgg]] shape, VERDICT
+    // r6 #2): per key the union holds at most two rows with DISTINCT
+    // `_src` values (batch is pre-deduplicated to one row per key,
+    // the table invariantly holds one) — so `max_by(…, _src)` is a
+    // deterministic unique argmax, and partial aggregation collapses
+    // a hot key map-side before the shuffle, where the old
+    // `row_number()` window funneled every row of a key into one
+    // task. `created_at` folds as a second aggregate over the same
+    // shuffle (MIN over both rows — oldest insert wins), replacing
+    // the second window pass.
+    val union = existing.unionByName(incoming)
+    val cols = union.columns
+    val merged = union
+      .groupBy(Consumption.key.map(col): _*)
+      .agg(
+        max_by(struct(cols.map(col): _*), col("_src")).as("_row"),
+        min(col("created_at")).as("_created"))
+      .select(cols.filterNot(_ == "_src").map(c =>
+        (if (c == "created_at") col("_created") else col("_row").getField(c)).as(c)): _*)
     // Dynamic partition overwrite: only the date= directories present
     // in `merged` are replaced, through the committer's staging dir —
     // no window where the live table is deleted. Scoped per-write so

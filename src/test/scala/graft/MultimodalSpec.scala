@@ -142,6 +142,69 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats(2L).brightness != feats(1L).brightness)
   }
 
+  /** 2-frame animated GIF written with the JDK's own GIF sequence
+    * writer: frame 0 all-red 2×2 (luma (255+0+0)/3 = 85), frame 1
+    * all-white 2×2 (luma 255). Solid primary colors survive GIF
+    * palette quantization exactly, so the goldens are exact. */
+  private def testGif(): Array[Byte] = {
+    def frame(rgb: Int) = {
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 2) img.setRGB(x, y, rgb)
+      img
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      Seq(frame(0xff0000), frame(0xffffff)).foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  test("decodeVideoFrames: real 2-frame GIF matches hand-computed per-frame luma") {
+    // duration 1000 ms, 2 sample offsets (0, 500) → frame indices
+    // (0*2/1000=0, 500*2/1000=1): red frame then white frame.
+    val offs = Multimodal.sampleFrameIndices(1000L, 2)
+    val meta = Multimodal.decodeVideoFrames(testGif(), offs, 1000L).get
+    assert(meta.nFrames == 2)
+    assert(meta.frameLumas == Seq(85.0, 255.0))
+    // oversampling clamps to the last frame rather than failing
+    val over = Multimodal.decodeVideoFrames(testGif(),
+      Multimodal.sampleFrameIndices(1000L, 4), 1000L).get
+    assert(over.frameLumas == Seq(85.0, 85.0, 255.0, 255.0))
+  }
+
+  test("decodeVideoFrames: undecodable payloads return None") {
+    assert(Multimodal.decodeVideoFrames("not a gif".getBytes("UTF-8"),
+      Seq(0L), 1000L).isEmpty)
+    assert(Multimodal.decodeVideoFrames(testGif(), Seq.empty, 1000L).isEmpty)
+    assert(Multimodal.decodeVideoFrames(testGif(), Seq(0L), 0L).isEmpty)
+  }
+
+  test("decodeFeatures routes video payloads through the real frame decoder") {
+    val gif = testGif()
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "video", gif, 2, 2, 0, 1000L),
+      // same bytes, kind=image: single-frame ImageIO read sees frame 0
+      Multimodal.MediaRecord(2L, "image", gif, 2, 2, 0, 0L),
+      // video with an undecodable payload: byte-mean pseudo-decode,
+      // frame count from sampleFrameIndices (the documented fallback)
+      Multimodal.MediaRecord(3L, "video", "txt".getBytes("UTF-8"), 0, 0, 0, 1000L))
+    val feats = Multimodal.decodeFeatures(spark, rows.toDF(), framesPerVideo = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).brightness == (85.0 + 255.0) / 2)
+    assert(feats(1L).n_frames_sampled == 2)
+    assert(feats(2L).brightness == 85.0 && feats(2L).n_frames_sampled == 0)
+    assert(feats(3L).brightness == feats(3L).checksum.toDouble / 3)
+    assert(feats(3L).n_frames_sampled == 2)
+  }
+
   test("approx_count_distinct within 5% of exact (HLL sanity)") {
     val ev = graft.queries.IngestQueries.events(spark, sfDir)
     val approx = ev.agg(approx_count_distinct(col("user_id")).as("a"))

@@ -29,10 +29,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q_ann_lsh",        // in-query brute-force baseline (8 queries)
     "q_knn_bruteforce", // 8 broadcast query vectors
     "q_above_avg",      // scalar aggregate broadcast into the filter
-    "q_tpch_q11",       // scalar threshold broadcast (historical)
     "q_tpch_q15",       // scalar max-revenue broadcast
     "q_tpch_q22",       // scalar avg-balance broadcast
-    "q_retention_window") // 1-row high-water-mark scalar broadcast
+    "q_retention_window", // 1-row high-water-mark scalar broadcast
+    "q_watermark_dedup") // 1-row horizon-cut scalar broadcast
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans without unexpected quadratic joins") {
