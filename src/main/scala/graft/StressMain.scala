@@ -1,6 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object StressMain {
+
+  /** Synthesize the adversarial stress corpus from sf0.1 if absent
+    * (/tmp does not survive between rounds): documents and events
+    * duplicated 20× — every document has 19 EXACT copies (worst case
+    * for near-dup banding), events keep per-user volumes by shifting
+    * user ids per copy — orders copied alongside for the as-of join. */
+  def ensureCorpus(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.1"
+    // events.parquet stores TIMESTAMP(NANOS); read/write as raw longs
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!new java.io.File("/tmp/stress/documents.parquet").exists) {
+      val d = Tables.documents(spark, src) // 5 000 docs
+      (0 until 20).map(k => d.select((col("doc_id") + lit(k * 5000L)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")))
+        .reduce(_ unionByName _).coalesce(8)
+        .write.mode("overwrite").parquet("/tmp/stress/documents.parquet")
+    }
+    if (!new java.io.File("/tmp/stress/events.parquet").exists) {
+      val e = Tables.events(spark, src) // 100 000 events, raw nanos ts
+      (0 until 20).map(k => e.select(
+          (col("event_id") + lit(k * 10000000L)).as("event_id"), col("ts"),
+          (col("user_id") + lit(k * 1000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props")))
+        .reduce(_ unionByName _).coalesce(8)
+        .write.mode("overwrite").parquet("/tmp/stress/events.parquet")
+    }
+    if (!new java.io.File("/tmp/stress/orders.parquet").exists)
+      Tables.orders(spark, src).coalesce(4)
+        .write.mode("overwrite").parquet("/tmp/stress/orders.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -13,6 +45,7 @@ object StressMain {
       val n = f
       println(f"[stress] $tag%-24s rows=$n%-9d ${(System.nanoTime()-t0)/1e9}%7.2f s")
     }
+    ensureCorpus(spark)
     Tables.documents(spark, "/tmp/stress").count() // warm
     if (sys.env.contains("SPARK_GRAFT_STRESS_DOCS")) {
     time("token_count 100k")(queries.TextQueries.tokenCountQ(spark, "/tmp/stress").count())

@@ -80,6 +80,70 @@ class StreamingSpec extends SparkTestBase {
     assert(out.filter(col("client_id") === "CLI001").count() == 1)
   }
 
+  test("watermarked dedup: stream agrees with the batch first-seen-within-horizon rule") {
+    // Cross-check of the T4 semantics against its BATCH TWIN (the
+    // q_watermark_dedup rule): keys kept by the stream across two
+    // micro-batch runs — the second carrying one too-late file and
+    // one in-horizon file — must equal the batch rule's key set
+    // (rows within 30 days of the max observed event time, one per
+    // key) computed over the same CSV fixture.
+    val base = Fixtures.tempDir("wmdedup")
+    val data = base.resolve("data")
+    val ckpt = base.resolve("ckpt").toString
+    // foreachBatch sink: the memory sink cannot RESUME from a
+    // checkpoint, and this test's whole point is the watermark
+    // surviving the restart between run 1 and run 2
+    def runOnce(tag: String): Set[(String, String)] = {
+      val outDir = base.resolve(s"out_$tag").toString
+      val q = IngestStream.dedupStream(spark, data.toString)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select("date", "client_id").write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      if (!new java.io.File(outDir).exists) Set.empty
+      else spark.read.parquet(outDir).collect()
+        .map(r => (r.get(0).toString, r.getString(1))).toSet
+    }
+    // run 1: recent days (incl. an in-batch duplicate key) — advances
+    // the persisted watermark to 2025-05-02 minus 30 days
+    Fixtures.writeDay(data, "2025_05_01",
+      Seq(Fixtures.clientRow("2025-05-01", 1, "A", "1"),
+        Fixtures.clientRow("2025-05-01", 1, "B", "2")))
+    Fixtures.writeDay(data, "2025_05_02",
+      Seq(Fixtures.clientRow("2025-05-02", 2, "C", "3")))
+    val kept1 = runOnce("wmdedup_t1")
+    // run 2: a 62-days-late file (behind the restored watermark →
+    // dropped) plus an in-horizon file (kept)
+    Fixtures.writeDay(data, "2025_03_01",
+      Seq(Fixtures.clientRow("2025-03-01", 3, "D", "4")))
+    Fixtures.writeDay(data, "2025_04_15",
+      Seq(Fixtures.clientRow("2025-04-15", 4, "E", "5")))
+    val kept2 = runOnce("wmdedup_t2")
+
+    // batch twin over the SAME files: horizon filter then one row per
+    // key — the exact rule q_watermark_dedup hash-gates on events
+    val parsed = graft.ingest.CsvIngest.parse(
+        spark.read.option("header", "true")
+          .schema(graft.model.Consumption.rawSchema)
+          .csv(s"$data/consumption_*"))
+      .filter(col("date").isNotNull)
+    val cut = parsed.agg(date_sub(max(col("date")), 30).as("cut"))
+    val expected = parsed.crossJoin(broadcast(cut))
+      .filter(col("date") >= col("cut"))
+      .select("date", "client_id").distinct()
+      .collect().map(r => (r.get(0).toString, r.getString(1))).toSet
+
+    assert(!(kept1 ++ kept2).exists(_._2 == "CLI003"), "late row must be dropped")
+    assert(kept2.exists(_._2 == "CLI004"), "in-horizon row must be kept")
+    assert(kept1 ++ kept2 == expected,
+      s"stream keys ${kept1 ++ kept2} != batch-rule keys $expected")
+  }
+
   test("windowed daily rollup with 30-day watermark (T4)") {
     val base = Fixtures.tempDir("rollup")
     val data = base.resolve("data")
