@@ -29,7 +29,10 @@ object Plans {
       // optimizer (size stats / AQE) choosing BroadcastHashJoin at
       // test SF with no hint in the query
       "q_join_inner", "q_interval_join", "q_tpch_q3", "q_tpch_q5",
-      "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q11")
+      "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q11",
+      // r7 additions: horizon-scalar broadcast + key window; drop-list
+      // projection over the components labels
+      "q_watermark_dedup", "q_dedup_droplist")
     val sb = new StringBuilder
     for (name <- picks) {
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -78,6 +78,63 @@ class StatefulStreamingSpec extends SparkTestBase {
     assert(got == Set((ts(21), ts(24), 2L, 3.0)))
   }
 
+  test("sessionizer agrees with the batch gaps-and-islands rule on a generated corpus") {
+    // Cross-check against the BATCH twin (the oracle-green
+    // q_sessionize shape): 200 deterministic events over 5 users,
+    // delivered in ONE micro-batch (so no straggler semantics are in
+    // play), then flushed via watermark timeout — the closed-session
+    // set must equal the gaps-and-islands computation over the same
+    // rows. Values are small integers so double sums are exact and
+    // order-independent across the two engines.
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 5 * 60000L
+    val rnd = new scala.util.Random(42)
+    var clock = Map.empty[Long, Long].withDefaultValue(3600000L)
+    val events = (1 to 200).map { i =>
+      val u = (i % 5) + 1L
+      // inter-event gaps straddle the 5-min threshold: 0-9 minutes
+      clock += u -> (clock(u) + rnd.nextInt(10) * 60000L)
+      Event(u, new Timestamp(clock(u)), (i % 7).toDouble)
+    }
+    val input = MemoryStream[Event]
+    val sessions = StatefulSessionizer.sessionize(spark, input.toDS(), gapMs)
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions_xcheck").start()
+    input.addData(events: _*)
+    q.processAllAvailable()
+    // two far-future batches for a dummy user: the first advances the
+    // watermark past every open session + gap, the second lets the
+    // event-time timeouts fire and emit them
+    input.addData(Event(99L, new Timestamp(clock.values.max + 86400000L), 0.0))
+    q.processAllAvailable()
+    input.addData(Event(99L, new Timestamp(clock.values.max + 86400001L), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions_xcheck").as[ClosedSession].collect()
+      .filter(_.user_id != 99L)
+      .map(s => (s.user_id, s.start.getTime, s.end.getTime, s.n_events, s.total_value))
+      .toSet
+
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = events.toDF()
+      .withColumn("ms", col("ts").cast("long") * 1000)
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+      .withColumn("new_s",
+        when(col("gap").isNull || col("gap") > gapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(wRun))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ms")).as("start"), max(col("ms")).as("end"),
+        count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSet
+    assert(streamed == expected,
+      s"stream sessions (${streamed.size}) != batch rule (${expected.size})")
+  }
+
   test("flatMapGroupsWithState sessionizer: gap split + watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
