@@ -133,6 +133,27 @@ class AppConfigSpec extends AnyFunSuite with SparkTestBase {
     assert(rLocal.hadoopConf.isEmpty)
   }
 
+  test("Resolved.toString masks object-store credentials (loggable like DbConfig)") {
+    val env = storageEnv ++ localDbEnv ++
+      Map(Log.PlatformMarker -> "cluster-7", "SECRET_NAME" -> "prod/db")
+    val r = AppConfig.resolve(env, fetchSecret = _ => s3Secret,
+      today = LocalDate.parse("2025-05-04"))
+    assert(r.hadoopConf("fs.s3a.secret.key") == "secret-sk") // value intact
+    val rendered = r.toString
+    assert(!rendered.contains("secret-sk"), "secret key leaked into toString")
+    assert(!rendered.contains("secret-ak"), "access key leaked into toString")
+    assert(rendered.contains("fs.s3a.endpoint"),
+      "non-sensitive keys should still render")
+  }
+
+  test("JSON null secret fields are treated as absent, not the string 'null'") {
+    // a null endpoint must NOT configure fs.s3a.endpoint=null (which
+    // would also flip the path-style default on)
+    val conf = AppConfig.s3aConf(Map.empty,
+      Some("""{"S3_ENDPOINT": null, "S3_ACCESS_KEY": "ak"}"""))
+    assert(conf == Map("fs.s3a.access.key" -> "ak"))
+  }
+
   test("non-file scheme DATA_ROOT builds object-store paths unchanged") {
     val env = storageEnv.updated("DATA_ROOT", "s3a://ingest-bucket") ++ localDbEnv
     val p = AppConfig.resolve(env, today = LocalDate.parse("2025-05-04")).pipeline

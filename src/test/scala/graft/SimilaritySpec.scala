@@ -62,6 +62,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(hits >= 4, s"IVF recall too low: $hits/5")
   }
 
+  test("every ann-gate query has >= k band/probe candidates at test SF") {
+    // Backs the ann gate's exactly-5 result contract (VectorQueries
+    // .annGate): calling the production operators with an unbounded k
+    // returns the FULL ranked candidate list, so the per-query counts
+    // measured here are exactly what the gate's k=5 cut sees. The
+    // gate itself now tolerates candidate starvation (left join from
+    // the query ids → structure_ok=false), so this spec is the early
+    // warning, not the safety net.
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 8)
+    for ((name, res) <- Seq(
+        "lsh" -> Similarity.lshTopK(e, q, k = Int.MaxValue),
+        "ivf" -> Similarity.ivfTopK(e, q, k = Int.MaxValue))) {
+      val counts = res.groupBy("q_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(counts.size == 8, s"$name: a query produced ZERO candidates")
+      val minC = counts.values.min
+      info(s"$name per-query candidates: min=$minC max=${counts.values.max}")
+      assert(minC >= 5, s"$name min candidates $minC < k=5")
+    }
+  }
+
   test("lshTopK candidates are a subset re-ranked by exact cosine") {
     val queries = corpus.filter($"vec_id" === 0)
     val brute = Similarity.bruteForceTopK(corpus, queries, k = 5)
