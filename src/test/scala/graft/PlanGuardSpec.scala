@@ -28,8 +28,6 @@ class PlanGuardSpec extends SparkTestBase {
     "q_ann_ivf",        // 16-centroid assignment + probe (constants)
     "q_ann_lsh",        // in-query brute-force baseline (8 queries)
     "q_knn_bruteforce", // 8 broadcast query vectors
-    "q_above_avg",      // scalar aggregate broadcast into the filter
-    "q_tpch_q15",       // scalar max-revenue broadcast
     "q_tpch_q22",       // scalar avg-balance broadcast
     "q_retention_window", // 1-row high-water-mark scalar broadcast
     "q_watermark_dedup") // 1-row horizon-cut scalar broadcast
@@ -43,5 +41,21 @@ class PlanGuardSpec extends SparkTestBase {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin but is not allowlisted")
     }
+  }
+
+  test("BNLJ allowlist has no rot: every entry still plans a BNLJ") {
+    // The inverse guard: an allowlist entry whose query no longer
+    // plans a BroadcastNestedLoopJoin is stale and would silently
+    // permit a future BNLJ REGRESSION in that query to pass (this is
+    // exactly how the q_tpch_q11 entry rotted when q11 was rewritten
+    // to TakeOrderedAndProject) — force the allowlist to shrink with
+    // the plans.
+    val stale = bnljAllowed.toSeq.sorted.filterNot { name =>
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin")
+    }
+    assert(stale.isEmpty,
+      s"allowlist entries no longer planning a BNLJ (remove them): $stale")
   }
 }
