@@ -236,7 +236,62 @@ object Multimodal {
     else (0 until n).map(i => i * durationMs / n)
 
   /** "Resize": STUB that rewrites metadata only (a codec would
-    * transcode payload); keeps schema + nullability intact. */
+    * transcode payload); keeps schema + nullability intact. Retained
+    * as the zero-decode metadata path; [[resize]] is the real kernel. */
   def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("width", lit(w)).withColumn("height", lit(h))
+
+  /** REAL single-image resize — pure JDK: `javax.imageio` decode,
+    * explicit nearest-neighbor scale (`dst(x,y) = src(⌊x·sw/w⌋,
+    * ⌊y·sh/h⌋)` — deterministic pixel SELECTION, no interpolation
+    * rounding, goldens hand-computable; also sidesteps
+    * `AffineTransformOp`'s refusal to transform the TYPE_3BYTE_BGR
+    * frames ImageIO decodes in headless JVMs), PNG re-encode
+    * (lossless, every JRE ships the writer). None when no reader
+    * understands the payload. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .filter(img => img.getWidth > 0 && img.getHeight > 0 && w > 0 && h > 0)
+        .map { img =>
+          val (sw, sh) = (img.getWidth, img.getHeight)
+          val dst = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            val sy = (y.toLong * sh / h).toInt
+            var x = 0
+            while (x < w) {
+              dst.setRGB(x, y, img.getRGB((x.toLong * sw / w).toInt, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", out)
+          out.toByteArray
+        }
+    } catch { case _: Exception => None }
+
+  /** Batched resize over a media frame — the real transcode analogue
+    * of [[decodeFeatures]]: decodable image payloads are genuinely
+    * rescaled and re-encoded (PNG) inside the batched per-partition
+    * kernel; payloads without a JDK reader (text-byte corpora,
+    * codec-less containers) keep their bytes and only the metadata
+    * updates — the documented [[resizeStub]] fallback, unchanged in
+    * schema and nullability. */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val resized =
+            if (m.kind == "image") resizeImage(m.payload, w, h) else None
+          m.copy(payload = resized.getOrElse(m.payload), width = w, height = h)
+        }
+      }
+    }.toDF()
+  }
 }

@@ -57,6 +57,44 @@ class MultimodalSpec extends SparkTestBase {
       media.agg(sum(length(col("payload")))).collect()(0).getLong(0))
   }
 
+  test("resizeImage: 2x2 PNG upscaled 2x has exactly duplicated pixels (nearest)") {
+    // distinct primary colors per quadrant → nearest-neighbor 2× maps
+    // pixel (x,y) of the source to the 2×2 block at (2x,2y) exactly
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val resized = Multimodal.resizeImage(out.toByteArray, 4, 4).get
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(dec.getWidth == 4 && dec.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((dec.getRGB(x, y) & 0xffffff) == (img.getRGB(x / 2, y / 2) & 0xffffff),
+        s"pixel ($x,$y)")
+    // undecodable payloads return None (caller falls back to metadata-only)
+    assert(Multimodal.resizeImage("not an image".getBytes("UTF-8"), 4, 4).isEmpty)
+  }
+
+  test("resize kernel: image payloads transcode, others keep bytes") {
+    val png = testPng() // 4×4 RGB
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "image", png, 4, 4, 0, 0L),
+      Multimodal.MediaRecord(2L, "audio", png, 0, 0, 16000, 1000L))
+    val r = Multimodal.resize(spark, rows.toDF(), 8, 8)
+      .collect().map(x => x.getAs[Long]("media_id") ->
+        (x.getAs[Array[Byte]]("payload"), x.getAs[Int]("width"))).toMap
+    // image row: payload really transcoded — decodes at the new size
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r(1L)._1))
+    assert(dec.getWidth == 8 && dec.getHeight == 8)
+    // mean luminance is preserved exactly by nearest-neighbor 2×
+    // upscale of a 4×4 image (every source pixel duplicated 4×)
+    assert(Multimodal.decodeImage(r(1L)._1).get.meanLuma == 2816.0 / 48.0)
+    // non-image row: bytes untouched, metadata updated
+    assert(r(2L)._1.sameElements(png) && r(2L)._2 == 8)
+  }
+
   // --- real javax.imageio decode path --------------------------------
 
   /** 4×4 RGB PNG with pixel (x,y) = (x*16, y*16, 128), encoded with
