@@ -53,6 +53,9 @@ object StressMain {
     time("ngram_jaccard 100k")(queries.TextQueries.dedupNgramJaccard(spark, "/tmp/stress").count())
     time("minhash 100k")(queries.DedupQueries.minhashQ(spark, "/tmp/stress").count())
     time("simhash 100k")(queries.DedupQueries.simhashQ(spark, "/tmp/stress").count())
+    // components over the ~4M-pair duplicate graph (20-clique blocks):
+    // the CC operator's edge-volume stress — rounds stay O(log d)
+    time("dedup_clusters 100k")(queries.DedupQueries.clustersQ(spark, "/tmp/stress").count())
     }
     // embeddings-side stress: 40k vectors = 20x sf0.1, every vector
     // has 19 planted exact duplicates (worst case for banding).

@@ -158,11 +158,21 @@ object DedupQueries {
     * jumped min-label propagation, O(log diameter) rounds, throwing
     * rather than returning silently-wrong labels if unconverged. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    // ONE checkpoint, of the symmetrized union: Spark reuses the
+    // simhash subtree across the two union branches during the
+    // materialization (ReusedExchange), and the CC rounds then read a
+    // single materialized edge frame. Both alternatives measured
+    // WORSE on the 100k duplication stress (7.5M directed edges):
+    // checkpointing only the pairs and leaving the union lazy made
+    // every CC round re-plan/re-scan the view (2.6× slower);
+    // checkpointing pairs AND union added a redundant materialization
+    // for no gain. Iterative consumers want exactly one materialized
+    // input.
     val pairs = SimHashDedup.nearDupPairs(s, Tables.documents(s, dir),
       "doc_id", "text", maxHamming = 12)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true) // consumed every iteration; sever the simhash tree
+      .localCheckpoint(true)
     graft.operators.ConnectedComponents.minLabels(edges)._1
   }
 
