@@ -56,7 +56,14 @@ object ConnectedComponents {
     *              `dst`) — callers emit each undirected pair in both
     *              directions. Assumed already materialized
     *              (checkpointed/persisted) by the caller: it is
-    *              re-consumed every round.
+    *              re-consumed every round, and a lazy view here is
+    *              re-planned per round (measured 2.6× slower on the
+    *              7.5M-edge stress — PLANS.md). On a real cluster
+    *              with a multi-TB edge list, prefer a RELIABLE
+    *              checkpoint (`spark.sparkContext.setCheckpointDir` +
+    *              `checkpoint()`) over `localCheckpoint` — executor
+    *              loss under local checkpointing kills the lineage-
+    *              severed frame mid-iteration.
     * @return (labels frame `(node, label)` where `label` is the
     *         smallest node id in the component, rounds executed)
     */
