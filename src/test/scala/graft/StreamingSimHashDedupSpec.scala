@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingSimHashDedup
+import graft.streaming.StreamingSimHashDedup.{Doc, Verdict}
+
+/** Streaming near-dup dedup (VERDICT r7 #4): the continuous simhash
+  * band index must agree with the oracle-green BATCH rule
+  * ([[graft.operators.SimHashDedup.nearDupPairs]]) on a generated
+  * corpus — the same cross-check recipe that validated the stateful
+  * sessionizer in r7 — plus the horizon and state-cap contracts the
+  * batch form has no analogue for. */
+class StreamingSimHashDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val t0 = 3600000L
+  private def ts(min: Long) = new Timestamp(t0 + min * 60000L)
+
+  /** Deterministic corpus: 60 docs over a 40-word vocabulary, ids in
+    * event-time order. Every 4th doc is a near-copy of its
+    * predecessor (one token swapped — Hamming a few bits), every 7th
+    * an exact copy of an earlier doc; the rest are random and land
+    * far apart in simhash space. */
+  private def corpus(): Seq[Doc] = {
+    val rnd = new scala.util.Random(1234)
+    val vocab = (0 until 40).map(i => s"tok$i")
+    def randText() = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val texts = new scala.collection.mutable.ArrayBuffer[String]
+    (0 until 60).foreach { i =>
+      val text =
+        if (i % 4 == 1 && i > 0) {
+          val toks = texts(i - 1).split(' ')
+          toks.updated(rnd.nextInt(toks.length), vocab(rnd.nextInt(vocab.size)))
+            .mkString(" ")
+        } else if (i % 7 == 2 && i >= 2) texts(i - 2)
+        else randText()
+      texts += text
+    }
+    texts.zipWithIndex.map { case (t, i) => Doc(i.toLong, ts(i.toLong), t) }.toSeq
+  }
+
+  private def runStream(docs: Seq[Seq[Doc]], name: String,
+      horizonMs: Long = 24 * 3600000L, maxPerBand: Int = 200): Seq[Verdict] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val out = StreamingSimHashDedup.verdicts(spark, input.toDS(),
+      maxHamming = 3, horizonMs = horizonMs,
+      watermarkDelayMs = 10 * 60000L, maxPerBand = maxPerBand)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    docs.foreach { batch => input.addData(batch: _*); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).as[Verdict].collect().toSeq
+  }
+
+  test("streaming verdicts equal the batch simhash pair set on a generated corpus") {
+    val docs = corpus()
+    // three micro-batches in event-time order — near-dup pairs span
+    // batch boundaries, so cross-batch state is genuinely exercised
+    val streamed = runStream(Seq(docs.take(20), docs.slice(20, 40), docs.drop(40)),
+      "simdedup_xcheck")
+    val streamPairs = streamed.map(v => (v.dup_of, v.doc_id)).toSet
+    val batchPairs = graft.operators.SimHashDedup.nearDupPairs(
+        spark, docs.toDF(), "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty, "fixture produced no near-dup pairs — corpus broken")
+    assert(streamPairs == batchPairs,
+      s"stream pairs (${streamPairs.size}) != batch pairs (${batchPairs.size}): " +
+        s"onlyStream=${(streamPairs -- batchPairs).take(5)} " +
+        s"onlyBatch=${(batchPairs -- streamPairs).take(5)}")
+    // hamming must be the exact batch value, not just ≤ threshold
+    val batchHam = graft.operators.SimHashDedup.nearDupPairs(
+        spark, docs.toDF(), "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    streamed.foreach { v =>
+      assert(batchHam((v.dup_of, v.doc_id)) == v.hamming,
+        s"hamming mismatch for (${v.dup_of}, ${v.doc_id})")
+    }
+  }
+
+  test("event-time horizon: an identical doc beyond the horizon is NOT a dup") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val horizon = 30 * 60000L // 30 min
+    val docs = Seq(
+      Seq(Doc(1L, ts(0), text)),
+      Seq(Doc(2L, ts(40), text)), // 40 min later: outside the horizon
+      Seq(Doc(3L, ts(45), text))) // 5 min after doc 2: inside
+    val got = runStream(docs, "simdedup_horizon", horizonMs = horizon)
+      .map(v => (v.dup_of, v.doc_id)).toSet
+    assert(got == Set((2L, 3L)),
+      s"expected only (2,3) inside the horizon, got $got")
+  }
+
+  test("maxPerBand cap: overflow docs are verified but not retained") {
+    val text = "one two three four five six seven eight nine ten"
+    val docs = Seq(Seq(
+      Doc(1L, ts(0), text), Doc(2L, ts(1), text), Doc(3L, ts(2), text)))
+    val got = runStream(docs, "simdedup_cap", maxPerBand = 1)
+      .map(v => (v.dup_of, v.doc_id)).toSet
+    // only doc 1 is retained (cap 1): docs 2 and 3 both flag against
+    // it; the (2,3) pair is NOT emitted because 2 was never indexed
+    assert(got == Set((1L, 2L), (1L, 3L)), s"got $got")
+  }
+}
