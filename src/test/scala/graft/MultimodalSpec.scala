@@ -50,8 +50,8 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.sampleFrameIndices(1000, 0).isEmpty)
   }
 
-  test("resizeStub rewrites metadata, preserves payload") {
-    val r = Multimodal.resizeStub(media, 32, 32)
+  test("metadataOnlyResize rewrites metadata, preserves payload") {
+    val r = Multimodal.metadataOnlyResize(media, 32, 32)
     assert(r.select("width").distinct().collect().map(_.getInt(0)).toSeq == Seq(32))
     assert(r.agg(sum(length(col("payload")))).collect()(0).getLong(0) ==
       media.agg(sum(length(col("payload")))).collect()(0).getLong(0))
@@ -241,6 +241,62 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats(2L).brightness == 85.0 && feats(2L).n_frames_sampled == 0)
     assert(feats(3L).brightness == feats(3L).checksum.toDouble / 3)
     assert(feats(3L).n_frames_sampled == 2)
+  }
+
+  // --- pure-JDK ISO-BMFF (MP4) container parse -----------------------
+
+  /** Hand-built minimal MP4 box sequence (no codec, no fixtures):
+    * ftyp(brand) + moov[ mvhd(v0, timescale, duration) + n×trak ].
+    * Byte layout follows ISO/IEC 14496-12 §4.2 box framing. */
+  private def testMp4(brand: String = "isom", timescale: Int = 1000,
+      duration: Int = 5000, nTracks: Int = 2): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(typ.getBytes("US-ASCII")); bb.put(payload)
+      bb.array()
+    }
+    // mvhd v0 payload: version/flags, creation, modification,
+    // timescale, duration, then (unparsed) rate/volume/etc padding
+    val mvhd = java.nio.ByteBuffer.allocate(100)
+    mvhd.putInt(0) // version 0 + flags
+    mvhd.putInt(0).putInt(0) // creation, modification
+    mvhd.putInt(timescale).putInt(duration)
+    val moov = box("mvhd", mvhd.array()) ++
+      Array.fill(nTracks)(box("trak", Array.emptyByteArray)).flatten
+    box("ftyp", (brand + "mp42").getBytes("US-ASCII")) ++ box("moov", moov)
+  }
+
+  test("parseMp4: hand-built box sequence matches the golden") {
+    val meta = Multimodal.parseMp4(testMp4()).get
+    assert(meta.brand == "isom")
+    assert(meta.timescale == 1000L)
+    assert(meta.durationMs == 5000L) // 5000 units / 1000 units-per-sec
+    assert(meta.nTracks == 2)
+    // non-1000 timescale converts: 90000 units/s, 450000 units = 5 s
+    val m2 = Multimodal.parseMp4(
+      testMp4(brand = "mp41", timescale = 90000, duration = 450000, nTracks = 1)).get
+    assert(m2.brand == "mp41" && m2.durationMs == 5000L && m2.nTracks == 1)
+  }
+
+  test("parseMp4: malformed or foreign payloads return None") {
+    assert(Multimodal.parseMp4("not an mp4 at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseMp4(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.parseMp4(testMp4().take(20)).isEmpty) // truncated moov
+    assert(Multimodal.parseMp4(testPng()).isEmpty) // valid media, wrong format
+    assert(Multimodal.parseMp4(testGif()).isEmpty)
+  }
+
+  test("containerMeta kernel: video MP4 rows parse, others drop") {
+    val mp4 = testMp4()
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "video", mp4, 0, 0, 0, 5000L),
+      Multimodal.MediaRecord(2L, "video", "opaque".getBytes("UTF-8"), 0, 0, 0, 0L),
+      Multimodal.MediaRecord(3L, "image", mp4, 0, 0, 0, 0L)) // wrong kind
+    val got = Multimodal.containerMeta(spark, rows.toDF()).collect()
+    assert(got.map(_.media_id).toSeq == Seq(1L))
+    assert(got.head.brand == "isom" && got.head.duration_ms == 5000L &&
+      got.head.n_tracks == 2)
   }
 
   test("approx_count_distinct within 5% of exact (HLL sanity)") {
