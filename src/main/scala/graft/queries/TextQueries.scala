@@ -460,23 +460,62 @@ object TextQueries {
       |FROM fps LEFT JOIN train_fps USING (fp)
       |GROUP BY split ORDER BY split""".stripMargin
 
-  /** PII masking (data-hygiene pass before export): digits in contact
-    * fields replaced with '#'. Pure codegen'd `regexp_replace`, no
-    * UDF; the pattern set extends to emails/SSNs the same way. DuckDB
-    * needs the 'g' flag to match Spark's replace-all semantics. */
-  def redactPii(s: SparkSession, dir: String): DataFrame =
+  /** PII masking (data-hygiene pass before export) — a RULE CHAIN,
+    * not just digit masking (VERDICT r7 #7): email shapes →
+    * `[EMAIL]`, international phone shapes → `[PHONE]`, then residual
+    * digits → '#', applied in that order so the structured rules fire
+    * before the catch-all destroys their anchors. The corpus carries
+    * no real contact strings, so a contact blob is synthesized
+    * deterministically from customer fields (same recipe as
+    * `q_text_clean`'s dirty-text synthesis). Pure codegen'd
+    * `regexp_replace` chain, no UDF; patterns are RE2-safe so Spark's
+    * Java regex and DuckDB's RE2 agree byte-for-byte. DuckDB needs
+    * the 'g' flag to match Spark's replace-all semantics. */
+  def redactPii(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat(col("c_name"),
+      lit(" email cust"), col("c_custkey").cast(StringType),
+      lit("@mail.example.com phone +1-555-"),
+      lpad(col("c_custkey").cast(StringType), 4, "0"),
+      lit(" ext "), col("c_custkey").cast(StringType))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+    val masked = regexp_replace(
+      regexp_replace(regexp_replace(contact, emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"),
+      "[0-9]", "#")
     Tables.customer(s, dir)
       .filter(col("c_custkey") <= 100)
       .select(col("c_custkey"),
-        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
-        length(col("c_name")).as("n_orig"))
+        masked.as("masked"),
+        masked.contains("[EMAIL]").as("email_redacted"),
+        masked.contains("[PHONE]").as("phone_redacted"),
+        // the chain must leave NO raw digits or at-signs behind
+        (masked.rlike("[0-9]") || masked.contains("@")).as("residual_pii"),
+        length(contact).as("n_orig"))
       .orderBy("c_custkey")
+  }
 
   val redactPiiSql: String =
-    """SELECT c_custkey,
-      |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
-      |  CAST(length(c_name) AS INT) AS n_orig
-      |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin
+    """WITH c AS (
+      |  SELECT c_custkey,
+      |    c_name || ' email cust' || CAST(c_custkey AS VARCHAR)
+      |      || '@mail.example.com phone +1-555-'
+      |      || lpad(CAST(c_custkey AS VARCHAR), 4, '0')
+      |      || ' ext ' || CAST(c_custkey AS VARCHAR) AS contact
+      |  FROM customer WHERE c_custkey <= 100),
+      |m AS (
+      |  SELECT c_custkey, contact,
+      |    regexp_replace(regexp_replace(regexp_replace(contact,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+      |      '[0-9]', '#', 'g') AS masked
+      |  FROM c)
+      |SELECT c_custkey, masked,
+      |  contains(masked, '[EMAIL]') AS email_redacted,
+      |  contains(masked, '[PHONE]') AS phone_redacted,
+      |  (regexp_matches(masked, '[0-9]') OR contains(masked, '@')) AS residual_pii,
+      |  CAST(length(contact) AS INT) AS n_orig
+      |FROM m ORDER BY c_custkey""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_vocab_topk", vocabTopk, Some(vocabTopkSql)),
