@@ -7,19 +7,27 @@ object StressMain {
     * duplicated 20× — every document has 19 EXACT copies (worst case
     * for near-dup banding), events keep per-user volumes by shifting
     * user ids per copy — orders copied alongside for the as-of join. */
+  /** A parquet dir counts as present only when its `_SUCCESS` marker
+    * landed (ADVICE r7): a crashed partial write leaves the directory
+    * without the marker, and a bare exists() check would then pin the
+    * corrupt corpus forever. mode=overwrite on rebuild clears the
+    * partial remains. */
+  private def complete(dir: String): Boolean =
+    new java.io.File(dir, "_SUCCESS").exists
+
   def ensureCorpus(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions._
     val src = "/root/testdata/sf0.1"
     // events.parquet stores TIMESTAMP(NANOS); read/write as raw longs
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if (!new java.io.File("/tmp/stress/documents.parquet").exists) {
+    if (!complete("/tmp/stress/documents.parquet")) {
       val d = Tables.documents(spark, src) // 5 000 docs
       (0 until 20).map(k => d.select((col("doc_id") + lit(k * 5000L)).as("doc_id"),
           col("text"), col("lang"), col("source"), col("n_chars")))
         .reduce(_ unionByName _).coalesce(8)
         .write.mode("overwrite").parquet("/tmp/stress/documents.parquet")
     }
-    if (!new java.io.File("/tmp/stress/events.parquet").exists) {
+    if (!complete("/tmp/stress/events.parquet")) {
       val e = Tables.events(spark, src) // 100 000 events, raw nanos ts
       (0 until 20).map(k => e.select(
           (col("event_id") + lit(k * 10000000L)).as("event_id"), col("ts"),
@@ -28,7 +36,7 @@ object StressMain {
         .reduce(_ unionByName _).coalesce(8)
         .write.mode("overwrite").parquet("/tmp/stress/events.parquet")
     }
-    if (!new java.io.File("/tmp/stress/orders.parquet").exists)
+    if (!complete("/tmp/stress/orders.parquet"))
       Tables.orders(spark, src).coalesce(4)
         .write.mode("overwrite").parquet("/tmp/stress/orders.parquet")
   }
@@ -64,12 +72,13 @@ object StressMain {
     // 32x4 geometry is a recall trade-off for the small noise corpus.
     if (sys.env.contains("SPARK_GRAFT_STRESS_EMB")) {
       import org.apache.spark.sql.functions._
-      val embPath = new java.io.File("/tmp/stress/embeddings.parquet")
-      if (!embPath.exists) {
+      val embPath = "/tmp/stress/embeddings.parquet"
+      if (!complete(embPath)) {
         val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
         (0 until 20).map(k => e.select((col("vec_id") + lit(k * 5000L)).as("vec_id"),
             col("embedding"), col("label")))
-          .reduce(_ unionByName _).coalesce(8).write.parquet(embPath.toString)
+          .reduce(_ unionByName _).coalesce(8)
+          .write.mode("overwrite").parquet(embPath)
       }
       time("embed_neardup 40k")(queries.VectorQueries.embedNearDupWith(
         spark, "/tmp/stress", nBands = 4, bitsPerBand = 16,
@@ -122,6 +131,56 @@ object StressMain {
       time("merge 90%-hot re-merge")(
         mergeSink.merge(mergeSink.dedupBatchAgg(skewed, "_ord").drop("_ord")))
       uni.unpersist(); skewed.unpersist()
+    }
+    // Materializer ablation (VERDICT r7 #1): the SAME 7.5M-edge
+    // duplication graph labeled under executor-resident localCheckpoint
+    // vs reliable checkpoint() — the price of surviving executor loss
+    // is the per-round DFS write, measured here.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_CKPT")) {
+      import org.apache.spark.sql.functions._
+      val pairs = operators.SimHashDedup.nearDupPairs(spark,
+        Tables.documents(spark, "/tmp/stress"), "doc_id", "text", maxHamming = 12)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint(true)
+      println(s"[stress] cc edge count          rows=${edges.count()}")
+      time("cc local ckpt")(
+        operators.ConnectedComponents.minLabels(edges)._1.count())
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/stress_cc_ckpt"))
+      time("cc reliable ckpt")(
+        operators.ConnectedComponents.minLabels(edges,
+          mat = operators.Materializer.Reliable("/tmp/stress_cc_ckpt"))._1.count())
+    }
+    // 10× dedup scale ablation (VERDICT r7 #8): ~1M docs = 50k DISTINCT
+    // texts (5k base docs × 10 variants, each variant prefixed with 12
+    // variant-specific tokens so simhash signatures land far apart
+    // across variants) × 20 exact copies each. Same clique structure as
+    // the 100k corpus at 10× the doc and edge volume — the cost curve
+    // must track edge volume (linear-ish), not rounds.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_1M")) {
+      import org.apache.spark.sql.functions._
+      if (!complete("/tmp/stress1m/documents.parquet")) {
+        val d = Tables.documents(spark, "/root/testdata/sf0.1")
+        (0 until 200).map { k =>
+          val v = k / 20
+          val vtoks = (0 until 12).map(j => s"v${v}x$j").mkString(" ") + " "
+          d.select((col("doc_id") + lit(k * 5000L)).as("doc_id"),
+            (if (v == 0) col("text")
+             else concat(lit(vtoks), col("text"))).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _).coalesce(16)
+          .write.mode("overwrite").parquet("/tmp/stress1m/documents.parquet")
+      }
+      time("simhash pairs 1M")(operators.SimHashDedup.nearDupPairs(spark,
+        Tables.documents(spark, "/tmp/stress1m"), "doc_id", "text",
+        maxHamming = 12).count())
+      time("dedup_clusters 1M")(
+        queries.DedupQueries.clustersQ(spark, "/tmp/stress1m").count())
+      // second consumer rides the session memo — pays only the
+      // projection, proving the clusters/droplist family shares one
+      // CC run per (session, dir)
+      time("dedup_droplist 1M")(
+        queries.DedupQueries.droplistQ(spark, "/tmp/stress1m").count())
     }
     // events-side stress (2M events, 20x sf0.1; orders copied alongside)
     time("ingest_dedup 2M")(queries.IngestQueries.ingestDedup(spark, "/tmp/stress").count())

@@ -85,13 +85,28 @@ final class UpsertSink(spark: SparkSession, targetDir: String) {
       .select(cols.map(c => col("_row").getField(c).as(c)): _*)
   }
 
-  /** Merge a (pre-deduplicated) batch: batch rows beat existing rows
+  /** Merge a possibly-duplicated batch: applies the skew-immune
+    * [[dedupBatchAgg]] (greatest `orderCol` wins per key) before the
+    * keyed merge — the safe entry point when the caller cannot
+    * guarantee one-row-per-key. Same cost shape as dedup-then-merge
+    * by hand: one extra map-side-combining aggregation. */
+  def merge(batch: DataFrame, orderCol: String): Long =
+    merge(dedupBatchAgg(batch, orderCol).drop(orderCol))
+
+  /** Merge a PRE-DEDUPLICATED batch: batch rows beat existing rows
     * per key; `created_at` keeps the oldest value seen for the key.
     * One aggregation over the union — a single shuffle on the natural
     * key — but the union's existing side is pruned to the batch's date
     * partitions, and only those partitions are rewritten. The distinct
     * dates are collected to the driver: bounded by the batch's day
-    * span (a handful), never by table or batch row count. */
+    * span (a handful), never by table or batch row count.
+    *
+    * CONTRACT: at most one row per natural key. The union-dedup's
+    * `max_by(_src)` argmax is deterministic ONLY under that invariant
+    * (per key: one table row `_src=0`, one batch row `_src=1`); a
+    * duplicated batch silently keeps an arbitrary row per key. Callers
+    * with raw batches use [[merge(batch:DataFrame,orderCol:String)*]],
+    * which dedups deterministically first. */
   def merge(batch: DataFrame): Long = {
     val now = current_timestamp()
     val incoming = batch

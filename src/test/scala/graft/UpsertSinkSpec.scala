@@ -103,6 +103,26 @@ class UpsertSinkSpec extends SparkTestBase {
     finally { batch.unpersist(); () }
   }
 
+  test("merge(batch, orderCol) dedups a duplicated batch deterministically") {
+    // ADVICE r7: the 1-arg merge CONTRACT requires one row per key;
+    // the 2-arg overload must make a raw duplicated batch safe by
+    // applying the skew-immune dedup itself — highest orderCol wins.
+    val dir = Fixtures.tempDir("sink5").resolve("t").toString
+    val sink = new UpsertSink(spark, dir)
+    val dup = batchDf(Seq(
+      ("2025-05-01", "A", 1L), ("2025-05-01", "A", 9L), ("2025-05-01", "A", 5L),
+      ("2025-05-01", "B", 2L)))
+      .withColumn("ord", col("total_consumed_tokens"))
+    sink.merge(dup, "ord")
+    assert(tableState(dir) == Map(
+      ("2025-05-01", "A") -> 9L, ("2025-05-01", "B") -> 2L))
+    // and it upserts like the 1-arg form on conflict
+    sink.merge(batchDf(Seq(("2025-05-01", "A", 3L), ("2025-05-01", "A", 11L)))
+      .withColumn("ord", col("total_consumed_tokens")), "ord")
+    assert(tableState(dir) == Map(
+      ("2025-05-01", "A") -> 11L, ("2025-05-01", "B") -> 2L))
+  }
+
   test("property: sequential merges == merge of per-key-latest (upsert fold)") {
     val dates = Gen.oneOf("2025-05-01", "2025-05-02")
     val clients = Gen.oneOf("A", "B", "C")
