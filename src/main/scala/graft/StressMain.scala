@@ -144,6 +144,10 @@ object StressMain {
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .localCheckpoint(true)
       println(s"[stress] cc edge count          rows=${edges.count()}")
+      // untimed warm pass: codegen + AQE plan compilation for the
+      // round shapes, so the two timed modes compare storage paths,
+      // not first-run compilation (same protocol as Bench)
+      operators.ConnectedComponents.minLabels(edges)._1.count(): Unit
       time("cc local ckpt")(
         operators.ConnectedComponents.minLabels(edges)._1.count())
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/stress_cc_ckpt"))
