@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 import graft.Tables
 import graft.operators.{MinHashDedup, SimHashDedup}
@@ -255,9 +256,51 @@ object DedupQueries {
        |SELECT node AS doc_id, label AS cluster FROM final
        |WHERE node <> label ORDER BY doc_id""".stripMargin
 
+  /** ENSEMBLE (consensus) dedup — the production guard against any
+    * single sketch's blind spots: a pair is flagged only when at
+    * least 2 of the 3 independent methods agree (MinHash-LSH
+    * Jaccard ≥ 0.2, SimHash Hamming ≤ 12, exact n-gram
+    * Jaccard ≥ 0.2). Each method is the SAME oracle-checked pipeline
+    * its standalone query runs — this query proves the pair sources
+    * compose. All three candidate paths stay bucketed/capped; the
+    * consensus reduce is one groupBy on the pair key with a
+    * map-side-combining distinct count. */
+  def ensembleQ(s: SparkSession, dir: String): DataFrame = {
+    def tag(df: DataFrame, m: String) =
+      df.select(col("doc_a"), col("doc_b"), lit(m).as("method"))
+    tag(MinHashDedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = K, nBands = Bands, shingleN = 3, threshold = Threshold,
+        tokenHash = MinHashDedup.tokenHashMd5, maxBucket = MaxBucket), "minhash")
+      .unionByName(tag(SimHashDedup.nearDupPairs(s, Tables.documents(s, dir),
+        "doc_id", "text", maxHamming = 12), "simhash"))
+      .unionByName(tag(TextQueries.dedupNgramJaccard(s, dir), "ngram"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct(col("method")).cast(IntegerType).as("n_methods"))
+      .filter(col("n_methods") >= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Twin: each method's full standalone twin nests as a CTE body
+    * (inner WITH inside the parenthesized subquery — the same DuckDB
+    * pattern the embed-clusters twin uses), then a distinct-method
+    * consensus count over the union. */
+  def ensembleSql: String =
+    s"""WITH mh AS ($minhashSql),
+       |sh2 AS ($simhashSql),
+       |ng AS (${TextQueries.dedupNgramJaccardSql})
+       |SELECT doc_a, doc_b, CAST(COUNT(DISTINCT method) AS INTEGER) AS n_methods
+       |FROM (
+       |  SELECT doc_a, doc_b, 'minhash' AS method FROM mh
+       |  UNION ALL SELECT doc_a, doc_b, 'simhash' AS method FROM sh2
+       |  UNION ALL SELECT doc_a, doc_b, 'ngram' AS method FROM ng)
+       |GROUP BY doc_a, doc_b
+       |HAVING COUNT(DISTINCT method) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_minhash", minhashQ, Some(minhashSql)),
     QueryDef("q_dedup_simhash", simhashQ, Some(simhashSql)),
     QueryDef("q_dedup_clusters", clustersQ, Some(clustersSql)),
-    QueryDef("q_dedup_droplist", droplistQ, Some(droplistSql)))
+    QueryDef("q_dedup_droplist", droplistQ, Some(droplistSql)),
+    QueryDef("q_dedup_ensemble", ensembleQ, Some(ensembleSql)))
 }
