@@ -95,6 +95,50 @@ class StreamingSimHashDedupSpec extends SparkTestBase {
       s"expected only (2,3) inside the horizon, got $got")
   }
 
+  test("band-index state survives a checkpointed restart (T2 analogue)") {
+    // The retained-signature index lives in the streaming state
+    // store: a doc indexed in run 1 must still flag a near-dup that
+    // arrives in run 2 under the SAME checkpointLocation — the
+    // recovery contract a production dedup stream depends on. File
+    // source + foreachBatch parquet sink (the memory sink cannot
+    // resume from a checkpoint — NOTES.md lesson 8).
+    val base = Fixtures.tempDir("ssdr")
+    val data = base.resolve("docs").toString
+    val ckpt = base.resolve("ckpt").toString
+    def runOnce(tag: String): Set[(Long, Long)] = {
+      val outDir = base.resolve(s"out_$tag").toString
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Doc]].schema)
+        .parquet(data).as[Doc]
+      val q = StreamingSimHashDedup.verdicts(spark, src,
+          maxHamming = 3, horizonMs = 24 * 3600000L,
+          watermarkDelayMs = 10 * 60000L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Verdict], _: Long) =>
+          b.toDF().select("dup_of", "doc_id").write.mode("append").parquet(outDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      if (!new java.io.File(outDir).exists) Set.empty
+      else spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten eleven"
+    Seq(Doc(1L, ts(0), textA), Doc(2L, ts(1), textB)).toDF()
+      .write.mode("append").parquet(data)
+    assert(runOnce("r1").isEmpty, "distinct docs must not flag in run 1")
+    // run 2, NEW process-side query restored from the checkpoint:
+    // doc 3 duplicates doc 1 from run 1 — only recoverable state can
+    // link them
+    Seq(Doc(3L, ts(5), textA)).toDF().write.mode("append").parquet(data)
+    assert(runOnce("r2") == Set((1L, 3L)),
+      "restored band index failed to flag the cross-restart duplicate")
+  }
+
   test("maxPerBand cap: overflow docs are verified but not retained") {
     val text = "one two three four five six seven eight nine ten"
     val docs = Seq(Seq(
