@@ -120,14 +120,21 @@ object Multimodal {
     * the JDK writes; a variable-rate container would consult its
     * per-frame timebase here).
     *
-    * Kernel contract (ADVICE r7): frames are decoded with
-    * `reader.read(i)` WITHOUT compositing onto the previous canvas,
-    * so per-frame luminance is exact for FULL-FRAME GIFs only (what
-    * the JDK's own writer emits, and what the specs golden). An
-    * optimized animated GIF with partial frame rasters would yield
-    * the luminance of the delta raster, not the composed frame —
-    * honoring the GIF disposal method would require canvas
-    * compositing here. */
+    * GIF frames are COMPOSITED (ADVICE r7): an optimized animated
+    * GIF stores partial frame rasters at (left, top) offsets with a
+    * per-frame disposal method, so the displayed frame i is the
+    * raster drawn over the accumulated canvas, not the raster alone.
+    * [[decodeVideoFrames]] replays frames 0..max(sampled) onto a
+    * logical-screen-sized canvas honoring `none`/`doNotDispose`
+    * (keep), `restoreToBackgroundColor` (clear the frame's rect —
+    * rendered as transparent-black, the browser convention) and
+    * `restoreToPrevious` (revert), and measures luminance on the
+    * COMPOSED canvas. Full-frame GIFs (what the JDK writer emits)
+    * compose to exactly the raw rasters, so their goldens are
+    * unchanged; the sequential replay means sampling cost is
+    * O(max sampled index), not O(samples) — inherent to delta-coded
+    * containers. Non-GIF multi-image formats keep the direct
+    * `read(i)` path (no disposal semantics to honor). */
   def decodeVideoFrames(bytes: Array[Byte], offsetsMs: Seq[Long],
       durationMs: Long): Option[VideoMeta] =
     if (offsetsMs.isEmpty || durationMs <= 0) None
@@ -150,12 +157,96 @@ object Multimodal {
             else {
               val idxs = offsetsMs
                 .map(off => ((off * n) / durationMs).toInt.min(n - 1).max(0))
-              Some(VideoMeta(n, idxs.map(i => meanLuma(reader.read(i)))))
+              val lumas =
+                if (reader.getFormatName.equalsIgnoreCase("gif"))
+                  compositedGifLumas(reader, idxs)
+                else idxs.map(i => meanLuma(reader.read(i)))
+              Some(VideoMeta(n, lumas))
             }
           } finally reader.dispose()
         }
       } finally iis.close()
     } catch { case _: Exception => None }
+
+  /** Per-frame GIF placement + disposal from the image metadata tree
+    * (`javax_imageio_gif_image_1.0` — the standard plugin-neutral
+    * names every JDK GIF reader publishes). Missing nodes default to
+    * offset (0,0) / disposal "none" — exactly the full-frame case. */
+  private def gifFrameMeta(reader: javax.imageio.ImageReader, i: Int): (Int, Int, String) =
+    try {
+      val root = reader.getImageMetadata(i)
+        .getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      def attr(tag: String, name: String, dflt: String): String = {
+        val nodes = root.getElementsByTagName(tag)
+        if (nodes.getLength == 0) dflt
+        else Option(nodes.item(0).getAttributes.getNamedItem(name))
+          .map(_.getNodeValue).getOrElse(dflt)
+      }
+      (attr("ImageDescriptor", "imageLeftPosition", "0").toInt,
+        attr("ImageDescriptor", "imageTopPosition", "0").toInt,
+        attr("GraphicControlExtension", "disposalMethod", "none"))
+    } catch { case _: Exception => (0, 0, "none") }
+
+  /** Replay frames 0..max(idxs) onto the logical-screen canvas with
+    * disposal semantics (see [[decodeVideoFrames]]) and return the
+    * composed-canvas luminance at each sampled index, in `idxs`
+    * order. */
+  private def compositedGifLumas(reader: javax.imageio.ImageReader,
+      idxs: Seq[Int]): Seq[Double] = {
+    // logical screen size from the stream metadata; fall back to the
+    // first frame's raster size (the JDK-writer full-frame case)
+    val (cw, ch) =
+      try {
+        val root = reader.getStreamMetadata
+          .getAsTree("javax_imageio_gif_stream_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val lsd = root.getElementsByTagName("LogicalScreenDescriptor")
+        if (lsd.getLength == 0) (0, 0)
+        else {
+          val a = lsd.item(0).getAttributes
+          (a.getNamedItem("logicalScreenWidth").getNodeValue.toInt,
+            a.getNamedItem("logicalScreenHeight").getNodeValue.toInt)
+        }
+      } catch { case _: Exception => (0, 0) }
+    val wanted = idxs.toSet
+    val byIdx = scala.collection.mutable.Map.empty[Int, Double]
+    var canvas: java.awt.image.BufferedImage = null
+    def copyOf(img: java.awt.image.BufferedImage) = {
+      val c = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val g = c.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose()
+      c
+    }
+    var i = 0
+    val maxIdx = idxs.max
+    while (i <= maxIdx) {
+      val frame = reader.read(i)
+      if (canvas == null)
+        canvas = new java.awt.image.BufferedImage(
+          if (cw > 0) cw else frame.getWidth,
+          if (ch > 0) ch else frame.getHeight,
+          java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val (ox, oy, disposal) = gifFrameMeta(reader, i)
+      val before =
+        if (disposal == "restoreToPrevious") copyOf(canvas) else null
+      val g = canvas.createGraphics()
+      g.drawImage(frame, ox, oy, null) // SRC_OVER: transparent pixels keep the canvas
+      g.dispose()
+      if (wanted(i)) byIdx(i) = meanLuma(canvas)
+      disposal match {
+        case "restoreToBackgroundColor" =>
+          val gc = canvas.createGraphics()
+          gc.setComposite(java.awt.AlphaComposite.Clear)
+          gc.fillRect(ox, oy, frame.getWidth, frame.getHeight)
+          gc.dispose()
+        case "restoreToPrevious" => canvas = before
+        case _ => ()
+      }
+      i += 1
+    }
+    idxs.map(byIdx)
+  }
 
   /** Decoded-audio summary: format header fields plus the mean
     * absolute sample amplitude over all PCM frames (normalized to

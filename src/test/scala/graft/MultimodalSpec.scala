@@ -218,6 +218,70 @@ class MultimodalSpec extends SparkTestBase {
     assert(over.frameLumas == Seq(85.0, 85.0, 255.0, 255.0))
   }
 
+  /** Hand-crafted OPTIMIZED animated GIF: frame 0 is a full 4×4 red
+    * raster; frame 1 is only a 2×2 white DELTA at offset (1,1) with
+    * disposal doNotDispose — the partial-raster shape GIF optimizers
+    * emit, which a non-compositing decoder mis-measures. */
+  private def partialFrameGif(): Array[Byte] = {
+    def solid(w: Int, h: Int, rgb: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      img
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val f0 = solid(4, 4, 0xff0000)
+      writer.writeToSequence(new javax.imageio.IIOImage(f0, null, null), null)
+      val f1 = solid(2, 2, 0xffffff)
+      val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(f1)
+      val md = writer.getDefaultImageMetadata(spec, null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = md.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      def child(tag: String): javax.imageio.metadata.IIOMetadataNode = {
+        val nodes = root.getElementsByTagName(tag)
+        if (nodes.getLength > 0)
+          nodes.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        else {
+          val n = new javax.imageio.metadata.IIOMetadataNode(tag)
+          root.appendChild(n); n
+        }
+      }
+      val desc = child("ImageDescriptor")
+      desc.setAttribute("imageLeftPosition", "1")
+      desc.setAttribute("imageTopPosition", "1")
+      desc.setAttribute("imageWidth", "2")
+      desc.setAttribute("imageHeight", "2")
+      desc.setAttribute("interlaceFlag", "FALSE")
+      val gce = child("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "doNotDispose")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex", "0")
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(f1, null, md), null)
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  test("decodeVideoFrames composites partial-raster GIF frames (disposal honored)") {
+    // Composed frame 1 = 4×4 red with a 2×2 white block at (1,1):
+    // luma = (12·255 + 4·765) / (3·16) = 127.5. A non-compositing
+    // decoder would report the delta raster alone (255.0).
+    val offs = Multimodal.sampleFrameIndices(1000L, 2) // frames 0, 1
+    val meta = Multimodal.decodeVideoFrames(partialFrameGif(), offs, 1000L).get
+    assert(meta.nFrames == 2)
+    assert(meta.frameLumas == Seq(85.0, 127.5),
+      s"expected composed lumas, got ${meta.frameLumas}")
+  }
+
   test("decodeVideoFrames: undecodable payloads return None") {
     assert(Multimodal.decodeVideoFrames("not a gif".getBytes("UTF-8"),
       Seq(0L), 1000L).isEmpty)
