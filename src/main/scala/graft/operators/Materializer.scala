@@ -49,7 +49,14 @@ object Materializer {
     * earlier Reliable materializer) takes precedence and is left
     * untouched — Spark appends a per-context UUID subdirectory to
     * whatever is set, so same-dir re-sets are not idempotent and
-    * cross-materializer resets would scatter state. */
+    * cross-materializer resets would scatter state.
+    *
+    * Checkpoint files accumulate for the application lifetime unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (GC-
+    * driven) is set; a long-lived cluster session should either
+    * enable that cleaner or point the dir at storage with a lifecycle
+    * rule. Per-run size is bounded (rounds × label-frame size), so
+    * this is retention hygiene, not a correctness concern. */
   final case class Reliable(dir: String) extends Materializer {
     def apply(df: DataFrame): DataFrame = {
       val sc = df.sparkSession.sparkContext

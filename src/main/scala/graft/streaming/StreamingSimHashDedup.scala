@@ -47,6 +47,14 @@ import graft.functions.{SimHash, TextFunctions}
   *    index (so they still get verdicts) but are not added to it.
   *    Retained-oldest wins: the earliest docs are the canonical
   *    representatives a dedup keeps.
+  *
+  * Within one micro-batch a bucket's rows are buffered and sorted in
+  * the state function (deterministic event-time order), so transient
+  * memory per (band, bits) task is bounded by that bucket's mass in
+  * the CURRENT batch, not by history. A stream of mass exact
+  * duplicates concentrates batch rows in few buckets — run exact
+  * dedup upstream first (the same sequencing the batch pipeline
+  * documents) and the near-dup tail stays small.
   */
 object StreamingSimHashDedup {
 
