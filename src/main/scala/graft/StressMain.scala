@@ -41,6 +41,27 @@ object StressMain {
         .write.mode("overwrite").parquet("/tmp/stress/orders.parquet")
   }
 
+  /** 10× corpus: ~1M docs = 50k DISTINCT texts (5k base docs × 10
+    * variants, each variant prefixed with 12 variant-specific tokens
+    * so simhash signatures land far apart across variants) × 20 exact
+    * copies each — same clique structure as the 100k corpus at 10×
+    * the doc and edge volume. */
+  def ensure1mCorpus(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    if (!complete("/tmp/stress1m/documents.parquet")) {
+      val d = Tables.documents(spark, "/root/testdata/sf0.1")
+      (0 until 200).map { k =>
+        val v = k / 20
+        val vtoks = (0 until 12).map(j => s"v${v}x$j").mkString(" ") + " "
+        d.select((col("doc_id") + lit(k * 5000L)).as("doc_id"),
+          (if (v == 0) col("text")
+           else concat(lit(vtoks), col("text"))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).coalesce(16)
+        .write.mode("overwrite").parquet("/tmp/stress1m/documents.parquet")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -154,6 +175,13 @@ object StressMain {
       time("cc reliable ckpt")(
         operators.ConnectedComponents.minLabels(edges,
           mat = operators.Materializer.Reliable("/tmp/stress_cc_ckpt"))._1.count())
+      // checkpoint-interval knob (VERDICT r8 #2): reliable every 3rd
+      // round, eager lineage-retaining persist between — the periodic-
+      // checkpoint pattern; the +31% durability price should shrink
+      // toward the local figure as N grows.
+      time("cc reliable every3")(
+        operators.ConnectedComponents.minLabels(edges,
+          mat = operators.Materializer.Reliable("/tmp/stress_cc_ckpt", everyN = 3))._1.count())
     }
     // 10× dedup scale ablation (VERDICT r7 #8): ~1M docs = 50k DISTINCT
     // texts (5k base docs × 10 variants, each variant prefixed with 12
@@ -162,19 +190,7 @@ object StressMain {
     // the 100k corpus at 10× the doc and edge volume — the cost curve
     // must track edge volume (linear-ish), not rounds.
     if (sys.env.contains("SPARK_GRAFT_STRESS_1M")) {
-      import org.apache.spark.sql.functions._
-      if (!complete("/tmp/stress1m/documents.parquet")) {
-        val d = Tables.documents(spark, "/root/testdata/sf0.1")
-        (0 until 200).map { k =>
-          val v = k / 20
-          val vtoks = (0 until 12).map(j => s"v${v}x$j").mkString(" ") + " "
-          d.select((col("doc_id") + lit(k * 5000L)).as("doc_id"),
-            (if (v == 0) col("text")
-             else concat(lit(vtoks), col("text"))).as("text"),
-            col("lang"), col("source"), col("n_chars"))
-        }.reduce(_ unionByName _).coalesce(16)
-          .write.mode("overwrite").parquet("/tmp/stress1m/documents.parquet")
-      }
+      ensure1mCorpus(spark)
       time("simhash pairs 1M")(operators.SimHashDedup.nearDupPairs(spark,
         Tables.documents(spark, "/tmp/stress1m"), "doc_id", "text",
         maxHamming = 12).count())
@@ -185,6 +201,97 @@ object StressMain {
       // CC run per (session, dir)
       time("dedup_droplist 1M")(
         queries.DedupQueries.droplistQ(spark, "/tmp/stress1m").count())
+    }
+    // Ensemble at 1M docs (VERDICT r8 #6): the single-scan consensus
+    // over 3 capped pipelines must compose at 20× the bench corpus —
+    // it unions three multi-million-pair frames into one groupBy.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_ENSEMBLE")) {
+      ensure1mCorpus(spark)
+      time("ensemble 1M")(
+        queries.DedupQueries.ensembleQ(spark, "/tmp/stress1m").count())
+    }
+    // Reliable-mode CC at 1M docs (VERDICT r8 #4): the durability
+    // price was measured only on the 100k/7.5M-edge graph — re-run on
+    // the 10× corpus under everyN 1 and 3, with checkpoint bytes.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_1M_REL")) {
+      import org.apache.spark.sql.functions._
+      ensure1mCorpus(spark)
+      val pairs = operators.SimHashDedup.nearDupPairs(spark,
+        Tables.documents(spark, "/tmp/stress1m"), "doc_id", "text", maxHamming = 12)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint(true)
+      println(s"[stress] cc1m edge count        rows=${edges.count()}")
+      operators.ConnectedComponents.minLabels(edges)._1.count(): Unit // warm
+      time("cc1m local ckpt")(
+        operators.ConnectedComponents.minLabels(edges)._1.count())
+      def duBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(p))
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/stress1m_ckpt"))
+      time("cc1m reliable e1")(
+        operators.ConnectedComponents.minLabels(edges,
+          mat = operators.Materializer.Reliable("/tmp/stress1m_ckpt"))._1.count())
+      val e1Bytes = duBytes("/tmp/stress1m_ckpt")
+      time("cc1m reliable e3")(
+        operators.ConnectedComponents.minLabels(edges,
+          mat = operators.Materializer.Reliable("/tmp/stress1m_ckpt", everyN = 3))._1.count())
+      println(s"[stress] ckpt bytes e1=$e1Bytes " +
+        s"e3=${duBytes("/tmp/stress1m_ckpt") - e1Bytes}")
+    }
+    // ANN recall ablation at ~1M vectors (VERDICT r8 #5): 2 000 sf0.1
+    // embeddings × 500 deterministic per-variant perturbations (built
+    // columnar via range-crossJoin — no 500-branch union plan). Recall
+    // of the LSH and IVF paths is measured against the exact
+    // brute-force top-k on the SAME corpus for 8 query vectors.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_ANN1M")) {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
+      val embPath = "/tmp/stress1m/embeddings.parquet"
+      if (!complete(embPath)) {
+        val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+        e.crossJoin(spark.range(500).select(col("id").as("variant")))
+          .select(
+            (col("vec_id") + col("variant") * 2000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              (x.cast(DoubleType) +
+                cos((col("variant") + 1) * (i + 1)) * lit(0.08))
+                .cast(FloatType)).as("embedding"),
+            col("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(embPath)
+      }
+      val corpus = spark.read.parquet(embPath).persist()
+      println(s"[stress] ann corpus            rows=${corpus.count()}")
+      val qs = corpus.filter(col("vec_id") < 8).persist()
+      qs.count(): Unit
+      val k = 10
+      def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .groupBy(_._1).map { case (q, rs) =>
+            q -> rs.sortBy(_._2).map(_._3).toSeq }
+      var exact: Map[Long, Seq[Long]] = Map.empty
+      var lsh: Map[Long, Seq[Long]] = Map.empty
+      var ivf: Map[Long, Seq[Long]] = Map.empty
+      time("ann brute 1M")(
+        { exact = topk(operators.Similarity.bruteForceTopK(corpus, qs, k)); exact.size.toLong })
+      time("ann lsh 1M")(
+        { lsh = topk(operators.Similarity.lshTopK(corpus, qs, k,
+            nPlanes = 64, nBands = 4)); lsh.size.toLong })
+      time("ann ivf 1M")(
+        { ivf = topk(operators.Similarity.ivfTopK(corpus, qs, k,
+            nCentroids = 64, nProbe = 8)); ivf.size.toLong })
+      def recall(got: Map[Long, Seq[Long]]): Double = {
+        val per = exact.keys.toSeq.map { q =>
+          val g = got.getOrElse(q, Nil).toSet
+          exact(q).count(g.contains).toDouble / exact(q).size }
+        per.sum / per.size
+      }
+      println(f"[stress] ann recall@$k lsh=${recall(lsh)}%.3f ivf=${recall(ivf)}%.3f")
+      corpus.unpersist(); qs.unpersist()
     }
     // events-side stress (2M events, 20x sf0.1; orders copied alongside)
     time("ingest_dedup 2M")(queries.IngestQueries.ingestDedup(spark, "/tmp/stress").count())

@@ -44,15 +44,20 @@ object AppConfig {
       db: DbConfig,
       inPlatform: Boolean,
       hadoopConf: Map[String, String] = Map.empty,
-      iterCheckpointDir: Option[String] = None) {
+      iterCheckpointDir: Option[String] = None,
+      iterCheckpointEvery: Int = 1) {
     /** Durability mode for iterative operators (connected components
       * and its dedup/embedding consumers): `GRAFT_ITER_CHECKPOINT_DIR`
       * set → reliable `checkpoint()` against that FS URI (cluster
-      * mode — survives executor loss); unset → executor-resident
-      * `localCheckpoint` (local mode). See
+      * mode — survives executor loss), reliably every
+      * `GRAFT_ITER_CHECKPOINT_EVERY`-th round (default 1; >1 persists
+      * with lineage between — the periodic-checkpoint pattern that
+      * shrinks the DFS price on deep iterations); unset → executor-
+      * resident `localCheckpoint` (local mode). See
       * [[graft.operators.Materializer]]. */
     def iterMaterializer: graft.operators.Materializer =
-      iterCheckpointDir.map(graft.operators.Materializer.Reliable.apply)
+      iterCheckpointDir
+        .map(graft.operators.Materializer.Reliable(_, iterCheckpointEvery))
         .getOrElse(graft.operators.Materializer.Local)
     /** Masks object-store credentials (same standard as [[DbConfig]]'s
       * password masking) so the resolved config can be logged safely:
@@ -209,6 +214,8 @@ object AppConfig {
       db,
       platform,
       s3aConf(env, secretJson),
-      env.get("GRAFT_ITER_CHECKPOINT_DIR").filter(_.trim.nonEmpty))
+      env.get("GRAFT_ITER_CHECKPOINT_DIR").filter(_.trim.nonEmpty),
+      env.get("GRAFT_ITER_CHECKPOINT_EVERY").filter(_.trim.nonEmpty)
+        .map(_.trim.toInt).getOrElse(1))
   }
 }

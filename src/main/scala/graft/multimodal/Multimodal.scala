@@ -385,7 +385,12 @@ object Multimodal {
         (_, moovStart, moovEnd) <- top.find(_._1 == "moov")
         children = boxes(moovStart, moovEnd)
         (_, mvhdStart, mvhdEnd) <- children.find(_._1 == "mvhd")
-        if mvhdEnd - mvhdStart >= 20
+        // Version-dependent payload minimum: v0 packs timescale/duration
+        // at +12/+16 (u32 each, 20 bytes incl. duration); v1 widens
+        // creation/modification to u64, pushing timescale to +20 and a
+        // u64 duration to +24 — 32 bytes. A truncated v1 box inside a
+        // larger buffer must fall through, not read the neighbor's bytes.
+        if mvhdEnd - mvhdStart >= (if ((bytes(mvhdStart) & 0xff) == 1) 32 else 20)
       } yield {
         val version = bytes(mvhdStart) & 0xff
         val (timescale, duration) =

@@ -99,9 +99,6 @@ object MinHashDedup {
       threshold: Double = 0.5,
       tokenHash: Column => Column = tokenHashXx,
       maxBucket: Int = 200): DataFrame = {
-    require(k % nBands == 0, "k must divide into bands")
-    val r = k / nBands
-    val ps = perms(k)
     // persisted: this relation feeds the signature path AND both
     // verification joins — without it the shingle window+collect_set
     // subtree (the most expensive stage) executes three times. The
@@ -110,6 +107,25 @@ object MinHashDedup {
     val sh = TextFunctions.shingleSets(docs, idCol, textCol, shingleN)
       .filter(size(col("sh")) > 0)
       .persist()
+    try pairsFromShingles(sh, k, nBands, threshold, tokenHash, maxBucket)
+    finally { sh.unpersist(); () }
+  }
+
+  /** Pair pipeline over a PRE-BUILT `(doc_id, sh: array<string>)`
+    * distinct-shingle frame — the shared-scan entry point: a caller
+    * composing several shingle consumers (the ensemble query) builds
+    * and persists ONE shingle frame and threads it here instead of
+    * paying a second corpus scan + shingling. The caller owns `sh`'s
+    * materialization (persist/checkpoint — it feeds the signature
+    * path and both verification joins); the returned pair set is
+    * eagerly materialized, so the caller may release `sh` as soon as
+    * this returns. */
+  def pairsFromShingles(sh: DataFrame, k: Int, nBands: Int,
+      threshold: Double, tokenHash: Column => Column,
+      maxBucket: Int): DataFrame = {
+    require(k % nBands == 0, "k must divide into bands")
+    val r = k / nBands
+    val ps = perms(k)
     val sig = signaturesAgg(sh, ps, tokenHash)
     val banded = explodeBands(sig, "sig", nBands, r)
       .select(col("doc_id"), col("band_key"))
@@ -139,12 +155,11 @@ object MinHashDedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
-    // Materialize the (small) verified pair set eagerly, then release
-    // the shingle cache: without this, every call on a new input leaked
-    // a session-lifetime cache entry and relied on LRU eviction under
-    // pressure. The checkpointed result severs lineage, so downstream
-    // consumers never re-trigger the shingle pipeline.
-    try verified.localCheckpoint(true)
-    finally { sh.unpersist(); () }
+    // Materialize the (small) verified pair set eagerly: the caller
+    // releases the shingle cache right after this returns (a lazy
+    // return would leak a session-lifetime cache entry per call), and
+    // the checkpointed result severs lineage, so downstream consumers
+    // never re-trigger the shingle pipeline.
+    verified.localCheckpoint(true)
   }
 }

@@ -163,26 +163,58 @@ object DedupQueries {
     * and each driver query must be standalone — without the memo a
     * session running both pays the full simhash→pairs→CC pipeline
     * twice (the two most expensive bench entries in r7). Keyed by
-    * data dir so different SFs never cross-contaminate; the
-    * WeakHashMap key is the session itself, so a stopped/collected
-    * session releases its label frames. The memoized frame is
-    * materialized (checkpointed) by `minLabels`, hence safe to hold
-    * and re-consume across actions. Bounded: a session rarely touches
-    * more than a few dirs; beyond 8 the per-session map is cleared
-    * rather than grown. */
-  private val labelMemo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    * data dir so different SFs never cross-contaminate. The memoized
+    * frame is materialized (checkpointed) by `minLabels`, hence safe
+    * to hold and re-consume across actions.
+    *
+    * Reachability (ADVICE r8): a DataFrame strongly references its
+    * session, so a strong map value would pin the WeakHashMap key
+    * forever — entries are therefore SoftReferences. A stopped
+    * session's frames survive at most until memory pressure (soft
+    * refs are cleared before OOM), at which point the entry's key
+    * becomes weakly reachable and the map drops it; a cleared ref in
+    * a LIVE session merely recomputes (the memo is a cache, never a
+    * correctness dependency). Bounded: a session rarely touches more
+    * than a few dirs; beyond 8 the per-session map is cleared rather
+    * than grown.
+    *
+    * Locking (ADVICE r8): the global monitor guards only map access;
+    * the Spark job in [[computeClusterLabels]] runs under the
+    * PER-SESSION monitor, so concurrent sessions' dedup queries never
+    * serialize on each other — only same-session same-dir callers
+    * wait (and then reuse the one result, which is the point). */
+  private val labelMemo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]()
 
-  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    labelMemo.synchronized {
-      val perSession = Option(labelMemo.get(s)).getOrElse {
-        val m = scala.collection.mutable.Map.empty[String, DataFrame]
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val perSession = labelMemo.synchronized {
+      Option(labelMemo.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map
+          .empty[String, java.lang.ref.SoftReference[DataFrame]]
         labelMemo.put(s, m)
         m
       }
-      if (perSession.size > 8) perSession.clear()
-      perSession.getOrElseUpdate(dir, computeClusterLabels(s, dir))
     }
+    perSession.synchronized {
+      perSession.get(dir).flatMap(r => Option(r.get())) match {
+        case Some(df) => df
+        case None =>
+          if (perSession.size > 8) perSession.clear()
+          val df = computeClusterLabels(s, dir)
+          perSession.put(dir, new java.lang.ref.SoftReference(df))
+          df
+      }
+    }
+  }
+
+  /** Test/bench hook: drop the memoized label frames for `s` so the
+    * next [[clusterLabels]] call pays the full pipeline. Benchmarks
+    * use this to time the COLD cost honestly — without it, passes
+    * after the first (and the droplist query entirely) would ride the
+    * memo and report a projection over cached state as the query's
+    * cost. */
+  private[graft] def resetLabelMemo(s: SparkSession): Unit =
+    labelMemo.synchronized { labelMemo.remove(s); () }
 
   private def computeClusterLabels(s: SparkSession, dir: String): DataFrame = {
     // ONE materialization, of the symmetrized union: Spark reuses the
@@ -264,20 +296,41 @@ object DedupQueries {
     * its standalone query runs — this query proves the pair sources
     * compose. All three candidate paths stay bucketed/capped; the
     * consensus reduce is one groupBy on the pair key with a
-    * map-side-combining distinct count. */
+    * map-side-combining distinct count.
+    *
+    * SINGLE-SCAN composition (VERDICT r8 #1): the corpus is read once
+    * into a persisted two-column frame feeding the simhash arm and
+    * ONE shared 3-shingle build; the minhash and ngram arms — which
+    * r8 each re-derived the identical `shingleSets(…, 3)` from their
+    * own corpus scan — both consume the persisted shingle frame. At
+    * 100 TB that is 1 corpus scan + 1 shingling instead of 3 + 2.
+    * Each arm eagerly materializes its (small) pair set, so both
+    * caches release before this returns; the consensus reduce then
+    * composes three lineage-severed pair frames. */
   def ensembleQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
     def tag(df: DataFrame, m: String) =
       df.select(col("doc_a"), col("doc_b"), lit(m).as("method"))
-    tag(MinHashDedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-        k = K, nBands = Bands, shingleN = 3, threshold = Threshold,
-        tokenHash = MinHashDedup.tokenHashMd5, maxBucket = MaxBucket), "minhash")
-      .unionByName(tag(SimHashDedup.nearDupPairs(s, Tables.documents(s, dir),
-        "doc_id", "text", maxHamming = 12), "simhash"))
-      .unionByName(tag(TextQueries.dedupNgramJaccard(s, dir), "ngram"))
-      .groupBy("doc_a", "doc_b")
-      .agg(countDistinct(col("method")).cast(IntegerType).as("n_methods"))
-      .filter(col("n_methods") >= 2)
-      .orderBy("doc_a", "doc_b")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .persist()
+    val sh = TextFunctions.shingleSets(docs, "doc_id", "text", 3)
+      .filter(size(col("sh")) > 0)
+      .persist()
+    try {
+      val mh = MinHashDedup.pairsFromShingles(sh, k = K, nBands = Bands,
+        threshold = Threshold, tokenHash = MinHashDedup.tokenHashMd5,
+        maxBucket = MaxBucket)
+      val sh2 = SimHashDedup.nearDupPairs(s, docs, "doc_id", "text",
+        maxHamming = 12)
+      val ng = TextQueries.ngramJaccardPairs(sh).localCheckpoint(true)
+      tag(mh, "minhash")
+        .unionByName(tag(sh2, "simhash"))
+        .unionByName(tag(ng, "ngram"))
+        .groupBy("doc_a", "doc_b")
+        .agg(countDistinct(col("method")).cast(IntegerType).as("n_methods"))
+        .filter(col("n_methods") >= 2)
+        .orderBy("doc_a", "doc_b")
+    } finally { sh.unpersist(); docs.unpersist(); () }
   }
 
   /** Twin: each method's full standalone twin nests as a CTE body

@@ -161,8 +161,20 @@ object TextQueries {
     * stop-shingles with a first pass instead of collect-then-filter).
     * Jaccard uses full set sizes with capped commons (a lower bound
     * when the cap fires; this corpus never trips it). */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docSets = shingleSets(Tables.documents(s, dir), "doc_id", "text", 3)
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(
+      shingleSets(Tables.documents(s, dir), "doc_id", "text", 3))
+      .orderBy("doc_a", "doc_b")
+
+  /** Pair pipeline over a pre-built `(doc_id, sh: array<string>)`
+    * distinct-shingle frame — the shared-scan entry point (mirrors
+    * [[graft.operators.MinHashDedup.pairsFromShingles]]): the
+    * ensemble query builds ONE shingle frame and threads it into both
+    * shingle-consuming arms. Consumed exactly once (tree-shaped
+    * single-pass plan), so the caller need not persist unless it has
+    * other consumers. */
+  private[graft] def ngramJaccardPairs(docShingles: DataFrame): DataFrame = {
+    val docSets = docShingles
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
     val exploded = docSets.select(col("sz"), col("doc_id"),
@@ -183,7 +195,6 @@ object TextQueries {
           (col("sz_a") + col("sz_b") - col("n_common")).cast(DoubleType))
       .filter(col("jaccard") >= 0.2)
       .select("doc_a", "doc_b", "n_common", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   val dedupNgramJaccardSql: String =

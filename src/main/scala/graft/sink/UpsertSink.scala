@@ -89,9 +89,18 @@ final class UpsertSink(spark: SparkSession, targetDir: String) {
     * [[dedupBatchAgg]] (greatest `orderCol` wins per key) before the
     * keyed merge — the safe entry point when the caller cannot
     * guarantee one-row-per-key. Same cost shape as dedup-then-merge
-    * by hand: one extra map-side-combining aggregation. */
-  def merge(batch: DataFrame, orderCol: String): Long =
-    merge(dedupBatchAgg(batch, orderCol).drop(orderCol))
+    * by hand: one extra map-side-combining aggregation.
+    *
+    * `orderCol` may be either an auxiliary column (ingest sequence /
+    * file offset — dropped after dedup, since the sink schema has no
+    * home for it) or one of the sink's own value columns (e.g.
+    * `total_consumed_tokens`) — the latter is kept: dropping a schema
+    * column here would silently lose its data from the merged rows. */
+  def merge(batch: DataFrame, orderCol: String): Long = {
+    val deduped = dedupBatchAgg(batch, orderCol)
+    merge(if (Consumption.schema.fieldNames.contains(orderCol)) deduped
+          else deduped.drop(orderCol))
+  }
 
   /** Merge a PRE-DEDUPLICATED batch: batch rows beat existing rows
     * per key; `created_at` keeps the oldest value seen for the key.

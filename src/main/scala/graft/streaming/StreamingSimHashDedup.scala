@@ -46,7 +46,11 @@ import graft.functions.{SimHash, TextFunctions}
   *    the cap new signatures are still VERIFIED against the retained
   *    index (so they still get verdicts) but are not added to it.
   *    Retained-oldest wins: the earliest docs are the canonical
-  *    representatives a dedup keeps.
+  *    representatives a dedup keeps. Saturation is OBSERVABLE, not
+  *    silent: pass a `capOverflow` accumulator and every
+  *    verified-but-not-retained row counts — a growing value means
+  *    pairs among beyond-cap docs are being missed and exact dedup
+  *    upstream needs attention.
   *
   * Within one micro-batch a bucket's rows are buffered and sorted in
   * the state function (deterministic event-time order), so transient
@@ -60,9 +64,16 @@ object StreamingSimHashDedup {
 
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
-  /** One flagged (newer doc, retained doc) collision: `doc_id` is the
-    * arriving near-duplicate, `dup_of` a retained doc within
-    * `maxHamming` that shares this band. */
+  /** One flagged collision between the arriving doc and a retained
+    * doc within `maxHamming` that shares this band. NORMALIZED to the
+    * batch pair convention (ADVICE r8): `dup_of` is the smaller
+    * doc_id of the pair — the canonical representative a
+    * keep-min-id dedup retains — and `doc_id` the larger, regardless
+    * of which of the two arrived later. In-order streams (ids
+    * correlated with event time) see the intuitive reading (`doc_id`
+    * = the arrival); out-of-order streams keep the documented
+    * `distinct (dup_of, doc_id) == batch (doc_a, doc_b)` contract
+    * instead of emitting reversed pairs. */
   final case class Verdict(doc_id: Long, band: Int, dup_of: Long, hamming: Int)
 
   final case class BandRow(band: Int, bits: Long, doc_id: Long, sig: Long,
@@ -71,14 +82,27 @@ object StreamingSimHashDedup {
   /** Retained per-bucket index: (doc_id, sig, event-time millis). */
   final case class BandIndex(entries: List[(Long, Long, Long)])
 
-  /** @param horizonMs        lookback: a doc is a dup only of docs within
-    *                         this many ms of its event time
+  /** @param horizonMs        lookback: two docs pair only when their
+    *                         EVENT times are within this many ms of
+    *                         each other (symmetric — an out-of-order
+    *                         arrival must not match a retained doc
+    *                         arbitrarily far in its future)
     * @param watermarkDelayMs max lateness admitted by the stream
-    * @param maxPerBand       retained-signature cap per band bucket */
+    * @param maxPerBand       retained-signature cap per band bucket
+    * @param capOverflow      optional accumulator counting band-rows
+    *                         VERIFIED but not retained because their
+    *                         bucket is at `maxPerBand` (VERDICT r8 #3:
+    *                         beyond the cap, two new docs that are
+    *                         near-dups of each other only are never
+    *                         flagged — this makes that blind spot
+    *                         visible instead of silent; alert when it
+    *                         grows in production) */
   def verdicts(spark: SparkSession, docs: Dataset[Doc],
       maxHamming: Int = 3, horizonMs: Long = 60 * 60000L,
       watermarkDelayMs: Long = 10 * 60000L,
-      maxPerBand: Int = 200): Dataset[Verdict] = {
+      maxPerBand: Int = 200,
+      capOverflow: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[Verdict] = {
     import spark.implicits._
     SimHash.register(spark)
     val banded = docs.toDF()
@@ -120,16 +144,22 @@ object StreamingSimHashDedup {
             // same-batch near-dups resolve exactly like cross-batch ones
             rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
               val t = r.ts.getTime
+              // symmetric horizon: |event-time gap| ≤ horizon, the same
+              // unordered-pair predicate the batch rule applies — a
+              // lower bound alone would let a late arrival match
+              // retained docs arbitrarily far in its FUTURE
               val matches = entries.filter { case (_, sig, ets) =>
                 java.lang.Long.bitCount(sig ^ r.sig) <= maxHamming &&
-                  ets >= t - horizonMs
+                  math.abs(ets - t) <= horizonMs
               }
               matches.foreach { case (mid, msig, _) =>
-                out += Verdict(r.doc_id, key._1, mid,
+                out += Verdict(math.max(r.doc_id, mid), key._1,
+                  math.min(r.doc_id, mid),
                   java.lang.Long.bitCount(msig ^ r.sig))
               }
               if (entries.size < maxPerBand)
                 entries = (r.doc_id, r.sig, t) :: entries
+              else capOverflow.foreach(_.add(1L))
             }
             park(entries)
             out.result().iterator

@@ -28,6 +28,34 @@ class QueriesSpec extends SparkTestBase {
     assert(!(a1 eq b), "memo keyed by dir must return a distinct frame per dir")
   }
 
+  test("resetLabelMemo forces a recompute (bench cold-cost hook)") {
+    // ADVICE r8: without a reset, bench passes after the first ride the
+    // memo and report a projection over cached state as the query cost.
+    val a1 = queries.DedupQueries.clusterLabels(spark, sfDir)
+    queries.DedupQueries.resetLabelMemo(spark)
+    val a2 = queries.DedupQueries.clusterLabels(spark, sfDir)
+    assert(!(a1 eq a2), "reset must drop the memoized frame")
+  }
+
+  test("single-scan ensemble equals the consensus of the three standalone arms") {
+    // VERDICT r8 #1: the shared-frame rewrite must not change the pair
+    // set — recompute the consensus from the three independently-
+    // scanned standalone queries (the r8 shape) and compare exactly.
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m = pairs(queries.DedupQueries.minhashQ(spark, sfDir))
+    val s2 = pairs(queries.DedupQueries.simhashQ(spark, sfDir))
+    val n = pairs(queries.TextQueries.dedupNgramJaccard(spark, sfDir))
+    val expected = (m ++ s2 ++ n).map { p =>
+      (p._1, p._2, Seq(m(p), s2(p), n(p)).count(identity))
+    }.filter(_._3 >= 2)
+    val got = queries.DedupQueries.ensembleQ(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"ensemble diverged: only=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows on sf0.001") {
       val df = fn(spark, sfDir)

@@ -44,12 +44,16 @@ class StreamingSimHashDedupSpec extends SparkTestBase {
   }
 
   private def runStream(docs: Seq[Seq[Doc]], name: String,
-      horizonMs: Long = 24 * 3600000L, maxPerBand: Int = 200): Seq[Verdict] = {
+      horizonMs: Long = 24 * 3600000L, maxPerBand: Int = 200,
+      watermarkDelayMs: Long = 10 * 60000L,
+      capOverflow: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Seq[Verdict] = {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
     val out = StreamingSimHashDedup.verdicts(spark, input.toDS(),
       maxHamming = 3, horizonMs = horizonMs,
-      watermarkDelayMs = 10 * 60000L, maxPerBand = maxPerBand)
+      watermarkDelayMs = watermarkDelayMs, maxPerBand = maxPerBand,
+      capOverflow = capOverflow)
     val q = out.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(name).start()
     docs.foreach { batch => input.addData(batch: _*); q.processAllAvailable() }
@@ -139,14 +143,42 @@ class StreamingSimHashDedupSpec extends SparkTestBase {
       "restored band index failed to flag the cross-restart duplicate")
   }
 
-  test("maxPerBand cap: overflow docs are verified but not retained") {
+  test("maxPerBand cap: overflow docs are verified but not retained, and counted") {
     val text = "one two three four five six seven eight nine ten"
     val docs = Seq(Seq(
       Doc(1L, ts(0), text), Doc(2L, ts(1), text), Doc(3L, ts(2), text)))
-    val got = runStream(docs, "simdedup_cap", maxPerBand = 1)
+    val overflow = spark.sparkContext.longAccumulator("capOverflow")
+    val got = runStream(docs, "simdedup_cap", maxPerBand = 1,
+        capOverflow = Some(overflow))
       .map(v => (v.dup_of, v.doc_id)).toSet
     // only doc 1 is retained (cap 1): docs 2 and 3 both flag against
-    // it; the (2,3) pair is NOT emitted because 2 was never indexed
+    // it; the (2,3) pair is NOT emitted because 2 was never indexed —
+    // THE documented blind spot the overflow counter makes visible
     assert(got == Set((1L, 2L), (1L, 3L)), s"got $got")
+    // docs 2 and 3 each hit the saturated bucket in all 4 bands
+    // (identical text → identical signature → same 4 buckets)
+    assert(overflow.value == 8L,
+      s"expected 8 verified-not-retained band rows, got ${overflow.value}")
+  }
+
+  test("out-of-order arrival: pairs are normalized and the horizon is symmetric") {
+    val text = "red orange yellow green blue indigo violet gray"
+    val horizon = 5 * 60000L // 5 min
+    val delay = 60 * 60000L  // 60 min lateness admitted
+    // batch 1 retains doc 10 @ t=30min; batch 2 delivers two LATE docs:
+    //  - doc 3 @ t=28min: |gap| = 2min ≤ horizon → pair, normalized to
+    //    (dup_of=3, doc_id=10) — the retained doc has the LARGER id, so
+    //    unnormalized emission would reverse the batch convention;
+    //  - doc 2 @ t=10min: |gap| = 20min > horizon → NO pair (the old
+    //    lower-bound-only predicate matched retained docs arbitrarily
+    //    far in the arrival's future).
+    val docs = Seq(
+      Seq(Doc(10L, ts(30), text)),
+      Seq(Doc(3L, ts(28), text), Doc(2L, ts(10), text)))
+    val got = runStream(docs, "simdedup_ooo", horizonMs = horizon,
+        watermarkDelayMs = delay)
+      .map(v => (v.dup_of, v.doc_id)).toSet
+    assert(got == Set((3L, 10L)),
+      s"expected only the normalized (3,10) pair, got $got")
   }
 }
