@@ -408,6 +408,53 @@ object TextQueries {
       |  COUNT(DISTINCT lang) AS n_langs
       |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
 
+  /** Sequence PACKING — the pre-training batching op: documents are
+    * packed, in deterministic doc_id order, into fixed token-capacity
+    * bins (capacity 512 — small enough that the sf0.01 oracle fixture produces multiple bins and boundary-straddling docs per shard; production capacity is a parameter), and the query reports per-bin composition
+    * (doc count, token sum, fill ratio). Packing is the closed-form
+    * streaming formulation `bin = floor(exclusive_cumsum(tokens) /
+    * capacity)` — a document straddling a boundary stays in the bin
+    * its first token falls in (fill can exceed 1.0 by less than one
+    * document; the formulation real packers use when exact bin
+    * packing would serialize). SCALE SHAPE: the cumsum window is
+    * partitioned by the SAME deterministic Knuth-hash shard as
+    * [[shardExport]] — each shard packs independently in parallel, so
+    * there is no global single-task window; at 100 TB shards are the
+    * unit of both packing and export. `fill` divides by 512 (a power
+    * of two), so the double is exact in both engines. */
+  def packBins(s: SparkSession, dir: String): DataFrame = {
+    val cap = 512L
+    val t = Tables.documents(s, dir).select(col("doc_id"),
+      pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(16L)).as("shard"),
+      tokenCount(col("text")).cast(LongType).as("n_tok"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("prev", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("prev") / lit(cap)).cast(LongType))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .withColumn("fill", col("n_tokens").cast(DoubleType) / lit(cap.toDouble))
+      .orderBy("shard", "bin")
+  }
+
+  val packBinsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, ((doc_id % 100000000) * 2654435761) % 16 AS shard,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT shard, doc_id, n_tok,
+      |    COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      |  FROM t)
+      |SELECT shard, CAST(prev // 512 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens, MIN(doc_id) AS first_doc,
+      |  CAST(SUM(n_tok) AS DOUBLE) / 512.0 AS fill
+      |FROM c GROUP BY shard, CAST(prev // 512 AS BIGINT)
+      |ORDER BY shard, bin""".stripMargin
+
   /** Corpus vocabulary statistics: top tokens by DOCUMENT frequency
     * (how many docs contain the token — the quantity stopword lists,
     * IDF weights and tokenizer-vocab pruning are built from). The
@@ -533,6 +580,7 @@ object TextQueries {
     QueryDef("q_contamination", contamination, Some(contaminationSql)),
     QueryDef("q_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
     QueryDef("q_shard_export", shardExport, Some(shardExportSql)),
+    QueryDef("q_pack_bins", packBins, Some(packBinsSql)),
     QueryDef("q_redact_pii", redactPii, Some(redactPiiSql)),
     QueryDef("q_consistent_sample", consistentSample, Some(consistentSampleSql)),
     QueryDef("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
