@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators over the `documents` table — the second
+  * tranche of the LLM-data-pipeline surface (SURVEY.md §2.11): fuzzy
+  * n-gram decontamination, inter-document repeated-gram exposure,
+  * fixed-token chunking with overlap, temperature-scaled source
+  * mixture weights, and OOV-rate against the corpus vocabulary. All
+  * oracle-checked; every ratio in an output is a SINGLE IEEE division
+  * of exact integer aggregates so the DuckDB twins match bitwise.
+  */
+object CorpusQueries {
+
+  /** The deterministic Knuth-hash split shared with
+    * [[TextQueries.trainTestSplit]] / `q_contamination`: 90/5/5. */
+  private def splitCol = {
+    val bucket =
+      pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(100L))
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
+  /** FUZZY decontamination — the n-gram-collision scan (the GPT-3 /
+    * Llama methodology): an eval document is contaminated if ANY of
+    * its word-8-grams also occurs in the train split, catching
+    * benchmark leakage that survives exact-fingerprint checks
+    * (`q_contamination`) via trivial edits. Grams are md5-hashed
+    * before the shuffle so the join key is fixed-width (32 chars, not
+    * ~50-char raw grams) — the 100 TB shuffle-volume device. Shapes:
+    * one token explode + 7 `lead`s over the (doc, pos) window (one
+    * shuffle on doc_id), distinct gram set per doc, equi-join against
+    * the distinct train-gram set (shuffle on the hash; at 100 TB the
+    * eval side is 10% of train and AQE broadcasts nothing — both
+    * sides are corpus-scale, which is exactly when hash-partitioned
+    * equi-join is the right plan), then two integer aggregations.
+    * Never all-pairs. */
+  def contaminationNgram(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), splitCol.as("split"),
+        posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+    val leads = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
+    val grams = toks.select(col("doc_id") +: col("split") +: col("tok") +: leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"), col("split"),
+        md5(concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*)).as("g"))
+      .distinct()
+    val trainGrams = grams.filter(col("split") === "train")
+      .select("g").distinct().withColumn("_hit", lit(1))
+    val perDoc = grams.join(trainGrams, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("split") =!= "train" && col("_hit") === 1, 1L)
+        .otherwise(0L)).as("n_hits"))
+    // Docs shorter than the gram order produce no gram rows — join
+    // back to the full doc set so n_docs counts every document, not
+    // just the grammable ones.
+    Tables.documents(s, dir).select(col("doc_id"), splitCol.as("split"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+        sum(col("n_hits")).as("tot_hit_grams"))
+      .orderBy("split")
+  }
+
+  val contaminationNgramSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN ((doc_id % 100000000) * 2654435761) % 100 < 90 THEN 'train'
+      |         WHEN ((doc_id % 100000000) * 2654435761) % 100 < 95 THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents),
+      |gram_rows AS (
+      |  SELECT doc_id, split,
+      |    unnest(list_transform(range(1, len(t) - 6),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+      |           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS gr
+      |  FROM toks WHERE len(t) >= 8),
+      |grams AS (SELECT DISTINCT doc_id, split, md5(gr) AS g FROM gram_rows),
+      |train_grams AS (SELECT DISTINCT g, 1 AS hit FROM grams WHERE split = 'train'),
+      |per_doc AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN split <> 'train' AND hit = 1 THEN 1 ELSE 0 END) AS n_hits
+      |  FROM grams LEFT JOIN train_grams USING (g)
+      |  GROUP BY doc_id),
+      |all_docs AS (
+      |  SELECT t.doc_id, t.split, COALESCE(p.n_hits, 0) AS n_hits
+      |  FROM toks t LEFT JOIN per_doc p ON t.doc_id = p.doc_id)
+      |SELECT split, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |  CAST(SUM(n_hits) AS BIGINT) AS tot_hit_grams
+      |FROM all_docs GROUP BY split ORDER BY split""".stripMargin
+
+  /** INTER-document repeated-gram exposure, per source — the
+    * boilerplate scan behind suffix-style "dedup the repeated spans"
+    * passes (Lee et al., Deduplicating Training Data): for each
+    * document, the fraction of its word-3-gram occurrences whose gram
+    * also appears in at least one OTHER document. Complements
+    * `q_repetition_ratio` (INTRA-doc duplicated-gram mass): a
+    * template rendered once per doc is invisible there and lights up
+    * here. Shapes: the shared [[shingleRows]] front (one shuffle on
+    * doc_id), gram document-frequency via distinct + groupBy (shuffle
+    * on the gram), equi-join occurrences back to the df≥2 gram set,
+    * two integer aggregations. The df set is near-dup-mass-bounded,
+    * never corpus-sized after the HAVING. */
+  def repeatedGrams(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(Tables.documents(s, dir), "doc_id", "text",
+      extra = Seq("source"))
+    val shared = sh.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("sh").withColumn("_shared", lit(1))
+    sh.join(shared, Seq("sh"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("_shared") === 1, 1L).otherwise(0L)).as("n_shared"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("tot_sh"),
+        sum(col("n_shared")).as("tot_shared"),
+        max(col("n_shared").cast(DoubleType) / col("n_sh").cast(DoubleType))
+          .as("max_doc_frac"))
+      .withColumn("shared_frac",
+        col("tot_shared").cast(DoubleType) / col("tot_sh").cast(DoubleType))
+      .select("source", "n_docs", "tot_sh", "tot_shared", "shared_frac", "max_doc_frac")
+      .orderBy("source")
+  }
+
+  val repeatedGramsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source, unnest(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |shared AS (
+      |  SELECT sh, 1 AS is_shared FROM (SELECT DISTINCT doc_id, sh FROM sh)
+      |  GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2),
+      |per_doc AS (
+      |  SELECT doc_id, source, COUNT(*) AS n_sh,
+      |    SUM(CASE WHEN is_shared = 1 THEN 1 ELSE 0 END) AS n_shared
+      |  FROM sh LEFT JOIN shared USING (sh)
+      |  GROUP BY doc_id, source)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_sh) AS BIGINT) AS tot_sh,
+      |  CAST(SUM(n_shared) AS BIGINT) AS tot_shared,
+      |  CAST(SUM(n_shared) AS DOUBLE) / CAST(SUM(n_sh) AS DOUBLE) AS shared_frac,
+      |  MAX(CAST(n_shared AS DOUBLE) / CAST(n_sh AS DOUBLE)) AS max_doc_frac
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
+  /** Fixed-token CHUNKING with overlap — the context-window splitter
+    * every training/RAG export runs: chunk capacity 32 tokens, stride
+    * 24 (8-token overlap), chunks start at multiples of the stride
+    * and the final chunk keeps the tail (`n_chunks = 1 +
+    * ceil((n_tok − 32) / 24)` via exact integer arithmetic). Emits
+    * one row per CHUNK with its exact token extent and an md5
+    * fingerprint of the chunk text — the fingerprint pins the precise
+    * token content of every chunk in both engines without exporting
+    * the text itself. Shapes: pure per-row arithmetic + one
+    * `posexplode(sequence(...))` — no shuffle at all until the final
+    * ORDER BY; at 100 TB this is a map-only operator feeding a
+    * partitioned write. Small capacities keep the sf0.01 fixture
+    * multi-chunk; production capacity is a parameter. */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val cap = 32L
+    val stride = 24L
+    val t = Tables.documents(s, dir).select(col("doc_id"),
+      wsTokens(col("text")).as("toks"),
+      tokenCount(col("text")).cast(LongType).as("n_tok"))
+    t.withColumn("n_chunks",
+        when(col("n_tok") <= cap, lit(1L))
+          .otherwise(lit(1L) +
+            floor((col("n_tok") - cap + stride - 1) / stride).cast(LongType)))
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        posexplode(sequence(lit(0L), col("n_chunks") - 1)).as(Seq("_p", "chunk_id")))
+      .withColumn("start", col("chunk_id") * stride)
+      .withColumn("len", least(lit(cap), col("n_tok") - col("start")))
+      .withColumn("chunk_fp",
+        md5(concat_ws(" ", slice(col("toks"), (col("start") + 1).cast(IntegerType),
+          col("len").cast(IntegerType)))))
+      .select("doc_id", "chunk_id", "start", "len", "chunk_fp")
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val chunkDocsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, toks, n_tok,
+      |    CASE WHEN n_tok <= 32 THEN 1 ELSE 1 + (n_tok - 32 + 23) // 24 END AS n_chunks
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, toks, n_tok,
+      |    unnest(range(0, n_chunks)) AS chunk_id
+      |  FROM n)
+      |SELECT doc_id, chunk_id, chunk_id * 24 AS start,
+      |  LEAST(32, n_tok - chunk_id * 24) AS len,
+      |  md5(array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + LEAST(32, n_tok - chunk_id * 24)], ' ')) AS chunk_fp
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Temperature-scaled source MIXTURE weights — the multilingual /
+    * multi-source sampling recipe (α = 0.5 square-root smoothing, the
+    * mBERT/XLM-R convention): `w_i ∝ sqrt(n_tok_i)`, plus the
+    * expected per-source epoch count for a 1M-token draw budget
+    * (`epochs_i = budget · w_i / n_tok_i` — how many times source i's
+    * data is re-seen, the quantity up-sampling decisions read).
+    * DETERMINISM DEVICE: `sqrt` is quantized to fixed-point
+    * (`floor(sqrt · 1e6)`, exact BIGINT) BEFORE the normalizing sum —
+    * a sum of raw doubles is association-order-dependent (Spark sums
+    * in partition order, DuckDB windows use segment trees), while the
+    * integer sum is exact in both engines; the weight is then one
+    * IEEE division of two < 2^53 integers. Shapes: one groupBy on
+    * source (map-side combined), then a broadcast-sized (per-source)
+    * frame — the window over it is a few rows regardless of corpus
+    * size. */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast(LongType)).as("n_tok"))
+      .withColumn("s_fx",
+        floor(sqrt(col("n_tok").cast(DoubleType)) * lit(1000000.0)).cast(LongType))
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSrc.withColumn("denom_fx", sum(col("s_fx")).over(all))
+      .withColumn("weight",
+        col("s_fx").cast(DoubleType) / col("denom_fx").cast(DoubleType))
+      .withColumn("epochs",
+        lit(1000000.0) * col("weight") / col("n_tok").cast(DoubleType))
+      .select("source", "n_docs", "n_tok", "weight", "epochs")
+      .orderBy("source")
+  }
+
+  val mixtureWeightsSql: String =
+    """WITH per_src AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tok
+      |  FROM documents GROUP BY source),
+      |fx AS (
+      |  SELECT source, n_docs, n_tok,
+      |    CAST(FLOOR(SQRT(CAST(n_tok AS DOUBLE)) * 1000000.0) AS BIGINT) AS s_fx
+      |  FROM per_src)
+      |SELECT source, n_docs, n_tok,
+      |  CAST(s_fx AS DOUBLE) / CAST(SUM(s_fx) OVER () AS DOUBLE) AS weight,
+      |  1000000.0 * (CAST(s_fx AS DOUBLE) / CAST(SUM(s_fx) OVER () AS DOUBLE))
+      |    / CAST(n_tok AS DOUBLE) AS epochs
+      |FROM fx ORDER BY source""".stripMargin
+
+  /** OOV rate per source against the corpus's own top-100
+    * document-frequency vocabulary — the tokenizer-coverage check run
+    * before committing a vocab: the fraction of token OCCURRENCES not
+    * covered by the vocabulary. The vocab is the [[TextQueries
+    * .vocabTopk]] df ranking (ties broken by token text, so the
+    * cutoff is deterministic), taken via `orderBy(...).limit(100)` —
+    * Spark plans a distributed TakeOrdered, NOT a single-task global
+    * window, and the resulting 100-row vocab broadcasts into the
+    * occurrence join at any corpus scale. Shapes: distinct + groupBy
+    * on the token for df, TakeOrdered for the cutoff, broadcast left
+    * join, one integer aggregation per source. */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(wsTokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc)
+      .limit(100)
+      .select("tok").withColumn("_in_vocab", lit(1))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_occ"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast(DoubleType) / col("n_occ").cast(DoubleType))
+      .orderBy("source")
+  }
+
+  val oovRateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |nz AS (SELECT * FROM toks WHERE tok <> ''),
+      |vocab AS (
+      |  SELECT tok, 1 AS in_vocab FROM (
+      |    SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM nz)
+      |    GROUP BY tok ORDER BY df DESC, tok ASC LIMIT 100))
+      |SELECT source, COUNT(*) AS n_occ,
+      |  CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+      |FROM nz LEFT JOIN vocab USING (tok)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_contamination_ngram", contaminationNgram, Some(contaminationNgramSql)),
+    QueryDef("q_repeated_grams", repeatedGrams, Some(repeatedGramsSql)),
+    QueryDef("q_chunk_docs", chunkDocs, Some(chunkDocsSql)),
+    QueryDef("q_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
+    QueryDef("q_oov_rate", oovRate, Some(oovRateSql)))
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.CorpusQueries
+
+/** Crafted-fixture semantics for the corpus-curation operators. The
+  * split fixture exploits 2654435761 ≡ 61 (mod 100): for doc_id < 1e8
+  * the split bucket is `(doc_id * 61) % 100`, so id 1 → bucket 61
+  * (train), ids 90/190 → bucket 90 (val), id 95 → bucket 95 (test). */
+class CorpusQueriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeDocs(tag: String, docs: Seq[(Long, String, String)]): String = {
+    val dir = Fixtures.tempDir(tag).toString
+    docs.map { case (id, src, text) => (id, text, "en", src, text.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("contaminationNgram flags eval docs sharing an 8-gram with train; short docs still counted") {
+    val shared = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val dir = writeDocs("contam", Seq(
+      (1L, "s", s"lead $shared tail"),            // train: carries the gram
+      (90L, "s", s"x y $shared z"),               // val: contaminated (1 gram hit)
+      (190L, "s", "too short for grams"),         // val: < 8 tokens, zero grams
+      (95L, "s", "p q r s t u v w y")))           // test: clean
+    val got = CorpusQueries.contaminationNgram(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == List(
+      ("test", 1L, 0L, 0L),
+      ("train", 1L, 0L, 0L),
+      ("val", 2L, 1L, 1L)))
+  }
+
+  test("repeatedGrams: only inter-doc shared trigrams count") {
+    val dir = writeDocs("repgrams", Seq(
+      (1L, "x", "p q r s"),    // shingles: "p q r", "q r s"
+      (2L, "y", "p q r t")))   // shingles: "p q r", "q r t" — "p q r" shared
+    val got = CorpusQueries.repeatedGrams(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toList
+    assert(got == List(
+      ("x", 1L, 2L, 1L, 0.5, 0.5),
+      ("y", 1L, 2L, 1L, 0.5, 0.5)))
+  }
+
+  test("chunkDocs: 32-token chunks on a 24 stride, tail kept, fingerprints pin content") {
+    val toks = (0 until 33).map(i => s"a$i")
+    val dir = writeDocs("chunks", Seq(
+      (1L, "s", toks.mkString(" ")),         // 33 tokens → chunks (0,32) + (24,9)
+      (2L, "s", "b0 b1 b2")))                // 3 tokens → one chunk (0,3)
+    val got = CorpusQueries.chunkDocs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toList
+    assert(got == List(
+      (1L, 0L, 0L, 32L, md5hex(toks.slice(0, 32).mkString(" "))),
+      (1L, 1L, 24L, 9L, md5hex(toks.slice(24, 33).mkString(" "))),
+      (2L, 0L, 0L, 3L, md5hex("b0 b1 b2"))))
+  }
+
+  test("mixtureWeights: weights normalize to 1 and epochs follow the budget formula") {
+    val rows = CorpusQueries.mixtureWeights(spark, sfDir).collect()
+    assert(rows.length > 1)
+    val wsum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(wsum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val (nTok, w, e) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(e == 1000000.0 * w / nTok.toDouble)
+    }
+  }
+
+  test("oovRate: occurrences outside the deterministic top-100 df vocab") {
+    // Source sA: one doc of 120 distinct singleton tokens t000..t119.
+    // Source sB: three docs of "common common" → df(common)=3, rank 1.
+    // Vocab = common + the 99 alphabetically-first singletons
+    // (t000..t098); sA's OOV mass is the other 21 singletons.
+    val singletons = (0 until 120).map(i => f"t$i%03d")
+    val dir = writeDocs("oov",
+      (1L, "sA", singletons.mkString(" ")) +:
+        (2L to 4L).map(id => (id, "sB", "common common")))
+    val got = CorpusQueries.oovRate(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    assert(got == List(
+      ("sA", 120L, 21L, 21.0 / 120.0),
+      ("sB", 6L, 0L, 0.0)))
+  }
+}
