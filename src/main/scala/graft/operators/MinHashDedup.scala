@@ -162,4 +162,47 @@ object MinHashDedup {
     // never re-trigger the shingle pipeline.
     verified.localCheckpoint(true)
   }
+
+  /** INCREMENTAL near-dup scan: a NEW batch's signatures against a
+    * PRE-BUILT signature index `(doc_id, sig)` — the production-shape
+    * dedup where the corpus is never re-shingled: the index is stored
+    * state (a signature table maintained alongside the corpus), only
+    * the arriving batch pays shingling + signature cost, and
+    * verification is SIGNATURE-level — the matching-component
+    * fraction `n_match / k` IS the MinHash estimator of Jaccard
+    * similarity, so no shingle-set store is needed at match time
+    * (the trade vs [[pairsFromShingles]]' exact verify: an unbiased
+    * estimate with sd ≈ sqrt(J(1−J)/k), not an exact Jaccard).
+    *
+    * Shapes at 100 TB: the index explodes ×nBands ONCE when stored
+    * (here, in-query, because driver queries are standalone); the
+    * per-band bucket cap bounds any hot band; the join shuffles on
+    * `(band, slice)` with the batch side tiny next to the index —
+    * AQE broadcasts the batch. Candidates distinct on ids only; both
+    * signature arrays join back onto candidates (index-bounded, not
+    * corpus-bounded). Never all-pairs. */
+  def incrementalPairs(newSigs: DataFrame, indexSigs: DataFrame,
+      k: Int, nBands: Int, minMatch: Int, maxBucket: Int): DataFrame = {
+    require(k % nBands == 0, "k must divide into bands")
+    val r = k / nBands
+    val nb = explodeBands(newSigs, "sig", nBands, r)
+      .select(col("doc_id").as("new_doc"), col("band_key"))
+    val ib = explodeBands(indexSigs, "sig", nBands, r)
+      .select(col("doc_id").as("idx_doc"), col("band_key"))
+    val keptKeys = ib.groupBy("band_key").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBucket)
+      .select("band_key")
+    val cand = nb.join(ib.join(keptKeys, "band_key"), "band_key")
+      .select("new_doc", "idx_doc").distinct()
+    cand
+      .join(newSigs.select(col("doc_id").as("new_doc"), col("sig").as("sig_n")), "new_doc")
+      .join(indexSigs.select(col("doc_id").as("idx_doc"), col("sig").as("sig_i")), "idx_doc")
+      .withColumn("n_match",
+        aggregate(zip_with(col("sig_n"), col("sig_i"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, m) => acc + m))
+      .filter(col("n_match") >= minMatch)
+      .withColumn("est_jaccard",
+        col("n_match").cast(DoubleType) / lit(k.toDouble))
+      .select("new_doc", "idx_doc", "n_match", "est_jaccard")
+  }
 }

@@ -350,10 +350,89 @@ object DedupQueries {
        |HAVING COUNT(DISTINCT method) >= 2
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  private val MinMatch = 8 // est_jaccard ≥ 8/24 = 1/3
+
+  /** INCREMENTAL dedup — a new batch against the existing corpus's
+    * signature index (the production shape: at 100 TB the corpus is
+    * never re-shingled; a stored `(doc_id, sig)` table is maintained
+    * and only the arriving batch pays shingling). The deterministic
+    * Knuth split plays the roles: buckets < 90 are the indexed
+    * corpus, buckets ≥ 90 the arriving batch. Verification is the
+    * signature-level MinHash estimator (`n_match / k` ≈ Jaccard) —
+    * see [[graft.operators.MinHashDedup.incrementalPairs]] for the
+    * exactness trade. In-query the index is derived from the same
+    * table because driver queries are standalone; the scaladoc'd
+    * swap-in point is the `indexSigs` argument. */
+  def incrementalQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val bucket = pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(100L))
+    val sh = TextFunctions.shingleSets(Tables.documents(s, dir), "doc_id", "text", 3)
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val sigs = MinHashDedup.signaturesAgg(sh, ps, MinHashDedup.tokenHashMd5)
+      .withColumn("_b", bucket)
+      .persist()
+    try {
+      val idx = sigs.filter(col("_b") < 90).select("doc_id", "sig")
+      val nw = sigs.filter(col("_b") >= 90).select("doc_id", "sig")
+      MinHashDedup.incrementalPairs(nw, idx,
+          k = K, nBands = Bands, minMatch = MinMatch, maxBucket = MaxBucket)
+        .localCheckpoint(true)
+        .orderBy("new_doc", "idx_doc")
+    } finally { sigs.unpersist(); sh.unpersist(); () }
+  }
+
+  /** Twin generated from the same constants as [[minhashSql]]; the
+    * index/batch split and the per-band index cap are explicit CTEs,
+    * and the component-match count is a `list_filter` over the two
+    * signature arrays. */
+  def incrementalSql: String = {
+    val p = MinHashDedup.prime
+    val minExprs = ps.map { case (a, b) => s"MIN((h*$a+$b)%$p)" }.mkString(", ")
+    def bandSelects(src: String) = (0 until Bands).map { b =>
+      val lo = b * R + 1
+      val hi = b * R + R
+      s"SELECT doc_id, $b AS band, sig[$lo:$hi] AS sl FROM $src"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ((doc_id % 100000000) * 2654435761) % 100 AS bucket,
+       |    string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, bucket, unnest(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |  FROM toks WHERE len(t) >= 3),
+       |hs AS (
+       |  SELECT doc_id, bucket, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % $p AS h
+       |  FROM sh),
+       |sig AS (SELECT doc_id, bucket, [$minExprs] AS sig FROM hs GROUP BY doc_id, bucket),
+       |idx_sig AS (SELECT doc_id, sig FROM sig WHERE bucket < 90),
+       |new_sig AS (SELECT doc_id, sig FROM sig WHERE bucket >= 90),
+       |ib AS (${bandSelects("idx_sig")}),
+       |kept AS (
+       |  SELECT * FROM ib
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band, sl) <= $MaxBucket),
+       |nb AS (${bandSelects("new_sig")}),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS idx_doc
+       |  FROM nb n JOIN kept i ON n.band = i.band AND n.sl = i.sl),
+       |scored AS (
+       |  SELECT new_doc, idx_doc,
+       |    CAST(len(list_filter(range(1, ${K + 1}),
+       |      i -> sn.sig[i] = si.sig[i])) AS INTEGER) AS n_match
+       |  FROM cand
+       |  JOIN new_sig sn ON sn.doc_id = new_doc
+       |  JOIN idx_sig si ON si.doc_id = idx_doc)
+       |SELECT new_doc, idx_doc, n_match,
+       |  CAST(n_match AS DOUBLE) / $K.0 AS est_jaccard
+       |FROM scored WHERE n_match >= $MinMatch
+       |ORDER BY new_doc, idx_doc""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_minhash", minhashQ, Some(minhashSql)),
     QueryDef("q_dedup_simhash", simhashQ, Some(simhashSql)),
     QueryDef("q_dedup_clusters", clustersQ, Some(clustersSql)),
     QueryDef("q_dedup_droplist", droplistQ, Some(droplistSql)),
-    QueryDef("q_dedup_ensemble", ensembleQ, Some(ensembleSql)))
+    QueryDef("q_dedup_ensemble", ensembleQ, Some(ensembleSql)),
+    QueryDef("q_dedup_incremental", incrementalQ, Some(incrementalSql)))
 }

@@ -51,4 +51,28 @@ class MinHashSpec extends SparkTestBase {
     for (i <- 0 until 3)
       assert(md5Variant.contains((i.toLong, 100L + i)))
   }
+
+  test("incrementalPairs finds an exact dup across the batch/index boundary") {
+    // Index docs 0..39 + planted dups 100..102; the "arriving batch"
+    // is an exact copy of doc 5 plus one unrelated doc. The copy has
+    // an identical shingle set → identical signature → every band
+    // collides and all components match (n_match = k, est_jaccard 1).
+    val k = 24
+    val ps = MinHashDedup.perms(k)
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      MinHashDedup.signaturesAgg(
+        graft.functions.TextFunctions.shingleSets(df, "doc_id", "text", 3),
+        ps, MinHashDedup.tokenHashMd5)
+    val copyOf5 = docs.filter($"doc_id" === 5L).head().getString(1)
+    val batch = Seq(
+      (1000L, copyOf5),
+      (1001L, "completely unrelated stray tokens nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val got = MinHashDedup.incrementalPairs(sigsOf(batch), sigsOf(docs),
+        k = k, nBands = 8, minMatch = 8, maxBucket = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.exists(_ == ((1000L, 5L, k, 1.0))), s"exact dup not found: ${got.toList}")
+    assert(got.forall(_._1 >= 1000L), "pair roles reversed: new_doc must come from the batch")
+    assert(!got.exists(_._1 == 1001L), "unrelated batch doc matched the index")
+  }
 }
