@@ -66,6 +66,11 @@ object Bench {
     // `_cold` entries time the query with the memo dropped first (min
     // of two samples; excluded from "total", which stays the cost of
     // one session running every query once, memo effects included).
+    // q_dedup_canonical rides the same memo but gets no _cold entry:
+    // its standalone cost is clusters_cold + its warm join/agg (the
+    // two visible numbers bound it), and a third near-duplicate cold
+    // key spends ~20 chars of the 1950-char line budget on no new
+    // information.
     val memoized = Seq("q_dedup_clusters", "q_dedup_droplist")
       .filter(SparkEntry.queries.contains)
     val cold: Map[String, Double] = memoized.map { name =>
@@ -96,28 +101,43 @@ object Bench {
         if (t.matches("q?\\d+")) t
         else t.head +: t.tail.filterNot("aeiou".contains(_))
       }.mkString("_")
+    // Stage-2 compaction (round-9: 106 keys overflowed the window at
+    // sf0.1 value widths and the old fallback dropped the whole map):
+    // additionally drop underscores and compact the uniform "tpch"
+    // prefix to "t" ("ddp_ngrm_jccrd" -> "ddpngrmjccrd", "tpch_q14"
+    // -> "tq14"). Still deterministic and decodable (tokens keep
+    // their first letter + consonants; digits survive).
+    def abbrev2(k: String): String =
+      abbrev(k).split('_').map {
+        case "tpch" => "t"
+        case t => t
+      }.mkString
     val emitted = results ++ cold
-    val short0 = emitted.keys.map(k => k -> abbrev(k)).toMap
-    val short =
-      if (short0.values.toSet.size == short0.size) short0
-      else emitted.keys.map(k => k -> k.stripPrefix("q_")).toMap
-    val qs = emitted.map { case (k, v) =>
-      s"\"" + short(k) + "\":" + fmt(v)
-    }.mkString("{", ",", "}")
-    // Sample-count transparency (ADVICE r7): the ≥1.5 s queries get 5 timed
-    // samples instead of 3; list them so the asymmetric estimator is visible
-    // in the emitted line rather than implicit in the code.
-    val n5 = slow.map(n => "\"" + short(n) + "\"").sorted.mkString("[", ",", "]")
+    def shorten(f: String => String): Option[Map[String, String]] = {
+      val m = emitted.keys.map(k => k -> f(k)).toMap
+      if (m.values.toSet.size == m.size) Some(m) else None
+    }
     val total = if (results.nonEmpty) results.values.filter(java.lang.Double.isFinite).sum else 0.0
-    val line =
+    def lineWith(short: Map[String, String]): String = {
+      val qs = emitted.map { case (k, v) =>
+        s"\"" + short(k) + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
+      // Sample-count transparency (ADVICE r7): the ≥1.5 s queries get 5
+      // timed samples instead of 3; list them so the asymmetric estimator
+      // is visible in the emitted line rather than implicit in the code.
+      val n5 = slow.map(n => "\"" + short(n) + "\"").sorted.mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n5":$n5,"sf":"$sfDir"}"""
-    // Belt and braces: if the query map ever grows past the window, drop it
-    // rather than lose the headline metric. Since build.sbt now pipes forked
-    // output raw (no [info] prefix, no trailing [success] line), the line
-    // only has to fit the harness's 2000-char tail window by itself.
-    val safe =
-      if (line.length <= 1950) line
-      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir"}"""
+    }
+    // First encoding that fits the window wins — stage 1 first for key
+    // continuity with prior rounds, stage 2 when stage 1 overflows,
+    // full keys as a collision-proof fallback. The harness keeps only
+    // the LAST ~2000 chars of output, so a line that doesn't fit is
+    // worse than a coarser-keyed line that does.
+    val candidates =
+      (shorten(abbrev) ++ shorten(abbrev2) ++ shorten(_.stripPrefix("q_")))
+        .map(lineWith).toSeq
+    val safe = candidates.find(_.length <= 1950).getOrElse(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
     // Stop Spark BEFORE printing: shutdown logging would otherwise land
     // after the metric line and push it away from the end of the tail
     // window the harness captures.

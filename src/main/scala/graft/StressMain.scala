@@ -293,6 +293,24 @@ object StressMain {
       println(f"[stress] ann recall@$k lsh=${recall(lsh)}%.3f ivf=${recall(ivf)}%.3f")
       corpus.unpersist(); qs.unpersist()
     }
+    // Corpus-curation ops at 1M docs (r9): the 7 new operators on the
+    // 10× stress corpus — chunking/packing are map-heavy (explode +
+    // window), contamination/repeated-grams/oov are gram- or
+    // token-explode + hash-shuffle, incremental dedup is the
+    // signature band join. Proves none of them hides a corpus-sized
+    // aggregation state or a quadratic candidate set at 20× the
+    // bench corpus.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_CORPUS1M")) {
+      ensure1mCorpus(spark)
+      val dir = "/tmp/stress1m"
+      time("chunk_docs 1M")(queries.CorpusQueries.chunkDocs(spark, dir).count())
+      time("pack_bins 1M")(queries.TextQueries.packBins(spark, dir).count())
+      time("mixture_weights 1M")(queries.CorpusQueries.mixtureWeights(spark, dir).count())
+      time("oov_rate 1M")(queries.CorpusQueries.oovRate(spark, dir).count())
+      time("repeated_grams 1M")(queries.CorpusQueries.repeatedGrams(spark, dir).count())
+      time("contamination_8g 1M")(queries.CorpusQueries.contaminationNgram(spark, dir).count())
+      time("dedup_incremental 1M")(queries.DedupQueries.incrementalQ(spark, dir).count())
+    }
     // events-side stress (2M events, 20x sf0.1; orders copied alongside)
     time("ingest_dedup 2M")(queries.IngestQueries.ingestDedup(spark, "/tmp/stress").count())
     time("sessionize 2M")(queries.AnalyticsQueries.sessionizeQ(spark, "/tmp/stress").count())

@@ -302,10 +302,60 @@ object CorpusQueries {
       |FROM nz LEFT JOIN vocab USING (tok)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-document TOP-K keyword extraction by tf-idf-style weighting —
+    * the topic/keyword tagging pass corpus curation runs before
+    * mixture design or topic-balanced sampling. Weight = tf/df
+    * (reciprocal document frequency): rationally exact inputs and ONE
+    * IEEE division, so the DuckDB twin matches bitwise — log-idf
+    * would rank identically (both are strictly decreasing in df) but
+    * `ln` is libm-dependent and would break the hash gate. Ties break
+    * on token text, so the top-3 set is fully deterministic. Shapes:
+    * token explode → (doc, token) tf groupBy (map-side combine; the
+    * tf frame is already distinct per doc-token, so df is a groupBy
+    * COUNT over it — no second distinct), equi-join tf⋈df on the
+    * token (vocab-scale right side; hash join at corpus scale), then
+    * a per-doc window for the top-3. The window's sort key set is
+    * (doc_id) — partition-local after one shuffle, never global. */
+  def keywordTopk(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .withColumn("score", col("tf").cast(DoubleType) / col("df").cast(DoubleType))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("doc_id", "rk", "token", "tf", "df", "score")
+      .orderBy("doc_id", "rk")
+  }
+
+  val keywordTopkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |nz AS (SELECT * FROM toks WHERE token <> ''),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM nz GROUP BY doc_id, token),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |scored AS (
+      |  SELECT doc_id, token, tf, df,
+      |    CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score
+      |  FROM tf JOIN dfreq USING (token)),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rn
+      |  FROM scored)
+      |SELECT doc_id, CAST(rn AS INTEGER) AS rk, token, tf, df, score
+      |FROM r WHERE rn <= 3 ORDER BY doc_id, rk""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_contamination_ngram", contaminationNgram, Some(contaminationNgramSql)),
     QueryDef("q_repeated_grams", repeatedGrams, Some(repeatedGramsSql)),
     QueryDef("q_chunk_docs", chunkDocs, Some(chunkDocsSql)),
     QueryDef("q_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
-    QueryDef("q_oov_rate", oovRate, Some(oovRateSql)))
+    QueryDef("q_oov_rate", oovRate, Some(oovRateSql)),
+    QueryDef("q_keyword_topk", keywordTopk, Some(keywordTopkSql)))
 }

@@ -288,6 +288,57 @@ object DedupQueries {
        |SELECT node AS doc_id, label AS cluster FROM final
        |WHERE node <> label ORDER BY doc_id""".stripMargin
 
+  /** CANONICAL-doc selection — keep-BEST per near-dup cluster, the
+    * refinement real pipelines apply instead of the min-id keep of
+    * [[droplistQ]]: within each cluster retain the document with the
+    * highest [[graft.functions.TextFunctions.qualityScore]] (ties →
+    * smallest doc_id, so selection is fully deterministic). Reuses
+    * the session-memoized CC label frame — in a session that already
+    * ran clusters/droplist this is one join + one aggregation.
+    * Shapes: labels⋈quality equi-join on doc_id (label side is
+    * near-dup-mass-bounded, never corpus-sized), then ONE groupBy
+    * with `max_by` over a (quality, −doc_id) struct — map-side
+    * combining, no per-cluster window sort. The quality double is
+    * the oracle-pinned expression from `q_text_quality`, so the
+    * argmax compares bit-identical doubles in both engines. */
+  def canonicalQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    val labels = clusterLabels(s, dir)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+    labels.join(docs, labels("node") === docs("doc_id"))
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("node"), struct(col("quality"), (-col("node")).as("nid")))
+          .as("keep_doc"),
+        max(col("quality")).as("best_quality"))
+      .orderBy("cluster")
+  }
+
+  val canonicalSql: String =
+    s"""WITH RECURSIVE $simhashPairsCte,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM verified
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM verified),
+       |reach(node, lab) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst),
+       |final AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node),
+       |q AS (SELECT doc_id,
+       |  ${TextQueries.qualitySqlExpr}
+       |    AS quality FROM documents),
+       |r AS (
+       |  SELECT f.label, f.node, q.quality,
+       |    ROW_NUMBER() OVER (PARTITION BY f.label
+       |      ORDER BY q.quality DESC, f.node ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY f.label) AS n_docs,
+       |    MAX(q.quality) OVER (PARTITION BY f.label) AS best_quality
+       |  FROM final f JOIN q ON q.doc_id = f.node)
+       |SELECT label AS cluster, n_docs, node AS keep_doc, best_quality
+       |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   /** ENSEMBLE (consensus) dedup — the production guard against any
     * single sketch's blind spots: a pair is flagged only when at
     * least 2 of the 3 independent methods agree (MinHash-LSH
@@ -433,6 +484,7 @@ object DedupQueries {
     QueryDef("q_dedup_simhash", simhashQ, Some(simhashSql)),
     QueryDef("q_dedup_clusters", clustersQ, Some(clustersSql)),
     QueryDef("q_dedup_droplist", droplistQ, Some(droplistSql)),
+    QueryDef("q_dedup_canonical", canonicalQ, Some(canonicalSql)),
     QueryDef("q_dedup_ensemble", ensembleQ, Some(ensembleSql)),
     QueryDef("q_dedup_incremental", incrementalQ, Some(incrementalSql)))
 }

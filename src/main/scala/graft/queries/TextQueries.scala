@@ -41,17 +41,24 @@ object TextQueries {
         qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
-  val textQualitySql: String =
-    """SELECT doc_id,
-      |  CAST(length(text) AS INTEGER) AS n_chars_obs,
-      |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-      |    t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS INTEGER) AS n_stop,
-      |  0.4 * (least(CAST(length(text) AS DOUBLE), 500.0) / 500.0)
+  /** The DuckDB mirror of [[graft.functions.TextFunctions.qualityScore]]
+    * — same parenthesization and operand order (double arithmetic is
+    * order-sensitive). Shared by `q_text_quality` and the canonical-doc
+    * selection twin in [[DedupQueries]]. */
+  val qualitySqlExpr: String =
+    """0.4 * (least(CAST(length(text) AS DOUBLE), 500.0) / 500.0)
       |    + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
       |               / greatest(CAST(length(text) AS DOUBLE), 1.0))
       |    + 0.3 * (CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
       |                t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
-      |               / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0))
+      |               / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0))""".stripMargin
+
+  val textQualitySql: String =
+    s"""SELECT doc_id,
+      |  CAST(length(text) AS INTEGER) AS n_chars_obs,
+      |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+      |    t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS INTEGER) AS n_stop,
+      |  $qualitySqlExpr
       |    AS quality
       |FROM documents ORDER BY doc_id""".stripMargin
 

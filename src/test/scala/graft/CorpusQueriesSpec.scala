@@ -90,4 +90,22 @@ class CorpusQueriesSpec extends SparkTestBase {
       ("sA", 120L, 21L, 21.0 / 120.0),
       ("sB", 6L, 0L, 0.0)))
   }
+
+  test("keywordTopk: tf/df ranking with token tie-break, short docs emit < k rows") {
+    // df: apple 1, banana 2, cherry 1, date 1.
+    // doc 1 scores: apple 2/1=2.0, cherry 1/1=1.0, banana 1/2=0.5.
+    // doc 2 scores: banana 3/2=1.5, date 1/1=1.0 — only two tokens.
+    val dir = writeDocs("kw", Seq(
+      (1L, "s", "apple apple banana cherry"),
+      (2L, "s", "banana banana banana date")))
+    val got = CorpusQueries.keywordTopk(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toList
+    assert(got == List(
+      (1L, 1, "apple", 2L, 1L, 2.0),
+      (1L, 2, "cherry", 1L, 1L, 1.0),
+      (1L, 3, "banana", 1L, 2L, 0.5),
+      (2L, 1, "banana", 3L, 2L, 1.5),
+      (2L, 2, "date", 1L, 1L, 1.0)))
+  }
 }
