@@ -119,19 +119,22 @@ object TextFunctions {
     * shingling front of [[shingleSets]] and the repetition-ratio
     * query: split once, posexplode positions, assemble shingles via
     * two `lead`s over (doc, pos). `extra` columns (constant per doc,
-    * e.g. `lang`) are carried through the explode. */
+    * e.g. `lang`) are carried through the explode. `keepPos` retains
+    * the gram's token position (the first token's index) for
+    * position-sensitive consumers like span extraction. */
   def shingleRows(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, extra: Seq[String] = Nil,
-      n: Int = 3): org.apache.spark.sql.DataFrame = {
+      n: Int = 3, keepPos: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(n == 3, "lead-based shingling is written for n=3")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
+    val posCols = if (keepPos) Seq(col("pos")) else Nil
     docs.select(col(idCol).as("doc_id") +: extra.map(col) :+
         posexplode(wsTokens(col(textCol))).as(Seq("pos", "tok")): _*)
       .withColumn("t1", lead(col("tok"), 1).over(w))
       .withColumn("t2", lead(col("tok"), 2).over(w))
       .filter(col("t2").isNotNull)
-      .select(col("doc_id") +: extra.map(col) :+
+      .select(Seq(col("doc_id")) ++ posCols ++ extra.map(col) :+
         concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"): _*)
   }
 }

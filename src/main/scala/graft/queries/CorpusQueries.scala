@@ -302,6 +302,62 @@ object CorpusQueries {
       |FROM nz LEFT JOIN vocab USING (tok)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Span-level duplicate-text EXTENTS — the output shape of
+    * repeated-span dedup (Lee et al., Deduplicating Training Data:
+    * remove the duplicated SPAN, keep the rest of the document):
+    * per document, every maximal run of ≥4 consecutive word-3-grams
+    * whose gram also occurs in at least one other document, reported
+    * as inclusive token extents `[start_tok, end_tok]`. Complements
+    * `q_repeated_grams` (which measures exposure but not WHERE): the
+    * spans are what a surgical dedup pass actually cuts. Shapes: the
+    * position-keeping [[shingleRows]] front (one shuffle on doc_id),
+    * gram df≥2 via distinct+groupBy (shuffle on the gram; the shared
+    * set is unique per gram so the join back never duplicates rows),
+    * then gaps-and-islands — `pos − row_number()` over (doc, pos)
+    * groups consecutive flagged positions — and one groupBy per
+    * island. All keys are doc- or gram-hashed; never all-pairs, and
+    * the island window sorts only within a document's flagged rows. */
+  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleRows(Tables.documents(s, dir), "doc_id", "text",
+      keepPos = true)
+    val shared = sh.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("sh")
+    val flagged = sh.join(shared, Seq("sh"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(2)).as("end_tok"),
+        count(lit(1)).as("n_grams"))
+      .filter(col("n_grams") >= 4)
+      .select("doc_id", "start_tok", "end_tok", "n_grams")
+      .orderBy("doc_id", "start_tok")
+  }
+
+  val dupSpansSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(unnest(list_transform(range(1, len(t) - 1), i -> i - 1)) AS INTEGER) AS pos,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |shared AS (
+      |  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sh)
+      |  GROUP BY sh HAVING COUNT(*) >= 2),
+      |fl AS (SELECT doc_id, pos FROM sh JOIN shared USING (sh)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM fl)
+      |SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 2 AS end_tok,
+      |  COUNT(*) AS n_grams
+      |FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= 4
+      |ORDER BY doc_id, start_tok""".stripMargin
+
   /** Per-document TOP-K keyword extraction by tf-idf-style weighting —
     * the topic/keyword tagging pass corpus curation runs before
     * mixture design or topic-balanced sampling. Weight = tf/df
@@ -357,5 +413,6 @@ object CorpusQueries {
     QueryDef("q_chunk_docs", chunkDocs, Some(chunkDocsSql)),
     QueryDef("q_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
     QueryDef("q_oov_rate", oovRate, Some(oovRateSql)),
-    QueryDef("q_keyword_topk", keywordTopk, Some(keywordTopkSql)))
+    QueryDef("q_keyword_topk", keywordTopk, Some(keywordTopkSql)),
+    QueryDef("q_dup_spans", dupSpans, Some(dupSpansSql)))
 }

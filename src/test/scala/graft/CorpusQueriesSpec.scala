@@ -91,6 +91,24 @@ class CorpusQueriesSpec extends SparkTestBase {
       ("sB", 6L, 0L, 0.0)))
   }
 
+  test("dupSpans: maximal cross-doc shared-gram runs as token extents; short runs filtered") {
+    // Docs 1/2 share the 6-token run s1..s6 → 4 interior shared
+    // 3-grams (boundary grams differ), a span of exactly the ≥4
+    // threshold: doc 1 flagged at pos 2..5 → [2, 7]; doc 2 at 1..4
+    // → [1, 6]. Docs 3/4 share only a 5-token run → 3 grams → below
+    // the threshold, no rows.
+    val dir = writeDocs("spans", Seq(
+      (1L, "s", "u1 u2 s1 s2 s3 s4 s5 s6 u3 u4"),
+      (2L, "s", "v1 s1 s2 s3 s4 s5 s6 v2"),
+      (3L, "s", "w1 p1 p2 p3 p4 p5 w2"),
+      (4L, "s", "x1 p1 p2 p3 p4 p5 x2")))
+    val got = CorpusQueries.dupSpans(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toList
+    assert(got == List(
+      (1L, 2, 7, 4L),
+      (2L, 1, 6, 4L)))
+  }
+
   test("keywordTopk: tf/df ranking with token tie-break, short docs emit < k rows") {
     // df: apple 1, banana 2, cherry 1, date 1.
     // doc 1 scores: apple 2/1=2.0, cherry 1/1=1.0, banana 1/2=0.5.
