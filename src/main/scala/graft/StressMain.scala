@@ -311,6 +311,8 @@ object StressMain {
       time("contamination_8g 1M")(queries.CorpusQueries.contaminationNgram(spark, dir).count())
       time("keyword_topk 1M")(queries.CorpusQueries.keywordTopk(spark, dir).count())
       time("dup_spans 1M")(queries.CorpusQueries.dupSpans(spark, dir).count())
+      time("span_clean 1M")(queries.CorpusQueries.spanClean(spark, dir).count())
+      time("quality_filter 1M")(queries.CorpusQueries.qualityFilter(spark, dir).count())
       time("dedup_incremental 1M")(queries.DedupQueries.incrementalQ(spark, dir).count())
     }
     // events-side stress (2M events, 20x sf0.1; orders copied alongside)

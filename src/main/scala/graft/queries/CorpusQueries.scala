@@ -317,7 +317,20 @@ object CorpusQueries {
     * groups consecutive flagged positions — and one groupBy per
     * island. All keys are doc- or gram-hashed; never all-pairs, and
     * the island window sorts only within a document's flagged rows. */
-  def dupSpans(s: SparkSession, dir: String): DataFrame = {
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    spanFrame(s, dir)
+      .select("doc_id", "start_tok", "end_tok", "n_grams")
+      .orderBy("doc_id", "start_tok")
+
+  /** The unordered span set behind [[dupSpans]] and [[spanClean]]:
+    * `(doc_id, start_tok, end_tok, n_grams)`, one row per maximal
+    * ≥4-gram cross-document duplicated run. Spans of one document
+    * never share a gram START position (islands are disjoint), but
+    * their TOKEN extents can touch: a gram island ending at pos p and
+    * the next starting at p+2 both cover token p+2 — consumers that
+    * test token membership must dedupe by position (semi/anti join),
+    * not count span matches. */
+  private def spanFrame(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleRows(Tables.documents(s, dir), "doc_id", "text",
       keepPos = true)
     val shared = sh.select("doc_id", "sh").distinct()
@@ -332,8 +345,6 @@ object CorpusQueries {
         (max(col("pos")) + lit(2)).as("end_tok"),
         count(lit(1)).as("n_grams"))
       .filter(col("n_grams") >= 4)
-      .select("doc_id", "start_tok", "end_tok", "n_grams")
-      .orderBy("doc_id", "start_tok")
   }
 
   val dupSpansSql: String =
@@ -407,6 +418,177 @@ object CorpusQueries {
       |SELECT doc_id, CAST(rn AS INTEGER) AS rk, token, tf, df, score
       |FROM r WHERE rn <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** Surgical SPAN REMOVAL — the second half of the Lee et al.
+    * repeated-span dedup pass: given [[dupSpans]]' extents, cut those
+    * token ranges out of the text and keep the rest. One row per
+    * AFFECTED document: `(doc_id, n_cut_tokens, clean_text)` — docs
+    * with no spans pass through a real pipeline untouched and are not
+    * re-emitted here. Shapes: the span frame (see [[spanFrame]]),
+    * then the corpus is SEMI-joined to the affected doc set before
+    * any explode — only flagged documents pay tokenization. Token
+    * membership in a span is decided by semi/anti joins on
+    * `(doc_id, pos BETWEEN start AND end)` — set-semantics joins,
+    * immune to the touching-extent double-match [[spanFrame]]
+    * documents. Reassembly is an ordered collect per doc (struct
+    * array sorted on position) — partition-local after the one
+    * shuffle on doc_id; span sets per doc are tiny, so the range
+    * condition rides the equi-join on doc_id. */
+  def spanClean(s: SparkSession, dir: String): DataFrame = {
+    val spans = spanFrame(s, dir)
+      .select(col("doc_id").as("sd"), col("start_tok"), col("end_tok"))
+    val affected = spans.select(col("sd").as("doc_id")).distinct()
+    val toks = Tables.documents(s, dir)
+      .join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+    val inSpan = toks("doc_id") === spans("sd") &&
+      col("pos") >= col("start_tok") && col("pos") <= col("end_tok")
+    val nCut = toks.join(spans, inSpan, "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_cut_tokens"))
+    val kept = toks.join(spans, inSpan, "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok"))).as("clean_text"))
+    affected.join(nCut, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_cut_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val spanCleanSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(unnest(list_transform(range(1, len(t) - 1), i -> i - 1)) AS INTEGER) AS pos,
+      |    unnest(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |shared AS (
+      |  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM sh)
+      |  GROUP BY sh HAVING COUNT(*) >= 2),
+      |fl AS (SELECT doc_id, pos FROM sh JOIN shared USING (sh)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM fl),
+      |spans AS (
+      |  SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 2 AS end_tok
+      |  FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= 4),
+      |tr AS (
+      |  SELECT doc_id,
+      |    CAST(unnest(range(len(t))) AS INTEGER) AS pos,
+      |    unnest(t) AS tok
+      |  FROM toks WHERE doc_id IN (SELECT doc_id FROM spans)),
+      |mk AS (
+      |  SELECT tr.doc_id, tr.pos, tr.tok,
+      |    EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = tr.doc_id
+      |            AND tr.pos BETWEEN s.start_tok AND s.end_tok) AS cut
+      |  FROM tr)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut_tokens,
+      |  COALESCE(string_agg(CASE WHEN NOT cut THEN tok END, ' ' ORDER BY pos), '')
+      |    AS clean_text
+      |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style QUALITY-RULE filter table — the per-rule pass/fail
+    * accounting a curation pipeline reports before dropping documents
+    * (Rae et al., Gopher §A1.1 analogues): token-count bounds, mean
+    * word length bounds, max single-token repetition share, minimum
+    * stopword presence. Output is per-source integer counts — every
+    * column is an exact integer, and the rational rule thresholds are
+    * evaluated by integer CROSS-MULTIPLICATION (`3·ntok ≤ chars`,
+    * `5·max_tf ≤ ntok`), never a float ratio, so the twin matches
+    * with zero float hazard. Shapes: one token explode → (doc, tok)
+    * tf groupBy (map-side combine) → per-doc aggregate → left join
+    * back to the doc set (token-less docs still counted) → per-source
+    * aggregate. No windows, no all-pairs; both shuffles are on
+    * doc-scale keys. */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val per = tf.groupBy("doc_id").agg(
+      sum(col("tf")).as("ntok"),
+      max(col("tf")).as("max_tf"),
+      sum(length(col("tok")).cast(LongType) * col("tf")).as("nchars"),
+      sum(when(col("tok").isin(stopwords: _*), col("tf")).otherwise(0L)).as("nstop"))
+    val rules = docs.select(col("doc_id"), col("source"))
+      .join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("ntok", "max_tf", "nchars", "nstop"))
+      .withColumn("r_len", col("ntok") >= 30 && col("ntok") <= 100000)
+      .withColumn("r_mean",
+        lit(3L) * col("ntok") <= col("nchars") && col("nchars") <= lit(10L) * col("ntok"))
+      .withColumn("r_rep", lit(5L) * col("max_tf") <= col("ntok"))
+      .withColumn("r_stop", col("nstop") >= 2)
+    rules.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("r_len"), 1L).otherwise(0L)).as("pass_len"),
+      sum(when(col("r_mean"), 1L).otherwise(0L)).as("pass_mean_wordlen"),
+      sum(when(col("r_rep"), 1L).otherwise(0L)).as("pass_max_rep"),
+      sum(when(col("r_stop"), 1L).otherwise(0L)).as("pass_stopwords"),
+      sum(when(col("r_len") && col("r_mean") && col("r_rep") && col("r_stop"),
+        1L).otherwise(0L)).as("pass_all"))
+      .orderBy("source")
+  }
+
+  val qualityFilterSql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       |       WHERE tok <> '' GROUP BY doc_id, tok),
+       |per AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS ntok,
+       |    CAST(MAX(tf) AS BIGINT) AS max_tf,
+       |    CAST(SUM(len(tok) * tf) AS BIGINT) AS nchars,
+       |    CAST(SUM(CASE WHEN tok IN ($stopList) THEN tf ELSE 0 END) AS BIGINT) AS nstop
+       |  FROM tf GROUP BY doc_id),
+       |rules AS (
+       |  SELECT d.source,
+       |    (COALESCE(ntok, 0) >= 30 AND COALESCE(ntok, 0) <= 100000) AS r_len,
+       |    (3 * COALESCE(ntok, 0) <= COALESCE(nchars, 0)
+       |     AND COALESCE(nchars, 0) <= 10 * COALESCE(ntok, 0)) AS r_mean,
+       |    (5 * COALESCE(max_tf, 0) <= COALESCE(ntok, 0)) AS r_rep,
+       |    (COALESCE(nstop, 0) >= 2) AS r_stop
+       |  FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN r_len THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+       |  CAST(SUM(CASE WHEN r_mean THEN 1 ELSE 0 END) AS BIGINT) AS pass_mean_wordlen,
+       |  CAST(SUM(CASE WHEN r_rep THEN 1 ELSE 0 END) AS BIGINT) AS pass_max_rep,
+       |  CAST(SUM(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopwords,
+       |  CAST(SUM(CASE WHEN r_len AND r_mean AND r_rep AND r_stop THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS pass_all
+       |FROM rules GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Per-source LOG2 document-length histogram — the length-
+    * distribution diagnostic behind chunk-size and packing decisions.
+    * Bucket = position of the highest set bit of `n_chars` (i.e.
+    * `⌊log2⌋ + 1`), computed as the LENGTH OF THE BINARY STRING in
+    * both engines — integer-exact, immune to the `log2(2^k)` IEEE
+    * rounds-just-under-k hazard a float log would carry. Pure
+    * scan + one map-side-combining aggregate on a tiny key space;
+    * the scan reads only (source, n_chars) — projection-pruned. */
+  def lengthHist(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        length(bin(col("n_chars"))).as("bucket"),
+        col("n_chars"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tot_chars"))
+      .orderBy("source", "bucket")
+
+  val lengthHistSql: String =
+    """SELECT source, CAST(length(bin(n_chars)) AS INTEGER) AS bucket,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS tot_chars
+      |FROM documents GROUP BY source, bucket
+      |ORDER BY source, bucket""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_contamination_ngram", contaminationNgram, Some(contaminationNgramSql)),
     QueryDef("q_repeated_grams", repeatedGrams, Some(repeatedGramsSql)),
@@ -414,5 +596,8 @@ object CorpusQueries {
     QueryDef("q_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
     QueryDef("q_oov_rate", oovRate, Some(oovRateSql)),
     QueryDef("q_keyword_topk", keywordTopk, Some(keywordTopkSql)),
-    QueryDef("q_dup_spans", dupSpans, Some(dupSpansSql)))
+    QueryDef("q_dup_spans", dupSpans, Some(dupSpansSql)),
+    QueryDef("q_span_clean", spanClean, Some(spanCleanSql)),
+    QueryDef("q_quality_filter", qualityFilter, Some(qualityFilterSql)),
+    QueryDef("q_length_hist", lengthHist, Some(lengthHistSql)))
 }

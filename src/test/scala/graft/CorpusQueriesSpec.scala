@@ -109,6 +109,58 @@ class CorpusQueriesSpec extends SparkTestBase {
       (2L, 1, 6, 4L)))
   }
 
+  test("spanClean: cuts span extents, counts touching-extent tokens once, all-cut doc → empty text") {
+    // Doc 1 carries two islands whose TOKEN extents overlap at token 5
+    // (c6): grams 0-3 shared with doc 2 → extent [0,5]; grams 5-9
+    // shared with doc 3 → extent [5,11]. The union covers all 12
+    // tokens — n_cut must be 12 (token 5 counted ONCE, not per
+    // matching span) and clean_text empty. Docs 2/3 lose only their
+    // shared runs.
+    val dir = writeDocs("spanclean", Seq(
+      (1L, "s", "c1 c2 c3 c4 c5 c6 d1 d2 d3 d4 d5 d6"),
+      (2L, "s", "y1 c1 c2 c3 c4 c5 c6 y2"),
+      (3L, "s", "w1 c6 d1 d2 d3 d4 d5 d6 w2")))
+    val got = CorpusQueries.spanClean(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    assert(got == List(
+      (1L, 12L, ""),
+      (2L, 6L, "y1 y2"),
+      (3L, 7L, "w1 w2")))
+  }
+
+  test("qualityFilter: per-source integer rule counts, one rule isolated per fixture doc") {
+    def words(n: Int, len: Int, prefix: String): Seq[String] =
+      (1 to n).map(i => (prefix + i.toString).padTo(len, 'x').take(len))
+    def doc(toks: Seq[String]) = toks.mkString(" ")
+    val passAll = doc(Seq("the", "a") ++ words(28, 4, "a"))   // 30 toks, mean 116/30
+    val failLen = doc(Seq("the", "a") ++ words(18, 4, "b"))   // 20 toks < 30
+    val failRep = doc(Seq("the", "a") ++ Seq.fill(7)("zzzz") ++ words(21, 4, "c")) // max_tf 7, 5*7>30
+    val failStop = doc(Seq("the") ++ words(29, 4, "d"))       // 1 stopword < 2
+    val failMean = doc(Seq("the", "a") ++ words(28, 12, "e")) // 340 chars > 10*30
+    val dir = writeDocs("qfilter", Seq(
+      (1L, "sA", passAll), (2L, "sA", failLen),
+      (3L, "sA", failRep), (4L, "sA", failStop),
+      (5L, "sB", failMean)))
+    val got = CorpusQueries.qualityFilter(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    assert(got == List(
+      ("sA", 4L, 3L, 4L, 3L, 3L, 1L),
+      ("sB", 1L, 1L, 0L, 1L, 1L, 0L)))
+  }
+
+  test("lengthHist: log2 buckets via binary-string length, grouped by source") {
+    // n_chars = text.length (writeDocs): 5 → bin "101" → bucket 3;
+    // 8 → "1000" → bucket 4.
+    val dir = writeDocs("lenhist", Seq(
+      (1L, "sA", "ab cd"), (2L, "sA", "abc d"), (3L, "sB", "abcdefgh")))
+    val got = CorpusQueries.lengthHist(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == List(
+      ("sA", 3, 2L, 10L),
+      ("sB", 4, 1L, 8L)))
+  }
+
   test("keywordTopk: tf/df ranking with token tie-break, short docs emit < k rows") {
     // df: apple 1, banana 2, cherry 1, date 1.
     // doc 1 scores: apple 2/1=2.0, cherry 1/1=1.0, banana 1/2=0.5.
