@@ -292,6 +292,14 @@ object StressMain {
       }
       println(f"[stress] ann recall@$k lsh=${recall(lsh)}%.3f ivf=${recall(ivf)}%.3f")
       corpus.unpersist(); qs.unpersist()
+      // The two centroid-based vector queries on the same 1M corpus:
+      // kmeans is one broadcast-BNLJ pass + aggregate argmin (k×N
+      // scored rows combine map-side); outliers is a 64M-row
+      // posexplode + (label,dim) aggregate + broadcast scoring join.
+      time("kmeans assign 1M")(
+        queries.VectorQueries.kmeansAssign(spark, "/tmp/stress1m").count())
+      time("embed_outliers 1M")(
+        queries.VectorQueries.embedOutliers(spark, "/tmp/stress1m").count())
     }
     // Corpus-curation ops at 1M docs (r9): the 7 new operators on the
     // 10× stress corpus — chunking/packing are map-heavy (explode +
