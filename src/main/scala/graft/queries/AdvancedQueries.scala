@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -201,8 +201,74 @@ object AdvancedQueries {
       |         date_trunc('month', CAST(o_orderdate AS DATE))
       |ORDER BY quarter, month""".stripMargin
 
+  /** Z-ORDER data layout (the multi-dimensional clustering behind
+    * parquet/lakehouse data skipping): interleave the bits of two
+    * quantized dimensions — customer and order day — into one
+    * space-filling-curve key, derive the file bucket from the key's
+    * TOP bits, and report each bucket's min/max RECTANGLE in both
+    * dimensions. A scan filtered on EITHER dimension can then skip
+    * ~√buckets of the files on that bucket metadata, where a
+    * single-column sort helps one dimension and scatters the other —
+    * the claim this query's output proves structurally: 16 buckets =
+    * a 4×4 grid, every bucket spanning ≤ 1/4 of each dimension's
+    * domain (`span_cust` ≤ 512 of [0, 2048), `span_days` ≤ 1024).
+    *
+    * Scale shape: the key is a fixed tree of shift/mask/add over two
+    * columns — pure map-side, codegen'd, no exchange until the final
+    * 16-key aggregate (map-side combining). At 100 TB the SAME key
+    * feeds `repartitionByRange(zkey)` + `sortWithinPartitions(zkey)`
+    * before the write, giving every output file a tight rectangle in
+    * its parquet min/max footer — this query is the layout audit that
+    * verifies the rectangles hold. Domain bounds are layout-time
+    * constants by design (a layout job knows its key domains);
+    * out-of-domain values clamp into the edge cells via `least`,
+    * never lost. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val gridBits = 8
+    // [0, 2048) custkeys -> 8-bit cells of 8; [0, 4096) days -> cells of 16
+    val xq = least(shiftright(col("o_custkey"), 3), lit(255L))
+    val day = datediff(col("o_orderdate").cast(DateType),
+      lit("1995-01-01").cast(DateType)).cast(LongType)
+    val yq = least(shiftright(day, 4), lit(255L))
+    def bit(c: Column, i: Int) = shiftright(c, i).bitwiseAND(lit(1L))
+    val zkey = (0 until gridBits).map(i =>
+        shiftleft(bit(xq, i), 2 * i) + shiftleft(bit(yq, i), 2 * i + 1))
+      .reduce(_ + _)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), day.as("day"), zkey.as("zkey"))
+      .groupBy(shiftright(col("zkey"), 12).as("file_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("zkey")).as("z_min"), max(col("zkey")).as("z_max"),
+        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+        (max(col("o_custkey")) - min(col("o_custkey")) + 1).as("span_cust"),
+        (max(col("day")) - min(col("day")) + 1).as("span_days"))
+      .orderBy("file_bucket")
+  }
+
+  private val zkeyTermsSql: String = (0 until 8).map(i =>
+    s"((((xq >> $i) & 1) << ${2 * i}) + (((yq >> $i) & 1) << ${2 * i + 1}))")
+    .mkString(" + ")
+
+  val zorderLayoutSql: String =
+    s"""WITH z AS (
+       |  SELECT o_custkey,
+       |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+       |    LEAST(o_custkey >> 3, 255) AS xq,
+       |    LEAST(CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) >> 4, 255) AS yq
+       |  FROM orders),
+       |k AS (SELECT o_custkey, day, $zkeyTermsSql AS zkey FROM z)
+       |SELECT zkey >> 12 AS file_bucket, COUNT(*) AS n_rows,
+       |  MIN(zkey) AS z_min, MAX(zkey) AS z_max,
+       |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+       |  MIN(day) AS min_day, MAX(day) AS max_day,
+       |  MAX(o_custkey) - MIN(o_custkey) + 1 AS span_cust,
+       |  MAX(day) - MIN(day) + 1 AS span_days
+       |FROM k GROUP BY 1 ORDER BY file_bucket""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_conditional_agg", conditionalAgg, Some(conditionalAggSql)),
+    QueryDef("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     QueryDef("q_date_trunc", dateTrunc, Some(dateTruncSql)),
     QueryDef("q_cross_join", crossJoinQ, Some(crossJoinSql)),
     QueryDef("q_outer_join", outerJoin, Some(outerJoinSql)),

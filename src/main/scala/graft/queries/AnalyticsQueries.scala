@@ -179,6 +179,62 @@ object AnalyticsQueries {
       |  TRUE AS within_5pct, COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Per-source doc-length quantiles: EXACT p50/p90 as integer ORDER
+    * STATISTICS (the k-th smallest value at k = ⌈p·n⌉, k computed in
+    * exact integer arithmetic — `(n+1) DIV 2`, `(9n+9) DIV 10` — so
+    * both engines pick the identical rank; interpolating quantiles
+    * were rejected because `a + frac·(b−a)` vs `(1−frac)·a + frac·b`
+    * differ in the last ulp across engines), plus GK-sketch
+    * `percentile_approx` verified IN-QUERY against the exact values
+    * (|approx − exact| ≤ 5%·exact, multiplication form — no division
+    * hazard) the same way `q_approx_distinct` gates HLL: the twin
+    * emits literal TRUE, so the hash gate proves the sketch bound.
+    * The sketch value itself is NOT emitted — GK merge order is
+    * partition-dependent; the flag is the portable contract.
+    *
+    * Shapes: one shuffle on `source` serves both window functions
+    * (rank + per-source count) and the final aggregate; the window
+    * sorts one source per key (at 100 TB, sources are the natural
+    * quantile grain; a corpus-wide quantile would instead ride
+    * `percentile_approx` alone, which is a map-side-combining sketch
+    * merge with NO sort — that path is what this query certifies). */
+  def quantileBands(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"), col("doc_id"))
+    val w = Window.partitionBy("source").orderBy(col("n_chars").asc, col("doc_id").asc)
+    val cw = Window.partitionBy("source")
+    val ranked = docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .withColumn("k50", expr("(cnt + 1) DIV 2"))
+      .withColumn("k90", expr("(9 * cnt + 9) DIV 10"))
+    val exact = ranked.groupBy("source")
+      .agg(max(col("cnt")).as("n_docs"),
+        max(when(col("rn") === col("k50"), col("n_chars"))).as("p50_chars"),
+        max(when(col("rn") === col("k90"), col("n_chars"))).as("p90_chars"))
+    val approx = docs.groupBy("source")
+      .agg(percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("a50"),
+        percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("a90"))
+    exact.join(approx, Seq("source"))
+      .select(col("source"), col("n_docs"), col("p50_chars"), col("p90_chars"),
+        (abs(col("a50") - col("p50_chars")).cast(DoubleType) <=
+          lit(0.05) * col("p50_chars").cast(DoubleType)).as("p50_within_5pct"),
+        (abs(col("a90") - col("p90_chars")).cast(DoubleType) <=
+          lit(0.05) * col("p90_chars").cast(DoubleType)).as("p90_within_5pct"))
+      .orderBy("source")
+  }
+
+  val quantileBandsSql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM documents)
+      |SELECT source, MAX(cnt) AS n_docs,
+      |  MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS p50_chars,
+      |  MAX(CASE WHEN rn = (9 * cnt + 9) // 10 THEN n_chars END) AS p90_chars,
+      |  TRUE AS p50_within_5pct, TRUE AS p90_within_5pct
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   /** Watermarked exact dedup, BATCH TWIN of the streaming T4+dedup
     * semantics ([[graft.streaming.IngestStream.dedupStream]];
     * reference horizon: `/root/reference/src/s3_processor.py:179-180`
@@ -408,6 +464,7 @@ object AnalyticsQueries {
     QueryDef("q_pivot", pivotQ, Some(pivotSql)),
     QueryDef("q_median", medianQ, Some(medianSql)),
     QueryDef("q_approx_distinct", approxDistinctQ, Some(approxDistinctSql)),
+    QueryDef("q_quantile_bands", quantileBands, Some(quantileBandsSql)),
     QueryDef("q_profile_stats", profileStats, Some(profileStatsSql)),
     QueryDef("q_watermark_dedup", watermarkDedup, Some(watermarkDedupSql)),
     QueryDef("q_multimodal_features", multimodalQ, Some(multimodalSql)))

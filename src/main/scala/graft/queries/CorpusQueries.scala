@@ -40,18 +40,25 @@ object CorpusQueries {
     * sides are corpus-scale, which is exactly when hash-partitioned
     * equi-join is the right plan), then two integer aggregations.
     * Never all-pairs. */
-  def contaminationNgram(s: SparkSession, dir: String): DataFrame = {
+  /** Shared 8-gram front for the decontamination scans: one distinct
+    * `(doc_id, split, g)` row per word-8-gram occurrence, grams
+    * md5-hashed pre-shuffle. */
+  private def gramFrame(s: SparkSession, dir: String): DataFrame = {
     val n = 8
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), splitCol.as("split"),
         posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
     val leads = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
-    val grams = toks.select(col("doc_id") +: col("split") +: col("tok") +: leads: _*)
+    toks.select(col("doc_id") +: col("split") +: col("tok") +: leads: _*)
       .filter(col(s"t${n - 1}").isNotNull)
       .select(col("doc_id"), col("split"),
         md5(concat_ws(" ", col("tok") +: (1 until n).map(i => col(s"t$i")): _*)).as("g"))
       .distinct()
+  }
+
+  def contaminationNgram(s: SparkSession, dir: String): DataFrame = {
+    val grams = gramFrame(s, dir)
     val trainGrams = grams.filter(col("split") === "train")
       .select("g").distinct().withColumn("_hit", lit(1))
     val perDoc = grams.join(trainGrams, Seq("g"), "left")
@@ -99,6 +106,47 @@ object CorpusQueries {
       |  CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
       |  CAST(SUM(n_hits) AS BIGINT) AS tot_hit_grams
       |FROM all_docs GROUP BY split ORDER BY split""".stripMargin
+
+  /** TWO-PHASE bloom decontamination — the SAME answer as
+    * [[contaminationNgram]] through the 100 TB execution shape: a
+    * bloom filter is built over the EVAL gram set (the small side —
+    * one distributed aggregate, ~1 MB of bits) and probed as a
+    * MAP-SIDE `might_contain` filter over the train grams BEFORE
+    * their distinct/shuffle/join, so the non-colliding corpus mass —
+    * in practice ~all of it — never reaches an exchange. The bloom
+    * has no false negatives, and its false positives are eliminated
+    * by the exact equi-join on the survivors, so the output is
+    * bit-identical to the exact plan (spec-pinned in BloomDeconSpec;
+    * the oracle is literally [[contaminationNgramSql]]) — the filter
+    * is pure pruning, never a correctness dependency. Uses Spark's
+    * own runtime-filter expressions deliberately installed
+    * ([[graft.operators.BloomDecon]]) where Catalyst's automatic
+    * injection cannot prove the pattern. */
+  def deconBloom(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BloomDecon
+    val grams = gramFrame(s, dir)
+    val evalGrams = grams.filter(col("split") =!= "train")
+    val bloom = BloomDecon.build(evalGrams.select("g").distinct(), col("g"))
+    val trainHit = bloom match {
+      case Some(bits) =>
+        grams.filter(col("split") === "train")
+          .filter(BloomDecon.mightContain(s, bits, col("g")))
+          .select("g").distinct().withColumn("_hit", lit(1))
+      case None => // no eval grams at all -> nothing can collide
+        grams.select("g").limit(0).withColumn("_hit", lit(1))
+    }
+    val perDoc = evalGrams.join(trainHit, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("_hit") === 1, 1L).otherwise(0L)).as("n_hits"))
+    Tables.documents(s, dir).select(col("doc_id"), splitCol.as("split"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+        sum(col("n_hits")).as("tot_hit_grams"))
+      .orderBy("split")
+  }
 
   /** INTER-document repeated-gram exposure, per source — the
     * boilerplate scan behind suffix-style "dedup the repeated spans"
@@ -591,6 +639,7 @@ object CorpusQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_contamination_ngram", contaminationNgram, Some(contaminationNgramSql)),
+    QueryDef("q_decon_bloom", deconBloom, Some(contaminationNgramSql)),
     QueryDef("q_repeated_grams", repeatedGrams, Some(repeatedGramsSql)),
     QueryDef("q_chunk_docs", chunkDocs, Some(chunkDocsSql)),
     QueryDef("q_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),

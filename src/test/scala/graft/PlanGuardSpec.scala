@@ -29,6 +29,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q_ann_lsh",        // in-query brute-force baseline (8 queries)
     "q_knn_bruteforce", // 8 broadcast query vectors
     "q_kmeans_assign",  // k=5 broadcast seed centroids
+    "q_semantic_dedup", // k=5 broadcast seed centroids (SemDeDup assign)
     "q_tpch_q22",       // scalar avg-balance broadcast
     "q_retention_window", // 1-row high-water-mark scalar broadcast
     "q_watermark_dedup") // 1-row horizon-cut scalar broadcast
