@@ -118,26 +118,47 @@ object Bench {
       if (m.values.toSet.size == m.size) Some(m) else None
     }
     val total = if (results.nonEmpty) results.values.filter(java.lang.Double.isFinite).sum else 0.0
+    // sf as basename: the full path spent 15 chars of the line budget
+    // restating a constant prefix the driver already knows.
+    val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     def lineWith(short: Map[String, String]): String = {
       val qs = emitted.map { case (k, v) =>
         s"\"" + short(k) + "\":" + fmt(v)
       }.mkString("{", ",", "}")
-      // Sample-count transparency (ADVICE r7): the ≥1.5 s queries get 5
-      // timed samples instead of 3; list them so the asymmetric estimator
-      // is visible in the emitted line rather than implicit in the code.
-      val n5 = slow.map(n => "\"" + short(n) + "\"").sorted.mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n5":$n5,"sf":"$sfDir"}"""
+      // Sample-count transparency (ADVICE r7): queries whose min of the
+      // first three passes is ≥ 1.5 s get 5 timed samples instead of 3.
+      // Emitted as a COUNT (round-9: the explicit key list cost ~140
+      // chars at 118 queries and overflowed the tail window): membership
+      // is recoverable from the line itself — a query is in the 5-sample
+      // set iff its emitted value is ≥ 1.5 s, modulo the rare boundary
+      // query whose extra samples dropped its min below the cut, which
+      // the count exposes (PLANS.md "Bench protocol").
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n5":${slow.size},"sf":"$sfTag"}"""
     }
     // First encoding that fits the window wins — stage 1 first for key
     // continuity with prior rounds, stage 2 when stage 1 overflows,
     // full keys as a collision-proof fallback. The harness keeps only
-    // the LAST ~2000 chars of output, so a line that doesn't fit is
-    // worse than a coarser-keyed line that does.
+    // the LAST ~2000 chars of output, and trailing sbt status lines eat
+    // ~100 more, so the fit threshold stays well inside that: a line
+    // that doesn't fit is worse than a coarser-keyed line that does.
+    // Last-resort precision shave (still per-query data, unlike the
+    // empty-map fallback): 1-decimal values for the ≥1 s queries.
+    def lineCoarse(short: Map[String, String]): String = {
+      def fmtc(v: Double): String =
+        if (!java.lang.Double.isFinite(v)) "-1"
+        else if (v >= 1.0) java.math.BigDecimal.valueOf(v)
+          .setScale(1, java.math.RoundingMode.HALF_UP)
+          .stripTrailingZeros.toPlainString
+        else fmt(v)
+      val qs = emitted.map { case (k, v) => s"\"" + short(k) + "\":" + fmtc(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n5":${slow.size},"sf":"$sfTag"}"""
+    }
     val candidates =
       (shorten(abbrev) ++ shorten(abbrev2) ++ shorten(_.stripPrefix("q_")))
-        .map(lineWith).toSeq
-    val safe = candidates.find(_.length <= 1950).getOrElse(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfDir"}""")
+        .map(lineWith).toSeq ++ shorten(abbrev2).map(lineCoarse).toSeq
+    val safe = candidates.find(_.length <= 1850).getOrElse(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfTag"}""")
     // Stop Spark BEFORE printing: shutdown logging would otherwise land
     // after the metric line and push it away from the end of the tail
     // window the harness captures.

@@ -107,6 +107,57 @@ object CorpusQueries {
       |  CAST(SUM(n_hits) AS BIGINT) AS tot_hit_grams
       |FROM all_docs GROUP BY split ORDER BY split""".stripMargin
 
+  /** Reference-LM familiarity scoring (the KenLM-shaped quality /
+    * domain-shift signal with the float hazard removed): score every
+    * NON-train document by how familiar its token occurrences are to
+    * the train split's unigram distribution — `familiar_mass` =
+    * Σ train-tf over the doc's occurrences (an OOV occurrence adds 0),
+    * `n_oov` = OOV occurrence count, `mean_familiarity` = the integer
+    * floor mean. A true log-prob perplexity would rank near-identically
+    * but every `ln` is libm-dependent and its SUM is association-order-
+    * dependent — integer mass is the cross-engine-exact surrogate
+    * (the same trade `q_keyword_topk` makes against log-idf).
+    *
+    * Shapes at 100 TB: the tf table is VOCABULARY-sized (≪ corpus;
+    * built with one map-side-combining count over train occurrences);
+    * the eval side is the small split (5-10%); the join key is the
+    * token — hash join with AQE free to broadcast a small-vocab tf.
+    * Per-doc reduce is one aggregate, map-side combining. No windows,
+    * no sorts until the final ORDER BY. */
+  def unigramScore(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), splitCol.as("split"),
+        explode(TextFunctions.wsTokens(col("text"))).as("tok"))
+    val tf = occ.filter(col("split") === "train")
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    occ.filter(col("split") =!= "train")
+      .join(tf, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("tf"), lit(0L))).as("familiar_mass"),
+        sum(when(col("tf").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("mean_familiarity", expr("familiar_mass DIV n_tok"))
+      .orderBy("doc_id")
+  }
+
+  val unigramScoreSql: String =
+    """WITH occ AS (
+      |  SELECT doc_id,
+      |    CASE WHEN ((doc_id % 100000000) * 2654435761) % 100 < 90 THEN 'train'
+      |         WHEN ((doc_id % 100000000) * 2654435761) % 100 < 95 THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT tok, COUNT(*) AS tf FROM occ WHERE split = 'train' GROUP BY tok)
+      |SELECT o.doc_id, COUNT(*) AS n_tok,
+      |  CAST(SUM(COALESCE(tf.tf, 0)) AS BIGINT) AS familiar_mass,
+      |  CAST(SUM(CASE WHEN tf.tf IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(COALESCE(tf.tf, 0)) AS BIGINT) // COUNT(*) AS mean_familiarity
+      |FROM occ o LEFT JOIN tf ON tf.tok = o.tok
+      |WHERE o.split <> 'train'
+      |GROUP BY o.doc_id ORDER BY o.doc_id""".stripMargin
+
   /** TWO-PHASE bloom decontamination — the SAME answer as
     * [[contaminationNgram]] through the 100 TB execution shape: a
     * bloom filter is built over the EVAL gram set (the small side —
@@ -644,6 +695,7 @@ object CorpusQueries {
     QueryDef("q_chunk_docs", chunkDocs, Some(chunkDocsSql)),
     QueryDef("q_mixture_weights", mixtureWeights, Some(mixtureWeightsSql)),
     QueryDef("q_oov_rate", oovRate, Some(oovRateSql)),
+    QueryDef("q_unigram_score", unigramScore, Some(unigramScoreSql)),
     QueryDef("q_keyword_topk", keywordTopk, Some(keywordTopkSql)),
     QueryDef("q_dup_spans", dupSpans, Some(dupSpansSql)),
     QueryDef("q_span_clean", spanClean, Some(spanCleanSql)),

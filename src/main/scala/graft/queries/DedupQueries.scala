@@ -401,6 +401,43 @@ object DedupQueries {
        |HAVING COUNT(DISTINCT method) >= 2
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Duplication-CENTRALITY ranking — PageRank over the symmetrized
+    * near-dup graph ([[graft.operators.PageRank]], 5 rounds, exact
+    * fixed-point integer arithmetic): which documents sit at the
+    * CENTER of duplication neighborhoods vs. on their fringe. Cluster
+    * labels ([[clustersQ]]) say only WHICH component a doc is in;
+    * the rank orders docs WITHIN a component by how many well-
+    * connected near-dups point at them — the prioritization signal
+    * for "audit the worst duplication hubs first" curation passes
+    * (a template document duplicated into hundreds of near-copies
+    * outranks a chance pairwise collision).
+    *
+    * Plan: one simhash pair generation (same capped pipeline as
+    * `q_dedup_simhash`), then 5 rounds of equi-join + map-side-
+    * combining sum over the edge frame, per-round state through the
+    * selectable [[graft.operators.Materializer]]. Every rank is a
+    * deterministic Long — the DuckDB twin unrolls the identical 5
+    * rounds and matches bit-for-bit. */
+  def pagerankQ(s: SparkSession, dir: String): DataFrame = {
+    val pairs = SimHashDedup.nearDupPairs(s, Tables.documents(s, dir),
+      "doc_id", "text", maxHamming = 12)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    graft.operators.PageRank.ranks(edges, rounds = 5)
+      .select(col("node").as("doc_id"), col("pr"))
+      .orderBy(col("pr").desc, col("doc_id").asc)
+  }
+
+  val pagerankSql: String =
+    s"""WITH $simhashPairsCte,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM verified
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM verified),
+       |${graft.operators.PageRank.roundsSql(5)}
+       |SELECT node AS doc_id, pr FROM r5
+       |ORDER BY pr DESC, doc_id ASC""".stripMargin
+
   private val MinMatch = 8 // est_jaccard ≥ 8/24 = 1/3
 
   /** INCREMENTAL dedup — a new batch against the existing corpus's
@@ -486,5 +523,6 @@ object DedupQueries {
     QueryDef("q_dedup_droplist", droplistQ, Some(droplistSql)),
     QueryDef("q_dedup_canonical", canonicalQ, Some(canonicalSql)),
     QueryDef("q_dedup_ensemble", ensembleQ, Some(ensembleSql)),
-    QueryDef("q_dedup_incremental", incrementalQ, Some(incrementalSql)))
+    QueryDef("q_dedup_incremental", incrementalQ, Some(incrementalSql)),
+    QueryDef("q_dup_pagerank", pagerankQ, Some(pagerankSql)))
 }

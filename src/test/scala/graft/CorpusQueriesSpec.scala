@@ -178,4 +178,20 @@ class CorpusQueriesSpec extends SparkTestBase {
       (2L, 1, "banana", 3L, 2L, 1.5),
       (2L, 2, "date", 1L, 1L, 1.0)))
   }
+
+  test("unigramScore: train-tf mass per eval occurrence, OOV counted, floor mean") {
+    // train (id 1): "a a b" -> tf: a=2, b=1. Eval docs score per
+    // OCCURRENCE: val 90 "a b z" = 2+1+0, one OOV, mean 3 DIV 3 = 1;
+    // test 95 "a a a a" = 8, mean 2. Train docs must not appear.
+    val dir = writeDocs("unigram", Seq(
+      (1L, "s", "a a b"),
+      (90L, "s", "a b z"),
+      (95L, "s", "a a a a")))
+    val got = CorpusQueries.unigramScore(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    assert(got == List(
+      (90L, 3L, 3L, 1L, 1L),
+      (95L, 4L, 8L, 0L, 2L)))
+  }
 }
