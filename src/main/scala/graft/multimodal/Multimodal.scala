@@ -98,6 +98,80 @@ object Multimodal {
     if (n == 0) 0.0 else sum.toDouble / (3.0 * n)
   }
 
+  /** 64-bit perceptual difference hash (dHash) of a decoded image:
+    * box-partition the frame into a 9×8 luma grid and emit one bit
+    * per horizontally-adjacent cell pair (`left mean > right mean`,
+    * bit `y·8+x`). Near-duplicate images — resizes, re-encodes, small
+    * edits — land within a few Hamming bits; unrelated images ~32.
+    * Exactness: cell boundaries are `floor(i·w/9)` (cells differ in
+    * pixel count when 9∤w), so means are compared by integer
+    * CROSS-MULTIPLICATION (`sₗ·nᵣ > sᵣ·nₗ`) — no division, no float,
+    * the same device the quality-rule filter uses. Overflow bound:
+    * cell sum ≤ 765·w·h ≤ 2⁴⁰ at 10⁴×10⁴ px, × cell count ≤ 2²⁴ —
+    * inside Int64 with slack. None for undecodable payloads or
+    * frames smaller than the 9×8 grid. */
+  def dhash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .flatMap { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (w < 9 || h < 8) None
+          else {
+            val sums = Array.ofDim[Long](8, 9)
+            val cnts = Array.ofDim[Long](8, 9)
+            var y = 0
+            while (y < h) {
+              val gy = math.min(y * 8 / h, 7)
+              var x = 0
+              while (x < w) {
+                val gx = math.min(x * 9 / w, 8)
+                val rgb = img.getRGB(x, y)
+                sums(gy)(gx) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                cnts(gy)(gx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                if (sums(gy)(gx) * cnts(gy)(gx + 1) > sums(gy)(gx + 1) * cnts(gy)(gx))
+                  hash |= 1L << (gy * 8 + gx)
+                gx += 1
+              }
+              gy += 1
+            }
+            Some(hash)
+          }
+        }
+    } catch { case _: Exception => None }
+
+  /** Image near-duplicate pairs over a media frame (`media_id`,
+    * `kind`, `payload`): dHash every decodable image once (a typed
+    * map — one decode per row, no UDF registry, no per-row codec
+    * setup), then reuse the text path's capped band/verify machinery
+    * ([[graft.operators.SimHashDedup.pairsFromSignatures]]) — the
+    * banding is signature-agnostic, so image near-dup inherits the
+    * same 100 TB shape: one projection, one 16-bit-key shuffle,
+    * bucket cap, exact Hamming verify. Undecodable or sub-grid
+    * payloads drop out (no signature → no pairs), mirroring the
+    * labeled-fallback policy of [[decodeFeatures]]. */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 10, maxBucket: Int = 200): DataFrame = {
+    import spark.implicits._
+    val sigs = media.filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) => dhash64(bytes).map(s => (id, s)) }
+      .toDF("doc_id", "sig")
+    graft.operators.SimHashDedup.pairsFromSignatures(sigs, maxHamming, maxBucket)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+  }
+
   /** Decoded-video summary: container frame count plus the mean
     * luminance of each SAMPLED frame (in sample order). */
   final case class VideoMeta(nFrames: Int, frameLumas: Seq[Double])

@@ -40,12 +40,20 @@ object SimHashDedup {
     * duplicates belong to exact dedup (hash-groupBy) running FIRST;
     * capped simhash then handles the near-dup tail. */
   def nearDupPairs(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
-    val sigs = signatures(spark, docs, idCol, textCol)
+      textCol: String, maxHamming: Int = 3, maxBucket: Int = 200): DataFrame =
+    pairsFromSignatures(signatures(spark, docs, idCol, textCol),
+      maxHamming, maxBucket)
+
+  /** The band/verify half over ANY precomputed `(doc_id, sig)` frame
+    * of 64-bit signatures — shared by the text path above and the
+    * image-dHash path ([[graft.multimodal.Multimodal.imageNearDupPairs]]):
+    * banding, capping and Hamming verification are signature-agnostic. */
+  def pairsFromSignatures(sigs: DataFrame,
+      maxHamming: Int, maxBucket: Int = 200): DataFrame = {
     // persisted: the count pre-filter below and the kept-key join both
     // consume `banded`, and the signature stage is a plain projection
     // (no shuffle, so no ReusedExchange) — unpersisted, the whole
-    // tokenize+simhash pass would run twice.
+    // signature pass would run twice.
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),

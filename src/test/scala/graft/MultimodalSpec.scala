@@ -363,6 +363,49 @@ class MultimodalSpec extends SparkTestBase {
       got.head.n_tracks == 2)
   }
 
+  private def pngOf(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("dhash64 goldens: monotone gradients, scale invariance, grid minimum") {
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // strictly increasing left→right: every left cell < right cell → 0
+    val inc = pngOf(9, 8)((x, _) => gray(x * 20))
+    assert(Multimodal.dhash64(inc).contains(0L))
+    // strictly decreasing: all 64 comparison bits set
+    val dec = pngOf(9, 8)((x, _) => gray(160 - x * 20))
+    assert(Multimodal.dhash64(dec).contains(-1L))
+    // dHash is resolution-invariant on exact upscales (box means scale)
+    val incBig = pngOf(36, 32)((x, _) => gray((x / 4) * 20))
+    assert(Multimodal.dhash64(incBig) == Multimodal.dhash64(inc))
+    // sub-grid frames refuse rather than hash garbage
+    assert(Multimodal.dhash64(pngOf(8, 8)((_, _) => 0)).isEmpty)
+    assert(Multimodal.dhash64("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageNearDupPairs: re-encoded/rescaled copy pairs, inverse does not; non-images drop") {
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val base = pngOf(18, 16)((x, y) => gray(((x / 2) * 16 + y) % 256))
+    val scaled = pngOf(36, 32)((x, y) => gray(((x / 4) * 16 + y / 2) % 256))
+    val inverse = pngOf(18, 16)((x, y) => gray(255 - ((x / 2) * 16 + y) % 256))
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "image", base, 18, 16, 0, 0L),
+      Multimodal.MediaRecord(2L, "image", scaled, 36, 32, 0, 0L),
+      Multimodal.MediaRecord(3L, "image", inverse, 18, 16, 0, 0L),
+      Multimodal.MediaRecord(4L, "image", "junk".getBytes("UTF-8"), 0, 0, 0, 0L),
+      Multimodal.MediaRecord(5L, "audio", base, 0, 0, 16000, 0L))
+    val pairs = Multimodal.imageNearDupPairs(spark, rows.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the rescaled copy pair, got ${pairs.toList}")
+    assert(pairs.head._3 == 0, "exact rescale must hash identically")
+  }
+
   test("approx_count_distinct within 5% of exact (HLL sanity)") {
     val ev = graft.queries.IngestQueries.events(spark, sfDir)
     val approx = ev.agg(approx_count_distinct(col("user_id")).as("a"))
