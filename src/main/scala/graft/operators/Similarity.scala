@@ -97,6 +97,23 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (centroids, assigned) = ivfIndex(corpus, nCentroids, idCol, vecCol)
+    ivfProbe(centroids, assigned, queries, k, nProbe, idCol, vecCol)
+  }
+
+  /** BUILD half of the IVF path — the amortizable cost: the coarse
+    * quantizer (`(cent_id, cent_vec)`, nCentroids rows) plus the
+    * inverted lists (`(cluster, c_id, c_vec)` — every corpus vector
+    * assigned to its best centroid). At corpus scale this pair IS the
+    * index: persist it (or write it partitioned by `cluster`, so a
+    * probe's list reads are partition-pruned scans) and serve every
+    * subsequent query batch from it via [[ivfProbe]] — the full-corpus
+    * assignment pass is paid ONCE, not per query batch, which is the
+    * whole IVF trade (PLANS.md "ANN recall at ~1M vectors": the
+    * assignment pass dominates [[ivfTopK]]'s wall at |Q| = 8). */
+  def ivfIndex(corpus: DataFrame, nCentroids: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
     val s = corpus.sparkSession
     val c = corpus.select(col(idCol).as("c_id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("c_vec"))
@@ -108,6 +125,18 @@ object Similarity {
       .groupBy("c_id")
       .agg(max_by(col("cent_id"), col("score")).as("cluster"),
         first(col("c_vec")).as("c_vec"))
+    (centroids, assigned)
+  }
+
+  /** PROBE half over a prebuilt [[ivfIndex]]: each query scores the
+    * broadcast centroid frame, picks its `nProbe` nearest lists, and
+    * exact-ranks only those lists' members — per query batch the cost
+    * is |Q|·nCentroids centroid scores plus nProbe/nCentroids of the
+    * corpus, never a full scan. */
+  def ivfProbe(centroids: DataFrame, assigned: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = queries.sparkSession
     val q = queries.select(col(idCol).as("q_id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("q_vec"))
     val probes = q.crossJoin(broadcast(centroids))

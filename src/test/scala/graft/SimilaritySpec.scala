@@ -62,6 +62,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(hits >= 4, s"IVF recall too low: $hits/5")
   }
 
+  test("ivfIndex + ivfProbe composes to exactly the one-shot ivfTopK result") {
+    val queries = corpus.filter($"vec_id" >= 1000)
+    val oneShot = Similarity.ivfTopK(corpus, queries, k = 3,
+      nCentroids = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // production shape: build once, persist the inverted lists, probe
+    // a query batch against the prebuilt index
+    val (cents, assigned) = Similarity.ivfIndex(corpus, nCentroids = 8)
+    val persisted = assigned.localCheckpoint(true)
+    val split = Similarity.ivfProbe(cents, persisted, queries, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(split == oneShot, "prebuilt-index probe must be bit-identical to the one-shot path")
+  }
+
   test("every ann-gate query has >= k band/probe candidates at test SF") {
     // Backs the ann gate's exactly-5 result contract (VectorQueries
     // .annGate): calling the production operators with an unbounded k
