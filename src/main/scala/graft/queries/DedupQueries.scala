@@ -84,9 +84,7 @@ object DedupQueries {
     * codegen'd [[graft.functions.SimHash]] bit-for-bit (verified:
     * identical 1552/1623 pair sets at sf0.001/sf0.01). */
   def simhashQ(s: SparkSession, dir: String): DataFrame =
-    SimHashDedup.nearDupPairs(s, Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 12)
-      .orderBy("doc_a", "doc_b")
+    simhashPairs(s, dir).orderBy("doc_a", "doc_b")
 
   /** HUGEINT-domain constants: 2^64 (FNV wraparound), 2^63 and the
     * signed conversion used to mirror Spark's two's-complement longs
@@ -186,12 +184,30 @@ object DedupQueries {
   private val labelMemo = new java.util.WeakHashMap[SparkSession,
     scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]()
 
-  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val perSession = labelMemo.synchronized {
-      Option(labelMemo.get(s)).getOrElse {
+  /** Same discipline for the simhash PAIR frame — the shared front of
+    * `q_dedup_simhash`, the cluster-label pipeline and
+    * `q_dup_pagerank`: a session composing the dedup family pays the
+    * corpus-scale signature→band→verify job ONCE per (session, dir)
+    * instead of once per consumer (at 100 TB: three fewer full
+    * corpus scans + band shuffles). The memoized frame is the
+    * eagerly-localCheckpointed pair set `nearDupPairs` returns —
+    * near-dup-mass-bounded, safe to re-consume across actions. The
+    * single-scan `ensembleQ` deliberately does NOT ride this memo:
+    * its simhash arm consumes the one persisted corpus frame shared
+    * with the shingle build, and routing it here would regress the
+    * cold ensemble to a second corpus scan. */
+  private val pairMemo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]()
+
+  private def memoized(
+      memo: java.util.WeakHashMap[SparkSession,
+        scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]],
+      s: SparkSession, dir: String)(compute: => DataFrame): DataFrame = {
+    val perSession = memo.synchronized {
+      Option(memo.get(s)).getOrElse {
         val m = scala.collection.mutable.Map
           .empty[String, java.lang.ref.SoftReference[DataFrame]]
-        labelMemo.put(s, m)
+        memo.put(s, m)
         m
       }
     }
@@ -200,37 +216,44 @@ object DedupQueries {
         case Some(df) => df
         case None =>
           if (perSession.size > 8) perSession.clear()
-          val df = computeClusterLabels(s, dir)
+          val df = compute
           perSession.put(dir, new java.lang.ref.SoftReference(df))
           df
       }
     }
   }
 
-  /** Test/bench hook: drop the memoized label frames for `s` so the
-    * next [[clusterLabels]] call pays the full pipeline. Benchmarks
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    memoized(labelMemo, s, dir)(computeClusterLabels(s, dir))
+
+  private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    memoized(pairMemo, s, dir)(
+      SimHashDedup.nearDupPairs(s, Tables.documents(s, dir),
+        "doc_id", "text", maxHamming = 12))
+
+  /** Test/bench hook: drop the memoized label AND pair frames for `s`
+    * so the next dedup-family call pays the full pipeline. Benchmarks
     * use this to time the COLD cost honestly — without it, passes
-    * after the first (and the droplist query entirely) would ride the
+    * after the first (and sibling queries entirely) would ride the
     * memo and report a projection over cached state as the query's
     * cost. */
-  private[graft] def resetLabelMemo(s: SparkSession): Unit =
+  private[graft] def resetLabelMemo(s: SparkSession): Unit = {
     labelMemo.synchronized { labelMemo.remove(s); () }
+    pairMemo.synchronized { pairMemo.remove(s); () }
+  }
 
   private def computeClusterLabels(s: SparkSession, dir: String): DataFrame = {
-    // ONE materialization, of the symmetrized union: Spark reuses the
-    // simhash subtree across the two union branches during the
-    // materialization (ReusedExchange), and the CC rounds then read a
-    // single materialized edge frame. Both alternatives measured
-    // WORSE on the 100k duplication stress (7.5M directed edges):
-    // checkpointing only the pairs and leaving the union lazy made
-    // every CC round re-plan/re-scan the view (2.6× slower);
-    // checkpointing pairs AND union added a redundant materialization
-    // for no gain. Iterative consumers want exactly one materialized
-    // input. The materializer (local vs reliable checkpoint) follows
-    // GRAFT_ITER_CHECKPOINT_DIR — see [[graft.operators.Materializer]].
+    // The pair frame arrives via the session memo (already
+    // materialized by nearDupPairs); the symmetrized union is
+    // materialized ONCE more so the CC rounds read a single edge
+    // frame — leaving the union lazy made every CC round re-plan and
+    // re-read both branches (2.6× slower on the 100k duplication
+    // stress, 7.5M directed edges). Iterative consumers want exactly
+    // one materialized input. The materializer (local vs reliable
+    // checkpoint) follows GRAFT_ITER_CHECKPOINT_DIR — see
+    // [[graft.operators.Materializer]].
     val mat = graft.operators.Materializer.fromEnv()
-    val pairs = SimHashDedup.nearDupPairs(s, Tables.documents(s, dir),
-      "doc_id", "text", maxHamming = 12)
+    val pairs = simhashPairs(s, dir)
     val edges = mat(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     graft.operators.ConnectedComponents.minLabels(edges, mat = mat)._1
@@ -412,15 +435,15 @@ object DedupQueries {
     * (a template document duplicated into hundreds of near-copies
     * outranks a chance pairwise collision).
     *
-    * Plan: one simhash pair generation (same capped pipeline as
-    * `q_dedup_simhash`), then 5 rounds of equi-join + map-side-
-    * combining sum over the edge frame, per-round state through the
-    * selectable [[graft.operators.Materializer]]. Every rank is a
-    * deterministic Long — the DuckDB twin unrolls the identical 5
-    * rounds and matches bit-for-bit. */
+    * Plan: the session-memoized simhash pair frame (shared with
+    * `q_dedup_simhash` and the clusters family — one corpus-scale
+    * pair job per (session, dir)), then 5 rounds of equi-join +
+    * map-side-combining sum over the edge frame, per-round state
+    * through the selectable [[graft.operators.Materializer]]. Every
+    * rank is a deterministic Long — the DuckDB twin unrolls the
+    * identical 5 rounds and matches bit-for-bit. */
   def pagerankQ(s: SparkSession, dir: String): DataFrame = {
-    val pairs = SimHashDedup.nearDupPairs(s, Tables.documents(s, dir),
-      "doc_id", "text", maxHamming = 12)
+    val pairs = simhashPairs(s, dir)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     graft.operators.PageRank.ranks(edges, rounds = 5)
