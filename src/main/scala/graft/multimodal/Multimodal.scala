@@ -107,9 +107,11 @@ object Multimodal {
     * pixel count when 9∤w), so means are compared by integer
     * CROSS-MULTIPLICATION (`sₗ·nᵣ > sᵣ·nₗ`) — no division, no float,
     * the same device the quality-rule filter uses. Overflow bound:
-    * cell sum ≤ 765·w·h ≤ 2⁴⁰ at 10⁴×10⁴ px, × cell count ≤ 2²⁴ —
-    * inside Int64 with slack. None for undecodable payloads or
-    * frames smaller than the 9×8 grid. */
+    * one CELL's sum ≤ 765 × its own pixel count ≤ 765·(w/9)·(h/8)
+    * ≈ 2³⁷ at 10⁴×10⁴ px, and the cross-multiplier (the other cell's
+    * pixel count, ≤ 2²⁴) puts the product near 2⁶¹ — inside Int64.
+    * None for undecodable payloads or frames smaller than the 9×8
+    * grid. */
   def dhash64(bytes: Array[Byte]): Option[Long] =
     try {
       javax.imageio.ImageIO.setUseCache(false)

@@ -100,7 +100,8 @@ object PageRank {
          |  GROUP BY e.dst),
          |r$i AS (
          |  SELECT d.node,
-         |    ${15L * Scale / 100L} + (85 * COALESCE(c.s, 0)) // 100 AS pr
+         |    CAST(${15L * Scale / 100L}
+         |      + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS pr
          |  FROM (SELECT DISTINCT node FROM deg) d
          |  LEFT JOIN c$i c ON c.node = d.node)""".stripMargin
     }

@@ -226,10 +226,15 @@ object AdvancedQueries {
   def zorderLayout(s: SparkSession, dir: String): DataFrame = {
     val gridBits = 8
     // [0, 2048) custkeys -> 8-bit cells of 8; [0, 4096) days -> cells of 16
-    val xq = least(shiftright(col("o_custkey"), 3), lit(255L))
+    // clamp BOTH domain edges before quantizing: a value below the
+    // anchor would shift as a negative and scatter into an arbitrary
+    // cell (arithmetic shiftright keeps the sign), breaking the
+    // rectangle invariant — greatest(0)/least(255) pin it to the edge
+    val xq = least(shiftright(greatest(col("o_custkey").cast(LongType), lit(0L)), 3),
+      lit(255L))
     val day = datediff(col("o_orderdate").cast(DateType),
       lit("1995-01-01").cast(DateType)).cast(LongType)
-    val yq = least(shiftright(day, 4), lit(255L))
+    val yq = least(shiftright(greatest(day, lit(0L)), 4), lit(255L))
     def bit(c: Column, i: Int) = shiftright(c, i).bitwiseAND(lit(1L))
     val zkey = (0 until gridBits).map(i =>
         shiftleft(bit(xq, i), 2 * i) + shiftleft(bit(yq, i), 2 * i + 1))
@@ -254,8 +259,8 @@ object AdvancedQueries {
     s"""WITH z AS (
        |  SELECT o_custkey,
        |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
-       |    LEAST(o_custkey >> 3, 255) AS xq,
-       |    LEAST(CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) >> 4, 255) AS yq
+       |    LEAST(GREATEST(o_custkey, 0) >> 3, 255) AS xq,
+       |    LEAST(GREATEST(CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT), 0) >> 4, 255) AS yq
        |  FROM orders),
        |k AS (SELECT o_custkey, day, $zkeyTermsSql AS zkey FROM z)
        |SELECT zkey >> 12 AS file_bucket, COUNT(*) AS n_rows,

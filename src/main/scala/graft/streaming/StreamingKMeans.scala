@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DecimalType, LongType}
 
 /** Streaming (mini-batch) k-means over an embedding stream — the
   * sequential/online counterpart of the batch [[graft.operators.KMeans]]
@@ -25,34 +25,80 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * centroid is `sums DIV n` (elementwise floor mean, exactly the
   * batch operator's update rule), so after any prefix of the stream
   * the centroid equals the floor-mean of ALL points assigned so far —
-  * deterministic, engine-exact, and restart-safe: the accumulator
-  * table is overwritten atomically per batch (parquet `_SUCCESS`
-  * marker), and checkpointed-offset replay of a batch is idempotent
-  * ONLY if the sink write and state write commit together, so both
-  * live in the same overwrite (the `batch_id` column makes replays
-  * detectable: a re-delivered batch id is skipped, the
-  * foreachBatch-idempotence recipe of the ingest stream).
+  * deterministic, engine-exact, and restart-safe: each batch commits
+  * its state to a NEW versioned directory and then atomically swaps a
+  * `CURRENT` pointer file onto it (`Files.move` ATOMIC_MOVE), so a
+  * crash at any instant leaves the previous fully-committed version
+  * referenced — a mid-write crash can never be mistaken for "no
+  * state" (the failure mode of a plain overwrite, which deletes the
+  * old directory before the new `_SUCCESS` lands). The `last_batch`
+  * column makes replays detectable: a re-delivered batch id is
+  * skipped, the foreachBatch-idempotence recipe of the ingest stream.
   *
   * Assignment ties and empty clusters follow the batch operator:
   * argmin by `(d2, c_id)`, an empty batch leaves state untouched.
   */
 object StreamingKMeans {
 
-  /** Load current accumulator state, or None before the first batch. */
+  /** Load the accumulator state the `CURRENT` pointer names, or None
+    * before the first committed batch. Only a version that BOTH
+    * finished its parquet write (`_SUCCESS`) and won the pointer swap
+    * is ever served; partially-written versions are invisible. */
   def readState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
-    val f = new java.io.File(stateDir, "_SUCCESS")
-    if (f.exists()) Some(spark.read.parquet(stateDir)) else None
+    val cur = new java.io.File(stateDir, "CURRENT")
+    if (!cur.exists()) None
+    else {
+      val v = new String(java.nio.file.Files.readAllBytes(cur.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val d = new java.io.File(stateDir, v)
+      if (new java.io.File(d, "_SUCCESS").exists())
+        Some(spark.read.parquet(d.getPath))
+      else None
+    }
+  }
+
+  /** Commit `next` as the state after `batchId`: write the k-row frame
+    * to `stateDir/v<batchId>`, atomically swap `CURRENT` onto it
+    * (write-temp + ATOMIC_MOVE rename — POSIX-atomic on one
+    * filesystem), then GC versions the pointer no longer references.
+    * Crash windows: before the swap → old pointer + old version stay
+    * intact; during GC → orphan directories only, re-collected on the
+    * next commit. Replay of a batch id rewrites the same version dir
+    * (overwrite) and re-swaps — idempotent. */
+  def commitState(next: DataFrame, stateDir: String, batchId: Long): Unit = {
+    val vname = f"v$batchId%020d"
+    next.coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(stateDir, vname).getPath)
+    val tmp = new java.io.File(stateDir, "CURRENT.tmp").toPath
+    java.nio.file.Files.write(tmp,
+      vname.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, new java.io.File(stateDir, "CURRENT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v") && f.getName != vname)
+      .foreach(deleteRec)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
   }
 
   /** Serve the current model: `(c_id, centroid)` with the elementwise
-    * integer floor-mean centroid (`sums DIV n`; exactly-divisible IEEE
-    * division is exact, matching [[graft.operators.KMeans]]). A
-    * cluster with `n = 0` (possible only when duplicate seed vectors
-    * tie-break every point away from it) is dead — it has accumulated
-    * no data and is not served. */
+    * integer floor-mean centroid (`sums DIV n`, matching
+    * [[graft.operators.KMeans]]). `s - pmod(s, n)` is exactly
+    * divisible by `n`, and the division runs in DECIMAL(38) — exact
+    * for any Long accumulator, unlike a double quotient which drifts
+    * once |sums| crosses 2^53 on a long-lived stream. A cluster with
+    * `n = 0` (possible only when duplicate seed vectors tie-break
+    * every point away from it) is dead — it has accumulated no data
+    * and is not served. */
   def centroids(state: DataFrame): DataFrame =
     state.filter(col("n") > 0).select(col("c_id"),
-      transform(col("sums"), s => (s - pmod(s, col("n"))) / col("n"))
+      transform(col("sums"), s =>
+        ((s - pmod(s, col("n"))).cast(DecimalType(38, 0)) /
+          col("n").cast(DecimalType(19, 0))))
         .cast(ArrayType(LongType)).as("centroid"))
 
   /** One mini-batch update: assign `batch` (`vec_id`, `qv: array<long>`)
@@ -97,8 +143,9 @@ object StreamingKMeans {
   }
 
   /** Wire the updater into a stream: each micro-batch folds into the
-    * parquet accumulator table under `stateDir` (atomic overwrite;
-    * k rows). Replayed batch ids are skipped via the persisted
+    * versioned parquet accumulator under `stateDir` via
+    * [[commitState]] (write-new-version + atomic pointer swap; k
+    * rows). Replayed batch ids are skipped via the persisted
     * `last_batch` marker column — the idempotent-foreachBatch recipe. */
   def fit(spark: SparkSession, vecs: Dataset[_], stateDir: String,
       checkpointDir: String, k: Int): StreamingQuery = {
@@ -112,8 +159,8 @@ object StreamingKMeans {
         if (!done && !df.isEmpty) {
           val next = updateState(st.map(_.drop("last_batch")), df, k)
             .withColumn("last_batch", lit(batchId))
-            .localCheckpoint(true) // sever lineage from the state being overwritten
-          next.coalesce(1).write.mode("overwrite").parquet(stateDir)
+            .localCheckpoint(true) // sever lineage from the state being replaced
+          commitState(next, stateDir, batchId)
         }
         ()
       }

@@ -69,4 +69,66 @@ class StreamingKMeansSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(served == Map(0L -> Seq(1L, 0L), 1L -> Seq(9L, 9L)))
   }
+
+  test("kill-and-restart: a REPLAYED batch id is skipped, state not double-counted") {
+    // Simulates the crash window between the state commit and the
+    // checkpoint commit: state for batch N is durable but the WAL
+    // never recorded N as done, so the restarted query re-delivers
+    // the SAME batch id — the last_batch marker must skip the fold
+    // (the batch_id-idempotence claim, proven end-to-end).
+    val base = Fixtures.tempDir("skmr")
+    val data = base.resolve("vecs").toString
+    val state = base.resolve("state").toString
+    val ckpt = base.resolve("ckpt").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("vec_id BIGINT, qv ARRAY<BIGINT>")
+        .parquet(data)
+      StreamingKMeans.fit(spark, src, state, ckpt, k = 2).awaitTermination()
+    }
+    vecs(0L -> Seq(0L, 0L), 1L -> Seq(10L, 10L),
+      2L -> Seq(1L, 1L), 3L -> Seq(9L, 9L))
+      .coalesce(1).write.mode("append").parquet(data)
+    runOnce()
+    val before = StreamingKMeans.readState(spark, state).get.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSet
+    // "kill" after the state write but before the WAL commit: drop the
+    // newest commit marker, so restart replays batch 0 from offsets
+    val commits = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val crc = new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc")
+    assert(commits.last.delete())
+    if (crc.exists) crc.delete() // stale checksum sibling blocks the re-write
+    runOnce() // replays batch 0: marker must skip the fold
+    val after = StreamingKMeans.readState(spark, state).get.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSet
+    assert(after == before, s"replayed batch double-counted: $after vs $before")
+  }
+
+  test("crash mid-state-write: previous committed version stays served, then GC'd") {
+    val base = Fixtures.tempDir("skmc")
+    val state = base.resolve("state").toString
+    val b1 = vecs(0L -> Seq(0L, 0L), 1L -> Seq(10L, 10L))
+    StreamingKMeans.commitState(
+      StreamingKMeans.updateState(None, b1, k = 2), state, 0L)
+    val committed = StreamingKMeans.readState(spark, state).get.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSet
+    // simulate a crash mid-write of the NEXT version: a partial dir
+    // with data but no _SUCCESS, pointer swap never reached
+    val partial = new java.io.File(state, f"v${1L}%020d")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(partial.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    val read = StreamingKMeans.readState(spark, state).get.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSet
+    assert(read == committed, "partial write must be invisible to readState")
+    // the next successful commit swaps the pointer and GCs the orphan
+    StreamingKMeans.commitState(
+      StreamingKMeans.updateState(
+        StreamingKMeans.readState(spark, state), b1, k = 2), state, 1L)
+    val vdirs = new java.io.File(state).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
+    assert(vdirs.toSet == Set(f"v${1L}%020d"), s"stale versions not GC'd: ${vdirs.toSeq}")
+  }
 }

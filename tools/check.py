@@ -6,7 +6,10 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
 executes the matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB
 with a view per test table, and compares: columns sorted by name,
-rows sorted by all columns, exact value equality (bitwise for floats).
+rows sorted by all columns, exact value equality (bitwise for floats),
+AND exact DuckDB type parity per column. The driver's hash is
+type-sensitive, so a value-identical oracle with a wider type (the
+round-9 class: un-cast SUM(BIGINT) -> HUGEINT) must fail here too.
 """
 import json
 import math
@@ -61,6 +64,31 @@ def main():
         w, wc = canon(want_rows, want_cols)
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != {wc}")
+            n_bad += 1
+            continue
+        # Type parity (driver-hash emulation): DESCRIBE both sides and
+        # require identical DuckDB types column-by-column.
+        try:
+            got_t = dict(r[:2] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchall())
+            want_t = dict(r[:2] for r in con.execute(f"DESCRIBE ({sql})").fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: describe error: {e}")
+            n_bad += 1
+            continue
+        # Machine-int widths are mutually compatible: the driver hashes
+        # pandas-decoded frames, and TINYINT..BIGINT all coerce to
+        # int64 there (r9 evidence: rank() BIGINT oracles vs Spark
+        # INTEGER were hash-green). HUGEINT/UHUGEINT and any
+        # cross-family drift decode differently and must fail.
+        ints = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+
+        def tok(t):
+            return "INT" if t in ints else t
+        tdiff = [(c, got_t.get(c), want_t.get(c))
+                 for c in gc if tok(got_t.get(c)) != tok(want_t.get(c))]
+        if tdiff:
+            print(f"FAIL {name}: type mismatch (spark vs oracle): {tdiff}")
             n_bad += 1
             continue
         if len(g) != len(w):
