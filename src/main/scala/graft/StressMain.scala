@@ -318,6 +318,24 @@ object StressMain {
         per.sum / per.size
       }
       println(f"[stress] ann recall@$k lsh=${recall(lsh)}%.3f ivf=${recall(ivf)}%.3f")
+      // Bands-knob ablation (VERDICT r9 #4): PLANS.md names "more
+      // bands" as LSH's recall lever — turn it on the same corpus and
+      // measure recall AND candidate volume per setting, so the
+      // recall-vs-candidate-cost trade has numbers (64 planes split
+      // into b bands of 64/b bits; fewer bits/band = coarser buckets
+      // = more collisions = more candidates and higher recall).
+      Seq(8, 16).foreach { b =>
+        var got: Map[Long, Seq[Long]] = Map.empty
+        time(s"ann lsh 1M b=$b")(
+          { got = topk(operators.Similarity.lshTopK(corpus, qs, k,
+              nPlanes = 64, nBands = b)); got.size.toLong })
+        val nCand = operators.Similarity.lshCandidates(corpus, qs,
+          nPlanes = 64, nBands = b).count()
+        println(f"[stress] ann lsh b=$b recall=${recall(got)}%.3f cand=$nCand")
+      }
+      val nCand4 = operators.Similarity.lshCandidates(corpus, qs,
+        nPlanes = 64, nBands = 4).count()
+      println(s"[stress] ann lsh b=4 cand=$nCand4")
       // Amortized IVF (round-9): the one-shot ivfTopK number above is
       // dominated by the full-corpus assignment pass; the production
       // shape builds the index ONCE and serves query batches from it.
@@ -394,6 +412,49 @@ object StressMain {
       time("span_clean 1M")(queries.CorpusQueries.spanClean(spark, dir).count())
       time("quality_filter 1M")(queries.CorpusQueries.qualityFilter(spark, dir).count())
       time("dedup_incremental 1M")(queries.DedupQueries.incrementalQ(spark, dir).count())
+    }
+    // Round-10 curation pack at 1M docs: containment rides the same
+    // capped inverted index as ngram-jaccard (df ≤ 50 — the
+    // duplicated corpus saturates most buckets, so this measures the
+    // cap's protection, not an all-pairs blow-up); bm25/budget are
+    // the linear scan+aggregate shapes; priority pays one CC run
+    // (memoized) plus a join.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_CURATION10")) {
+      ensure1mCorpus(spark)
+      val dir = "/tmp/stress1m"
+      time("containment 1M")(queries.TextQueries.dedupContainment(spark, dir).count())
+      time("bm25_topk 1M")(queries.CorpusQueries.bm25Topk(spark, dir).count())
+      time("budget_select 1M")(queries.CorpusQueries.budgetSelect(spark, dir).count())
+      time("dedup_priority 1M")(queries.DedupQueries.priorityQ(spark, dir).count())
+    }
+    // Production-shaped span surgery (VERDICT r9 #5): the 120 s
+    // span_clean worst case is the adversarial corpus where 100% of
+    // docs carry cross-doc spans; real corpora have a few percent.
+    // Same 1M-doc volume, ~5% affected: docs whose id ≡ 0 (mod 20)
+    // keep their (heavily duplicated) texts, the rest are rewritten
+    // with doc-unique salted tokens of the SAME token count — no
+    // 3-gram shared anywhere, so they exit at the semi-join and never
+    // pay tokenize+splice. Detection still scans all 1M docs.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_SPANS5")) {
+      import org.apache.spark.sql.functions._
+      ensure1mCorpus(spark)
+      val sparse = "/tmp/stress1m_sparse"
+      if (!complete(s"$sparse/documents.parquet")) {
+        spark.read.parquet("/tmp/stress1m/documents.parquet")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(20L)) === 0, col("text"))
+              .otherwise(concat_ws(" ",
+                transform(split(trim(col("text")), "\\s+"), (_, i) =>
+                  concat(lit("u"), col("doc_id"), lit("x"), i.cast("string")))))
+              .as("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .coalesce(16)
+          .write.mode("overwrite").parquet(s"$sparse/documents.parquet")
+      }
+      val affected = queries.CorpusQueries.dupSpans(spark, sparse)
+        .select("doc_id").distinct().count()
+      println(s"[stress] span_clean 5pct affected docs=$affected")
+      time("span_clean 1M 5pct")(queries.CorpusQueries.spanClean(spark, sparse).count())
     }
     // events-side stress (2M events, 20x sf0.1; orders copied alongside)
     time("ingest_dedup 2M")(queries.IngestQueries.ingestDedup(spark, "/tmp/stress").count())

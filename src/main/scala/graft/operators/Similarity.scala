@@ -162,7 +162,11 @@ object Similarity {
     * for recall vs candidate volume; at 100 TB the band join is the
     * only shuffle and hot buckets are handled by AQE skew splitting.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+  /** The CANDIDATE stage of [[lshTopK]], exposed for ablations: the
+    * deduplicated `(q_id, q_vec, c_id, c_vec)` pairs sharing at least
+    * one band key. Candidate volume is the recall-vs-cost knob's other
+    * axis — more bands (fewer bits each) admit more pairs. */
+  def lshCandidates(corpus: DataFrame, queries: DataFrame,
       nPlanes: Int = 16, nBands: Int = 4, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val s = corpus.sparkSession
@@ -173,10 +177,17 @@ object Similarity {
     val q = queries.select(col(idCol).as("q_id"),
         col(vecCol).cast(ArrayType(DoubleType)).as("q_vec"))
       .withColumn("key", explode(bandKeys(s, col("q_vec"), planes, nBands)))
-    val cand = q.join(c, "key")
+    q.join(c, "key")
       .filter(col("c_id") =!= col("q_id"))
       .select("q_id", "q_vec", "c_id", "c_vec")
       .dropDuplicates("q_id", "c_id")
+  }
+
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 16, nBands: Int = 4, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = corpus.sparkSession
+    val cand = lshCandidates(corpus, queries, nPlanes, nBands, dim, idCol, vecCol)
     val scored = cand.withColumn("cosine", ncosine(s, col("q_vec"), col("c_vec")))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("c_id").asc)

@@ -688,7 +688,134 @@ object CorpusQueries {
       |FROM documents GROUP BY source, bucket
       |ORDER BY source, bucket""".stripMargin
 
+  /** Token-BUDGET selection — the data-mixture step after scoring:
+    * given a per-source token budget, keep each source's best
+    * documents (quality desc, ties → doc_id) until the budget is
+    * exhausted — the greedy prefix knapsack every "top-quality N
+    * tokens per domain" curation recipe runs. Selection is a prefix
+    * of the quality ordering (`cum_tok ≤ budget`; the cumulative sum
+    * is monotone, so the cut is a single contiguous prefix — the
+    * deterministic form of the rule). Shapes: one projection-pruned
+    * scan computing the oracle-pinned quality double + integer token
+    * count, ONE shuffle on `source`, then partition-local window
+    * cumsum + rank (the pack_bins discipline: per-source windows,
+    * never a global sort). The cumsum is an integer SUM — exact and
+    * association-order-free; quality is only ever COMPARED. */
+  def budgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val budget = 600L
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        qualityScore(col("text")).as("quality"),
+        tokenCount(col("text")).cast(LongType).as("ntok"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    docs
+      .withColumn("cum_tok", sum(col("ntok")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sel_rank", row_number().over(w))
+      .filter(col("cum_tok") <= budget)
+      .select("source", "sel_rank", "doc_id", "quality", "ntok", "cum_tok")
+      .orderBy("source", "sel_rank")
+  }
+
+  val budgetSelectSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, source,
+       |  ${TextQueries.qualitySqlExpr}
+       |    AS quality,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ntok
+       |  FROM documents),
+       |w AS (
+       |  SELECT source, doc_id, quality, ntok,
+       |    CAST(SUM(ntok) OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id ASC ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum_tok,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id ASC) AS INTEGER) AS sel_rank
+       |  FROM q)
+       |SELECT source, sel_rank, doc_id, quality, ntok, cum_tok
+       |FROM w WHERE cum_tok <= 600
+       |ORDER BY source, sel_rank""".stripMargin
+
+  /** BM25 retrieval top-k in EXACT fixed-point integer arithmetic —
+    * the ranked-retrieval primitive behind search-based
+    * decontamination and RAG corpus probes, with the cross-engine
+    * float hazards designed out: BM25's `log` idf is libm-dependent
+    * and its per-term float SUM is association-order-dependent, so
+    * this operator computes the UN-logged Robertson idf ratio
+    * `(N − df + ½)/(df + ½)` and the k1=6/5, b=3/4 saturation term
+    * as one exact integer expression per term —
+    * `a = (44·T·tf·10⁶) DIV (20·T·tf + 6·T + 18·N·dl)` (the
+    * saturation fraction cleared of rationals by 20·T, scaled 10⁶),
+    * `score = (a·(2N−2df+1)) DIV (2df+1)` — and SUMS integers
+    * (order-free). Rankings match float BM25 up to fixed-point
+    * granularity; both engines match bit-for-bit. Overflow: the
+    * widest product is 44·T·tf·10⁶ < 2⁶³ for corpus token mass
+    * T·tf ≲ 2×10¹¹ — beyond that drop the 10⁶ scale (both engines
+    * take it as a constant, so they move together). Shapes: tf/df/dl
+    * are map-side-combining aggregates; df (≤ |terms| rows) and the
+    * 1-row (N, T) stats frame broadcast into the scoring join; final
+    * top-10 is TakeOrderedAndProject, never a corpus-wide window. */
+  def bm25Topk(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "vector", "customer")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tok"))
+    val tf = toks.filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("a", expr(
+        "(44 * t_tok * tf * 1000000) DIV (20 * t_tok * tf + 6 * t_tok + 18 * n_docs * dl)"))
+      .withColumn("term_score", expr("(a * (2 * n_docs - 2 * df + 1)) DIV (2 * df + 1)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_terms"),
+        sum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select("rnk", "doc_id", "n_terms", "score")
+  }
+
+  val bm25TopkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |nz AS (SELECT * FROM toks WHERE token <> ''),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM nz GROUP BY doc_id),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tok FROM dl),
+      |tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM nz
+      |  WHERE token IN ('spark', 'vector', 'customer')
+      |  GROUP BY doc_id, token),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |sc AS (
+      |  SELECT t.doc_id, f.df, s.n_docs,
+      |    (44 * s.t_tok * t.tf * 1000000)
+      |      // (20 * s.t_tok * t.tf + 6 * s.t_tok + 18 * s.n_docs * d.dl) AS a
+      |  FROM tf t JOIN dfreq f USING (token) JOIN dl d USING (doc_id)
+      |  CROSS JOIN stats s),
+      |ts AS (
+      |  SELECT doc_id,
+      |    (a * (2 * n_docs - 2 * df + 1)) // (2 * df + 1) AS term_score
+      |  FROM sc),
+      |agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+      |    CAST(SUM(term_score) AS BIGINT) AS score
+      |  FROM ts GROUP BY doc_id)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rnk,
+      |  doc_id, n_terms, score
+      |FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_budget_select", budgetSelect, Some(budgetSelectSql)),
+    QueryDef("q_bm25_topk", bm25Topk, Some(bm25TopkSql)),
     QueryDef("q_contamination_ngram", contaminationNgram, Some(contaminationNgramSql)),
     QueryDef("q_decon_bloom", deconBloom, Some(contaminationNgramSql)),
     QueryDef("q_repeated_grams", repeatedGrams, Some(repeatedGramsSql)),

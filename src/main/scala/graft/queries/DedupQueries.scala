@@ -362,6 +362,54 @@ object DedupQueries {
        |SELECT label AS cluster, n_docs, node AS keep_doc, best_quality
        |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
 
+  /** PROVENANCE-priority dedup — keep-by-SOURCE per near-dup cluster,
+    * the third keep rule of the family ([[droplistQ]] keeps min-id,
+    * [[canonicalQ]] keeps best-quality): when the same content is
+    * crawled from several sources, real pipelines keep the copy from
+    * the most trusted provenance (e.g. curated over common-crawl).
+    * Priority = the source's numeric rank (lower wins; the synthetic
+    * corpus's `srcN` names make rank extraction deterministic), ties
+    * → min doc_id. Rides the session-memoized CC label frame; then
+    * ONE `min_by` groupBy over a (rank, doc_id) struct — map-side
+    * combining, no per-cluster window sort, the canonicalQ shape. */
+  def priorityQ(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterLabels(s, dir)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        substring(col("source"), 4, 10).cast(IntegerType).as("src_rank"))
+    labels.join(docs, labels("node") === docs("doc_id"))
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(struct(col("node").as("keep_doc"), col("src_rank").as("keep_rank")),
+          struct(col("src_rank"), col("node"))).as("k"))
+      .select(col("cluster"), col("n_docs"),
+        col("k.keep_doc").as("keep_doc"), col("k.keep_rank").as("keep_rank"))
+      .orderBy("cluster")
+  }
+
+  val prioritySql: String =
+    s"""WITH RECURSIVE $simhashPairsCte,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM verified
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM verified),
+       |reach(node, lab) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst),
+       |final AS (SELECT node, MIN(lab) AS label FROM reach GROUP BY node),
+       |p AS (SELECT doc_id, CAST(substr(source, 4) AS INTEGER) AS src_rank
+       |  FROM documents),
+       |r AS (
+       |  SELECT f.label, f.node, p.src_rank,
+       |    ROW_NUMBER() OVER (PARTITION BY f.label
+       |      ORDER BY p.src_rank ASC, f.node ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY f.label) AS n_docs
+       |  FROM final f JOIN p ON p.doc_id = f.node)
+       |SELECT label AS cluster, CAST(n_docs AS BIGINT) AS n_docs,
+       |  node AS keep_doc, src_rank AS keep_rank
+       |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   /** ENSEMBLE (consensus) dedup — the production guard against any
     * single sketch's blind spots: a pair is flagged only when at
     * least 2 of the 3 independent methods agree (MinHash-LSH
@@ -545,6 +593,7 @@ object DedupQueries {
     QueryDef("q_dedup_clusters", clustersQ, Some(clustersSql)),
     QueryDef("q_dedup_droplist", droplistQ, Some(droplistSql)),
     QueryDef("q_dedup_canonical", canonicalQ, Some(canonicalSql)),
+    QueryDef("q_dedup_priority", priorityQ, Some(prioritySql)),
     QueryDef("q_dedup_ensemble", ensembleQ, Some(ensembleSql)),
     QueryDef("q_dedup_incremental", incrementalQ, Some(incrementalSql)),
     QueryDef("q_dup_pagerank", pagerankQ, Some(pagerankSql)))

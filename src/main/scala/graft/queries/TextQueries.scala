@@ -227,6 +227,71 @@ object TextQueries {
       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.2
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** CONTAINMENT near-dup detection — the asymmetric complement of
+    * [[dedupNgramJaccard]]: a short document pasted verbatim inside a
+    * longer one has low Jaccard (the union is large) but containment
+    * ≈ 1 from the short side — the quote/boilerplate/near-superset
+    * case symmetric overlap misses (Broder's containment measure).
+    * Pair source is the SAME inverted 3-shingle index with the same
+    * df-≤-50 cap (never all-pairs); the keep rule is integer
+    * cross-multiplication `10·n_common ≥ 9·min(sz)` — the ≥0.9
+    * threshold with zero float hazard — and the reported `cont_a`/
+    * `cont_b` doubles are each ONE IEEE division over exact integers,
+    * the keyword-topk parity device. `contained` names the swallowed
+    * doc (the higher-containment side; ties → doc_a). */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val docSets = shingleSets(Tables.documents(s, dir), "doc_id", "text", 3)
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+    val exploded = docSets.select(col("sz"), col("doc_id"),
+      explode(col("sh")).as("sh"))
+    val grouped = exploded.groupBy("sh")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
+      .filter(size(col("ds")) <= 50)
+    val pairs = grouped.select(explode(
+      flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds")) - i - 1), y =>
+          struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
+            x.getField("sz").as("sz_a"), y.getField("sz").as("sz_b")))))).as("p"))
+    pairs.groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("p.sz_a")).as("sz_a"), first(col("p.sz_b")).as("sz_b"))
+      .filter(lit(10L) * col("n_common") >= lit(9L) * least(col("sz_a"), col("sz_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("sz_a").cast(LongType).as("sz_a"), col("sz_b").cast(LongType).as("sz_b"),
+        (col("n_common").cast(DoubleType) / col("sz_a").cast(DoubleType)).as("cont_a"),
+        (col("n_common").cast(DoubleType) / col("sz_b").cast(DoubleType)).as("cont_b"),
+        when(col("sz_a") <= col("sz_b"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupContainmentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |kept AS (
+      |  SELECT sh, doc_id FROM sh
+      |  QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 50),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+      |  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+      |  CAST(n_common AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont_a,
+      |  CAST(n_common AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cont_b,
+      |  CASE WHEN sa.sz <= sb.sz THEN doc_a ELSE doc_b END AS contained
+      |FROM common
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE 10 * n_common >= 9 * LEAST(sa.sz, sb.sz)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Consistent (hash-based) sampling — the at-scale sampling idiom:
     * membership is a pure function of the key (Knuth multiplicative
     * hash mod 100 < rate), so the sample is reproducible across runs,
@@ -583,6 +648,7 @@ object TextQueries {
       |FROM m ORDER BY c_custkey""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     QueryDef("q_vocab_topk", vocabTopk, Some(vocabTopkSql)),
     QueryDef("q_contamination", contamination, Some(contaminationSql)),
     QueryDef("q_repetition_ratio", repetitionRatio, Some(repetitionRatioSql)),
