@@ -422,7 +422,38 @@ object StressMain {
     if (sys.env.contains("SPARK_GRAFT_STRESS_CURATION10")) {
       ensure1mCorpus(spark)
       val dir = "/tmp/stress1m"
-      time("containment 1M")(queries.TextQueries.dedupContainment(spark, dir).count())
+      // Containment needs its own 1M corpus: on the duplicated
+      // corpora the ~40-word vocabulary makes nearly every 3-gram
+      // corpus-hot (100k corpus: 329 of 27k shingle buckets under
+      // the df-50 cap), so the capped index correctly drops
+      // everything — that run (kept below) measures the cap's
+      // protection, not the operator. Planted-pair corpus: per base
+      // doc, variant 0 = the original (the CONTAINED doc), variant 1
+      // = original + a 12-token suffix (the CONTAINER; its base
+      // shingles have df=2, under the cap), variants 2..199 =
+      // doc-unique salted tokens (shingles unique → no pairs). 1M
+      // docs, exactly 5 000 true containment pairs.
+      import org.apache.spark.sql.functions._
+      val contDir = "/tmp/stress1m_cont"
+      if (!complete(s"$contDir/documents.parquet")) {
+        val d = Tables.documents(spark, "/root/testdata/sf0.1")
+        (0 until 200).map { k =>
+          val text =
+            if (k == 0) col("text")
+            else if (k == 1) concat(col("text"),
+              lit(" " + (0 until 12).map(j => s"q$j").mkString(" ")))
+            else concat_ws(" ",
+              transform(split(trim(col("text")), "\\s+"), (_, i) =>
+                concat(lit("s"), col("doc_id") + lit(k * 5000L), lit("x"),
+                  i.cast("string"))))
+          d.select((col("doc_id") + lit(k * 5000L)).as("doc_id"),
+            text.as("text"), col("lang"), col("source"), col("n_chars"))
+        }.reduce(_ unionByName _).coalesce(16)
+          .write.mode("overwrite").parquet(s"$contDir/documents.parquet")
+      }
+      time("containment 1M planted")(
+        queries.TextQueries.dedupContainment(spark, contDir).count())
+      time("containment 1M capped")(queries.TextQueries.dedupContainment(spark, dir).count())
       time("bm25_topk 1M")(queries.CorpusQueries.bm25Topk(spark, dir).count())
       time("budget_select 1M")(queries.CorpusQueries.budgetSelect(spark, dir).count())
       time("dedup_priority 1M")(queries.DedupQueries.priorityQ(spark, dir).count())
