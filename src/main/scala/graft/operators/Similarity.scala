@@ -114,19 +114,46 @@ object Similarity {
   def ivfIndex(corpus: DataFrame, nCentroids: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : (DataFrame, DataFrame) = {
-    val s = corpus.sparkSession
     val c = corpus.select(col(idCol).as("c_id"),
       col(vecCol).cast(ArrayType(DoubleType)).as("c_vec"))
     // deterministic sample: the nCentroids smallest ids
     val centroids = c.orderBy("c_id").limit(nCentroids)
       .select(col("c_id").as("cent_id"), col("c_vec").as("cent_vec"))
-    val assigned = c.crossJoin(broadcast(centroids))
+    (centroids, ivfAssign(centroids, corpus, idCol, vecCol))
+  }
+
+  /** The ASSIGNMENT half of [[ivfIndex]], parameterized by an
+    * existing centroid frame: broadcast-join argmax over the corpus.
+    * Exposed so the incremental path can run it over a batch alone. */
+  def ivfAssign(centroids: DataFrame, corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = corpus.sparkSession
+    corpus.select(col(idCol).as("c_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("c_vec"))
+      .crossJoin(broadcast(centroids))
       .withColumn("score", ncosine(s, col("c_vec"), col("cent_vec")))
       .groupBy("c_id")
       .agg(max_by(col("cent_id"), col("score")).as("cluster"),
         first(col("c_vec")).as("c_vec"))
-    (centroids, assigned)
   }
+
+  /** INCREMENTAL index maintenance — the `incrementalPairs` analogue
+    * for vectors: an arriving batch joins an existing [[ivfIndex]]
+    * WITHOUT a rebuild. Only the batch pays the assignment pass
+    * (broadcast argmax against the FROZEN coarse quantizer — the
+    * existing corpus is never rescanned), and the merged inverted
+    * lists are the union — at scale, an append to the per-cluster
+    * partitions the build wrote. Because assignment depends only on
+    * (centroids, vector), append-then-probe is BIT-IDENTICAL to
+    * assigning the full corpus against the same centroids
+    * (spec-pinned); what an append CANNOT do is move the centroids —
+    * drift of the data distribution away from the frozen quantizer
+    * degrades probe recall, which is the documented rebuild
+    * trigger (re-run [[ivfIndex]] when recall gates slip). */
+  def ivfAppend(centroids: DataFrame, assigned: DataFrame,
+      batch: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    assigned.unionByName(ivfAssign(centroids, batch, idCol, vecCol))
 
   /** PROBE half over a prebuilt [[ivfIndex]]: each query scores the
     * broadcast centroid frame, picks its `nProbe` nearest lists, and

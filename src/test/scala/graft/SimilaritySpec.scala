@@ -99,6 +99,29 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ivfAppend then probe is bit-identical to assigning the full corpus " +
+      "against the same frozen centroids") {
+    val existing = corpus.filter($"vec_id" < 150)
+    val batch = corpus.filter($"vec_id" >= 150)
+    val queries = corpus.filter($"vec_id" < 5)
+    val (cents, assigned) = Similarity.ivfIndex(existing, nCentroids = 8)
+    val merged = Similarity.ivfAppend(cents, assigned, batch)
+    val full = Similarity.ivfAssign(cents, corpus)
+    // list membership identical: assignment depends only on (centroid, vector)
+    val m = merged.select("c_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f = full.select("c_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == f, "append-built lists diverge from full assignment")
+    assert(m.size == corpus.count(), "append lost vectors")
+    // probe results identical row-for-row
+    val a = Similarity.ivfProbe(cents, merged, queries, k = 3, nProbe = 2)
+      .collect().map(_.toString).sorted
+    val b = Similarity.ivfProbe(cents, full, queries, k = 3, nProbe = 2)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("lshTopK candidates are a subset re-ranked by exact cosine") {
     val queries = corpus.filter($"vec_id" === 0)
     val brute = Similarity.bruteForceTopK(corpus, queries, k = 5)
