@@ -62,6 +62,28 @@ object StressMain {
     }
   }
 
+  /** 1M-vector ANN corpus: 2 000 sf0.1 embeddings × 500 deterministic
+    * per-variant perturbations. Returns the parquet path. */
+  def ensureAnn1m(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val embPath = "/tmp/stress1m/embeddings.parquet"
+    if (!complete(embPath)) {
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      e.crossJoin(spark.range(500).select(col("id").as("variant")))
+        .select(
+          (col("vec_id") + col("variant") * 2000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast(DoubleType) +
+              cos((col("variant") + 1) * (i + 1)) * lit(0.08))
+              .cast(FloatType)).as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(embPath)
+    }
+    embPath
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -276,21 +298,7 @@ object StressMain {
     // brute-force top-k on the SAME corpus for 8 query vectors.
     if (sys.env.contains("SPARK_GRAFT_STRESS_ANN1M")) {
       import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.types.{DoubleType, FloatType}
-      val embPath = "/tmp/stress1m/embeddings.parquet"
-      if (!complete(embPath)) {
-        val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
-        e.crossJoin(spark.range(500).select(col("id").as("variant")))
-          .select(
-            (col("vec_id") + col("variant") * 2000L).as("vec_id"),
-            transform(col("embedding"), (x, i) =>
-              (x.cast(DoubleType) +
-                cos((col("variant") + 1) * (i + 1)) * lit(0.08))
-                .cast(FloatType)).as("embedding"),
-            col("label"))
-          .repartition(32)
-          .write.mode("overwrite").parquet(embPath)
-      }
+      val embPath = ensureAnn1m(spark)
       val corpus = spark.read.parquet(embPath).persist()
       println(s"[stress] ann corpus            rows=${corpus.count()}")
       val qs = corpus.filter(col("vec_id") < 8).persist()
@@ -412,6 +420,55 @@ object StressMain {
       time("span_clean 1M")(queries.CorpusQueries.spanClean(spark, dir).count())
       time("quality_filter 1M")(queries.CorpusQueries.qualityFilter(spark, dir).count())
       time("dedup_incremental 1M")(queries.DedupQueries.incrementalQ(spark, dir).count())
+    }
+    // Incremental IVF at 1M vectors (round-10): the maintenance claim
+    // measured — build on the 90% existing side ONCE, then an arriving
+    // 100k batch pays ONLY its own assignment; compare against the
+    // full 1M rebuild cost and check probe recall over the merged
+    // lists vs brute force on the full corpus.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_IVF_INCR")) {
+      import org.apache.spark.sql.functions._
+      val corpus = spark.read.parquet(ensureAnn1m(spark)).persist()
+      println(s"[stress] ivf-incr corpus       rows=${corpus.count()}")
+      val bucket = pmod(pmod(col("vec_id"), lit(100000000L)) * lit(2654435761L),
+        lit(100L))
+      val existing = corpus.filter(bucket < 90)
+      val batch = corpus.filter(bucket >= 90)
+      println(s"[stress] ivf-incr batch        rows=${batch.count()}")
+      val qs = corpus.filter(col("vec_id") < 8).persist()
+      qs.count(): Unit
+      val k = 10
+      var idx: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
+      time("ivf build 900k")({
+        idx = operators.Similarity.ivfIndex(existing, nCentroids = 64)
+        idx = (idx._1.localCheckpoint(true), idx._2.localCheckpoint(true))
+        idx._2.count()
+      })
+      var merged: org.apache.spark.sql.DataFrame = null
+      time("ivf append 100k")({
+        merged = operators.Similarity.ivfAppend(idx._1, idx._2, batch)
+          .localCheckpoint(true)
+        merged.count()
+      })
+      var full: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
+      time("ivf rebuild 1M")({
+        full = operators.Similarity.ivfIndex(corpus, nCentroids = 64)
+        full = (full._1.localCheckpoint(true), full._2.localCheckpoint(true))
+        full._2.count()
+      })
+      def topk10(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+      val exact = topk10(operators.Similarity.bruteForceTopK(corpus, qs, k))
+      var probed: Map[Long, Seq[Long]] = Map.empty
+      time("ivf probe merged")(
+        { probed = topk10(operators.Similarity.ivfProbe(idx._1, merged, qs, k,
+            nProbe = 8)); probed.size.toLong })
+      val rec = exact.keys.toSeq.map { q =>
+        exact(q).count(probed.getOrElse(q, Nil).toSet).toDouble / exact(q).size
+      }
+      println(f"[stress] ivf-incr recall@$k   ${rec.sum / rec.size}%.3f")
+      corpus.unpersist(); qs.unpersist(); ()
     }
     // Round-10 curation pack at 1M docs: containment rides the same
     // capped inverted index as ngram-jaccard (df ≤ 50 — the
