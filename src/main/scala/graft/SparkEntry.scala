@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AdvancedQueries, AnalyticsQueries, CorpusQueries, DedupQueries, IngestQueries, QueryDef, RelationalQueries, TextQueries, TpchQueries, TpchQueries2, VectorQueries}
+import graft.queries.{AdvancedQueries, AnalyticsQueries, CorpusQueries, CurationQueries, DedupQueries, IngestQueries, QueryDef, RelationalQueries, TextQueries, TpchQueries, TpchQueries2, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
   /** All query definitions, one per implemented operator (SURVEY.md §2). */
   def defs: Seq[QueryDef] =
     IngestQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
-      CorpusQueries.all ++ VectorQueries.all ++ DedupQueries.all ++
+      CorpusQueries.all ++ CurationQueries.all ++ VectorQueries.all ++ DedupQueries.all ++
       AnalyticsQueries.all ++ AdvancedQueries.all ++ TpchQueries.all ++
       TpchQueries2.all
 

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Third tranche of the LLM-data-pipeline surface (SURVEY.md §2.11):
+  * collocation extraction (bigram PMI-lift), lexical-diversity
+  * scoring (type-token ratio), and deterministic curriculum ordering.
+  * All oracle-checked; every ratio is either an exact scaled-integer
+  * floor-division or a single IEEE division of exact integer
+  * aggregates, so the DuckDB twins match bitwise.
+  */
+object CurationQueries {
+
+  /** The Knuth multiplicative hash shared with
+    * [[TextQueries.consistentSample]] / `q_train_test_split` —
+    * engine- and partitioning-independent. */
+  private def knuthHash(m: Long): Column =
+    pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(m))
+
+  /** Collocation extraction — top-100 adjacent-token bigrams by
+    * PMI-style lift, the phrase-mining pass that feeds tokenizer /
+    * vocab decisions (which word pairs behave as one unit). Lift is
+    * kept EXACT: `lift_ppm = floor(c_xy · N · 10⁶ / (c_x · c_y))`
+    * in int64 (at sf0.1 the worst product is c_xy·N·10⁶ ≈ 10¹⁴, far
+    * inside int64; at 100 TB the same expression moves to
+    * DecimalType(38,0) — the floor-div is the only change point).
+    * log() never appears, so there is no IEEE-tree parity risk.
+    *
+    * Shapes for 100 TB: bigrams come from one posexplode + one
+    * `lead` over the (doc, pos) window — ONE shuffle on doc_id,
+    * linear in corpus tokens, never all-pairs. Both count relations
+    * are vocab-sized (≪ corpus), so the two enrichment joins
+    * broadcast; the corpus-sized work is exactly two
+    * map-side-combined aggregations. Final top-100 is
+    * TakeOrderedAndProject — distributed heap, no global sort. */
+  def collocPmi(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val cXY = bigrams.groupBy(col("tok").as("x"), col("nxt").as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = toks.agg(count(lit(1)).as("n_tok"))
+    cXY
+      .join(broadcast(uni.select(col("tok").as("x"), col("c").as("c_x"))), Seq("x"))
+      .join(broadcast(uni.select(col("tok").as("y"), col("c").as("c_y"))), Seq("y"))
+      .crossJoin(broadcast(n))
+      .filter(col("c_xy") >= 5)
+      .withColumn("lift_ppm", expr("(c_xy * n_tok * 1000000) div (c_x * c_y)"))
+      .select("x", "y", "c_xy", "lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("x"), col("y"))
+      .limit(100)
+  }
+
+  val collocPmiSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |uni AS (
+      |  SELECT tok, COUNT(*) AS c
+      |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+      |n AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n_tok FROM toks),
+      |bg AS (
+      |  SELECT x, y, COUNT(*) AS c_xy FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, len(t)), i -> t[i])) AS x,
+      |      unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS y
+      |    FROM toks WHERE len(t) >= 2)
+      |  GROUP BY x, y)
+      |SELECT bg.x, bg.y, bg.c_xy,
+      |  (bg.c_xy * n.n_tok * 1000000) // (ux.c * uy.c) AS lift_ppm
+      |FROM bg
+      |JOIN uni ux ON ux.tok = bg.x
+      |JOIN uni uy ON uy.tok = bg.y
+      |CROSS JOIN n
+      |WHERE bg.c_xy >= 5
+      |ORDER BY lift_ppm DESC, bg.x, bg.y LIMIT 100""".stripMargin
+
+  /** Lexical-diversity rollup — per-document type-token ratio
+    * (distinct tokens / total tokens, the classic repetitiveness
+    * signal that catches keyword-stuffed or template text), scaled to
+    * exact ppm integers per document, then aggregated per source.
+    * The only double in the output is ONE IEEE division of two exact
+    * integers (`SUM(ttr_ppm)/n_docs`), per parity rule.
+    *
+    * Shapes for 100 TB: distinct-per-doc goes through a
+    * (doc, token) pre-aggregation (map-side combine collapses
+    * repeats BEFORE the shuffle — never `countDistinct`'s expand),
+    * then one row per (doc, token), then one row per doc, then one
+    * row per source. Pure aggregation pipeline, no joins except the
+    * doc→source attach which rides the same doc_id grouping. */
+  def ttr(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"), col("source"), explode(wsTokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("tf"))
+    val per = tf.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_types"), sum(col("tf")).as("n_tok"))
+      .withColumn("ttr_ppm", expr("(n_types * 1000000) div n_tok"))
+    per.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("ttr_ppm")).as("min_ttr_ppm"),
+        max(col("ttr_ppm")).as("max_ttr_ppm"),
+        (sum(col("ttr_ppm")).cast(DoubleType) / count(lit(1))).as("avg_ttr_ppm"))
+      .orderBy("source")
+  }
+
+  val ttrSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, source, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, source,
+      |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, source, tok),
+      |per AS (
+      |  SELECT doc_id, source,
+      |    (COUNT(*) * 1000000) // CAST(SUM(tf) AS BIGINT) AS ttr_ppm
+      |  FROM tf GROUP BY doc_id, source)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  MIN(ttr_ppm) AS min_ttr_ppm, MAX(ttr_ppm) AS max_ttr_ppm,
+      |  CAST(CAST(SUM(ttr_ppm) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_ttr_ppm
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
+  /** Deterministic curriculum schedule head — the first 200 positions
+    * of an easy→hard training order: band by document size (exact
+    * integer `least(n_chars div 64, 7)`), shuffle WITHIN a band by
+    * the Knuth doc_id hash (so same-band order is pseudo-random but
+    * reproducible across engines, partitionings and reruns), then
+    * global position. This is the curriculum variant of
+    * `q_train_test_split`'s determinism contract.
+    *
+    * Shapes for 100 TB: the head is TakeOrderedAndProject over
+    * (band, h, doc_id) — a distributed top-k heap, NOT a global sort
+    * or corpus-wide window; the row_number that assigns positions
+    * runs over the already-bounded 200-row result. Materializing the
+    * FULL schedule at cluster scale is a
+    * `repartitionByRange(band, h)` write (range exchange + per-file
+    * local sort, positions recoverable as file_offset + row index) —
+    * documented here because a corpus-wide row_number window would
+    * funnel 100 TB through one task. */
+  def curriculum(s: SparkSession, dir: String): DataFrame = {
+    val head = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        least(expr("n_chars div 64"), lit(7L)).as("band"),
+        knuthHash(1000000000L).as("h"))
+      .orderBy(col("band"), col("h"), col("doc_id"))
+      .limit(200)
+    head
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("band"), col("h"), col("doc_id")))
+          .cast(LongType))
+      .select("pos", "doc_id", "band", "h")
+      .orderBy("pos")
+  }
+
+  val curriculumSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, least(n_chars // 64, 7) AS band,
+      |    ((doc_id % 100000000) * 2654435761) % 1000000000 AS h
+      |  FROM documents),
+      |head AS (
+      |  SELECT doc_id, band, h FROM d ORDER BY band, h, doc_id LIMIT 200)
+      |SELECT CAST(row_number() OVER (ORDER BY band, h, doc_id) AS BIGINT) AS pos,
+      |  doc_id, band, h
+      |FROM head ORDER BY pos""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q_colloc_pmi", collocPmi, Some(collocPmiSql)),
+    QueryDef("q_ttr", ttr, Some(ttrSql)),
+    QueryDef("q_curriculum", curriculum, Some(curriculumSql)))
+}
