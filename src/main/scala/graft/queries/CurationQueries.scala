@@ -172,8 +172,65 @@ object CurationQueries {
       |  doc_id, band, h
       |FROM head ORDER BY pos""".stripMargin
 
+  /** Merge rounds for the BPE queries. Fixed small so the unrolled
+    * DuckDB twin stays readable; production vocab sizes (30k-100k
+    * merges) change only the loop bound — per-round cost is
+    * word-TYPE-table-sized, not corpus-sized (see
+    * [[graft.operators.Bpe]]). */
+  val BpeRounds = 8
+
+  /** The corpus-scale half of BPE training: ONE scan, one
+    * map-side-combining word count. Everything after runs on word
+    * TYPES ([[graft.operators.Bpe.learn]]). */
+  private def wordCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(wsTokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  private val bpeW0 =
+    """w0 AS (
+      |  SELECT tok AS word, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |    FROM documents)
+      |  WHERE tok <> '' GROUP BY tok)""".stripMargin
+
+  /** BPE tokenizer training — the learned merge table
+    * `(merge_rank, left_sym, right_sym, pair_freq)` for
+    * [[BpeRounds]] rounds over the corpus word counts. See
+    * [[graft.operators.Bpe]] for the iterative shape and the
+    * exact-determinism contract the unrolled DuckDB twin relies on. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.learn(wordCounts(s, dir), BpeRounds)._1
+
+  val bpeMergesSql: String =
+    s"WITH $bpeW0,\n${graft.operators.Bpe.roundsSql(BpeRounds)}\n" +
+      graft.operators.Bpe.mergesSelectSql(BpeRounds)
+
+  /** BPE segmentation census — after applying the [[BpeRounds]]
+    * learned merges, the resulting subword vocabulary's corpus
+    * occurrence counts (top 30 by mass): the table a tokenizer build
+    * inspects to pick a vocab cutoff. Same rounds as [[bpeMerges]];
+    * the final fold state is exploded and aggregated once, weighted
+    * by word frequency — still zero corpus rescans. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.learn(wordCounts(s, dir), BpeRounds)._2
+      .select(explode(col("syms")).as("sym"), col("freq"))
+      .groupBy("sym").agg(sum(col("freq")).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("sym"))
+      .limit(30)
+
+  val bpeEncodeSql: String =
+    s"""WITH $bpeW0,
+       |${graft.operators.Bpe.roundsSql(BpeRounds)}
+       |SELECT sym, CAST(SUM(freq) AS BIGINT) AS n_occ
+       |FROM (SELECT unnest(syms) AS sym, freq FROM s$BpeRounds)
+       |GROUP BY sym ORDER BY n_occ DESC, sym LIMIT 30""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_colloc_pmi", collocPmi, Some(collocPmiSql)),
     QueryDef("q_ttr", ttr, Some(ttrSql)),
-    QueryDef("q_curriculum", curriculum, Some(curriculumSql)))
+    QueryDef("q_curriculum", curriculum, Some(curriculumSql)),
+    QueryDef("q_bpe_merges", bpeMerges, Some(bpeMergesSql)),
+    QueryDef("q_bpe_encode", bpeEncode, Some(bpeEncodeSql)))
 }
