@@ -227,10 +227,98 @@ object CurationQueries {
        |FROM (SELECT unnest(syms) AS sym, freq FROM s$BpeRounds)
        |GROUP BY sym ORDER BY n_occ DESC, sym LIMIT 30""".stripMargin
 
+  /** Hashed-feature buckets for [[dsirLift]]. Bounds the feature
+    * tables at any corpus scale; production DSIR uses 10k-65k. */
+  val DsirBuckets = 512L
+
+  /** DSIR-shaped data selection (Xie, Santurkar, Ma & Liang, "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every document by how much its hashed
+    * bigram features look like a TARGET domain (here the `lang='en'`
+    * slice) relative to the raw corpus. DSIR's per-feature
+    * log-likelihood ratio is replaced by the exact scaled-integer
+    * lift `((tc+1)·S·10⁶) div ((sc+1)·T)` (add-one smoothed; S/T =
+    * raw/target occurrence totals) — the same log→integer trade as
+    * `q_unigram_score` and `q_colloc_pmi`, so the DuckDB twin matches
+    * bitwise; per-doc score is the SUM of its occurrences' lifts and
+    * ranks near-identically to the log form for selection cutoffs.
+    *
+    * Shapes for 100 TB: bigrams come from a per-row array transform —
+    * map-only, NO window and no doc_id shuffle on the corpus scan;
+    * the feature hash is a codegen'd fold over the bigram's chars
+    * (`(h·31+ascii) mod p`, then mod [[DsirBuckets]] — engine- and
+    * partitioning-independent); both distribution tables aggregate to
+    * ≤ [[DsirBuckets]] rows (map-side combined) and broadcast back;
+    * the only corpus-sized shuffle is the final per-doc aggregate,
+    * whose partial agg collapses each doc's occurrences before the
+    * exchange (explode keeps a doc's rows in one partition). Int64
+    * headroom: `(tc+1)·S·10⁶ ≤ S²·10⁶`, inside 2⁶³ up to S ≈ 3·10⁶
+    * occurrences; at web scale the expression moves to
+    * DecimalType(38,0), the same change point as `q_colloc_pmi`. */
+  def dsirLift(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(
+      s"""pmod(aggregate(regexp_extract_all(bg, '.', 0), 0L,
+         |  (h, c) -> pmod(h * 31 + ascii(c), 1000000007L)), $DsirBuckets)""".stripMargin)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), wsTokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val occ = toks
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  j -> concat(element_at(t, j), ' ', element_at(t, j + 1)))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("lang"), bucket.as("b"))
+    val tgt = occ.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val src = occ.groupBy("b").agg(count(lit(1)).as("sc"))
+    val tot = occ.agg(count(lit(1)).as("s_tot"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_tot"))
+    val lift = src.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        "((coalesce(tc, 0L) + 1) * s_tot * 1000000) div ((sc + 1) * t_tot)")
+        .as("lift_ppm"))
+    occ.join(broadcast(lift), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"), sum(col("lift_ppm")).as("score_ppm"))
+      .withColumn("mean_lift_ppm", expr("score_ppm div n_bg"))
+      .orderBy("doc_id")
+  }
+
+  val dsirLiftSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id, lang,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(regexp_extract_all(bg, '.'),
+       |          c -> CAST(ascii(c) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % 1000000007) % $DsirBuckets AS b
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(list_transform(range(1, len(t)), j -> t[j] || ' ' || t[j+1])) AS bg
+       |    FROM toks WHERE len(t) >= 2)),
+       |tgt AS (SELECT b, COUNT(*) AS tc FROM occ WHERE lang = 'en' GROUP BY b),
+       |src AS (SELECT b, COUNT(*) AS sc FROM occ GROUP BY b),
+       |tot AS (SELECT COUNT(*) AS s_tot,
+       |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_tot
+       |  FROM occ),
+       |lift AS (
+       |  SELECT s.b,
+       |    ((COALESCE(tc, 0) + 1) * s_tot * 1000000) // ((sc + 1) * t_tot) AS lift_ppm
+       |  FROM src s LEFT JOIN tgt USING (b) CROSS JOIN tot)
+       |SELECT doc_id, COUNT(*) AS n_bg,
+       |  CAST(SUM(lift_ppm) AS BIGINT) AS score_ppm,
+       |  CAST(SUM(lift_ppm) AS BIGINT) // COUNT(*) AS mean_lift_ppm
+       |FROM occ JOIN lift USING (b)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_colloc_pmi", collocPmi, Some(collocPmiSql)),
     QueryDef("q_ttr", ttr, Some(ttrSql)),
     QueryDef("q_curriculum", curriculum, Some(curriculumSql)),
     QueryDef("q_bpe_merges", bpeMerges, Some(bpeMergesSql)),
-    QueryDef("q_bpe_encode", bpeEncode, Some(bpeEncodeSql)))
+    QueryDef("q_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    QueryDef("q_dsir_lift", dsirLift, Some(dsirLiftSql)))
 }
