@@ -544,6 +544,81 @@ object StressMain {
       println(s"[stress] span_clean 5pct affected docs=$affected")
       time("span_clean 1M 5pct")(queries.CorpusQueries.spanClean(spark, sparse).count())
     }
+    // PQ ANN at 1M vectors (round-10): the three configurations that
+    // matter — seed codebooks (the oracle geometry), seed + exact
+    // re-rank of the ADC top-100, and Lloyd-trained codebooks (3
+    // rounds/subspace, the production path) + re-rank — each with
+    // recall@10 against exact L2 on the same corpus. Also prints the
+    // compression arithmetic the operator exists for.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_PQ1M")) {
+      import org.apache.spark.sql.functions._
+      import operators.ProductQuantizer
+      val (m, subLen, kCb) = (4, 16, 16)
+      val raw = spark.read.parquet(ensureAnn1m(spark)).persist()
+      val corpus = raw.select(col("vec_id"),
+        ProductQuantizer.quantize(col("embedding")).as("qv")).persist()
+      println(s"[stress] pq corpus             rows=${corpus.count()}")
+      val qs = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv")).persist()
+      qs.count(): Unit
+      val k = 10
+      def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+      var exact: Map[Long, Seq[Long]] = Map.empty
+      time("pq exact-l2 1M")(
+        { exact = topk(ProductQuantizer.exactL2TopK(spark, corpus, qs, k)); exact.size.toLong })
+      def recall(got: Map[Long, Seq[Long]]): Double = {
+        val per = exact.keys.toSeq.map { q =>
+          exact(q).count(got.getOrElse(q, Nil).toSet).toDouble / exact(q).size }
+        per.sum / per.size
+      }
+      def run(tag: String, cb: org.apache.spark.sql.DataFrame): Unit = {
+        val cbm = cb.localCheckpoint(true)
+        var codes: org.apache.spark.sql.DataFrame = null
+        time(s"pq encode $tag")({
+          codes = ProductQuantizer.encode(spark, corpus, cbm, m, subLen)
+            .localCheckpoint(true)
+          codes.count()
+        })
+        var adc: Map[Long, Seq[Long]] = Map.empty
+        time(s"pq adc $tag")(
+          { adc = topk(ProductQuantizer.adcTopK(spark, codes, cbm, qs, k,
+              m, subLen, excludeSelf = true)); adc.size.toLong })
+        var rr: Map[Long, Seq[Long]] = Map.empty
+        time(s"pq adc+rerank $tag")({
+          val c100 = ProductQuantizer.adcTopK(spark, codes, cbm, qs, 100,
+            m, subLen, excludeSelf = true)
+          rr = topk(ProductQuantizer.rerank(spark, c100, corpus, qs, k))
+          rr.size.toLong
+        })
+        println(f"[stress] pq $tag%-14s recall=${recall(adc)}%.3f rerank100=${recall(rr)}%.3f")
+      }
+      run("seed", ProductQuantizer.seedCodebooks(corpus, m, subLen, kCb))
+      run("trained-r3", ProductQuantizer.trainedCodebooks(raw, m, subLen, kCb,
+        rounds = 3))
+      val n = corpus.count()
+      println(s"[stress] pq compression        codes=${n * m} B-scale cells " +
+        s"(4 B/vec) vs raw=${n * 64 * 4} B floats — 64x")
+      raw.unpersist(); corpus.unpersist(); qs.unpersist(): Unit
+    }
+    // Tokenizer + data-selection at 1M docs (round-10): BPE's corpus
+    // work is ONE wordcount (the merge rounds run on the word-TYPE
+    // table — the printed type count shows why they are ~free);
+    // DSIR-lift is two bucket aggregates + a broadcast join + one
+    // per-doc combine.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_TOKENIZER")) {
+      import org.apache.spark.sql.functions._
+      ensure1mCorpus(spark)
+      val dir = "/tmp/stress1m"
+      val types = Tables.documents(spark, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(col("w") =!= "").distinct().count()
+      println(s"[stress] bpe word types        rows=$types")
+      time("bpe_merges 1M")(queries.CurationQueries.bpeMerges(spark, dir).count())
+      time("bpe_encode 1M")(queries.CurationQueries.bpeEncode(spark, dir).count())
+      time("dsir_lift 1M")(queries.CurationQueries.dsirLift(spark, dir).count())
+    }
     // events-side stress (2M events, 20x sf0.1; orders copied alongside)
     time("ingest_dedup 2M")(queries.IngestQueries.ingestDedup(spark, "/tmp/stress").count())
     time("sessionize 2M")(queries.AnalyticsQueries.sessionizeQ(spark, "/tmp/stress").count())
