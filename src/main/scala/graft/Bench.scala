@@ -145,6 +145,28 @@ object Bench {
       val m = emitted.keys.map(k => k -> f(k)).toMap
       if (m.values.toSet.size == m.size) Some(m) else None
     }
+    // Stage-5 (round-10: the 137-entry surface overflowed even the
+    // stage-4 1-decimal line and the whole map fell to the empty
+    // fallback): token cap 2, but cap-2 collision groups fall back
+    // PER KEY to their UNCAPPED stage-2 form instead of discarding
+    // the whole encoding (capped fallbacks can still collide —
+    // ann_ivf vs ann_ivfpq share every 3-char prefix; the uncapped
+    // forms are distinct whenever the full names are). ~20 long keys
+    // among ~117 2-char-token ones; measured 1732 chars at 137
+    // entries. Whole-map uniqueness still runtime-checked.
+    def abbrev5: Option[Map[String, String]] = {
+      def cap2(k: String): String = abbrev(k).split('_').map {
+        case "tpch" => "t"
+        case t => t.take(2)
+      }.mkString
+      val groups = emitted.keys.groupBy(cap2)
+      val m: Map[String, String] = groups.iterator.flatMap {
+        case (short, ks) =>
+          if (ks.size == 1) ks.map(_ -> short)
+          else ks.map(k => k -> abbrev2(k))
+      }.toMap
+      if (m.values.toSet.size == m.size) Some(m) else None
+    }
     val total = if (results.nonEmpty) results.values.filter(java.lang.Double.isFinite).sum else 0.0
     // sf as basename: the full path spent 15 chars of the line budget
     // restating a constant prefix the driver already knows.
@@ -185,8 +207,14 @@ object Bench {
     }
     val candidates =
       (shorten(abbrev) ++ shorten(abbrev2) ++ shorten(abbrev3) ++
-        shorten(abbrev4) ++ shorten(_.stripPrefix("q_")))
-        .map(lineWith).toSeq ++ shorten(abbrev4).map(lineCoarse).toSeq
+        shorten(abbrev4) ++ abbrev5 ++ shorten(_.stripPrefix("q_")))
+        .map(lineWith).toSeq ++
+        (shorten(abbrev4) ++ abbrev5).map(lineCoarse).toSeq
+    if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
+      System.err.println(s"[bench-debug] candidate lengths: " +
+        s"${candidates.map(_.length).mkString(",")} " +
+        s"(stages present: a=${shorten(abbrev).isDefined} a2=${shorten(abbrev2).isDefined} " +
+        s"a3=${shorten(abbrev3).isDefined} a4=${shorten(abbrev4).isDefined} a5=${abbrev5.isDefined})")
     val safe = candidates.find(_.length <= 1850).getOrElse(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfTag"}""")
     // Stop Spark BEFORE printing: shutdown logging would otherwise land

@@ -602,6 +602,77 @@ object StressMain {
         s"(4 B/vec) vs raw=${n * 64 * 4} B floats — 64x")
       raw.unpersist(); corpus.unpersist(); qs.unpersist(): Unit
     }
+    // IVF-PQ at 1M vectors (round-10): residual encoding vs the
+    // plain-PQ recall collapse measured above. Lloyd coarse quantizer
+    // (kc cells over the full vectors) + per-subspace Lloyd codebooks
+    // fit on RESIDUALS; recall@10 vs exact L2 for nProbe ∈ {1, 4},
+    // plus exact re-rank of the top-100. The kCb knob is the
+    // resolution story: every doubling spends 1 more bit/subspace on
+    // the within-cell scale.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_IVFPQ1M")) {
+      import org.apache.spark.sql.functions._
+      import operators.{IvfPq, ProductQuantizer}
+      val (m, subLen) = (4, 16)
+      val raw = spark.read.parquet(ensureAnn1m(spark))
+      val corpus = raw.select(col("vec_id"),
+        ProductQuantizer.quantize(col("embedding")).as("qv")).persist()
+      println(s"[stress] ivfpq corpus          rows=${corpus.count()}")
+      val qs = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv")).persist()
+      qs.count(): Unit
+      val k = 10
+      def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+      var exact: Map[Long, Seq[Long]] = Map.empty
+      time("ivfpq exact-l2 1M")(
+        { exact = topk(ProductQuantizer.exactL2TopK(spark, corpus, qs, k)); exact.size.toLong })
+      def recall(got: Map[Long, Seq[Long]]): Double = {
+        val per = exact.keys.toSeq.map { q =>
+          exact(q).count(got.getOrElse(q, Nil).toSet).toDouble / exact(q).size }
+        per.sum / per.size
+      }
+      // (tag, kc, coarseRounds, m, subLen, kCb, pqRounds, nProbes).
+      // kc=64 is the mismatched-coarse case (~31 natural clusters per
+      // cell — residuals stay at cluster scale); m=16 spends the same
+      // code budget at 4 dims/subspace; kc=2000 SEED (vec_id < 2000 =
+      // one variant-0 representative per base cluster, by corpus
+      // construction) is the matched-coarse case the IVFADC paper
+      // assumes — residuals become pure variant offsets.
+      val configs = sys.env.getOrElse("SPARK_GRAFT_IVFPQ_CONFIGS",
+          "kc64-m4-cb64,kc64-m16-cb256,kc2000-m4-cb256").split(',').toSeq
+        .map {
+          case t @ "kc64-m4-cb64" => (t, 64, 2, 4, 16, 64, 2, Seq(1, 4))
+          case t @ "kc64-m16-cb256" => (t, 64, 2, 16, 4, 256, 2, Seq(4))
+          case t @ "kc2000-m4-cb256" => (t, 2000, 0, 4, 16, 256, 2, Seq(1))
+        }
+      for ((tag, kc, cr, mm, sl, kCb, pr, probes) <- configs) {
+        var built: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+          org.apache.spark.sql.DataFrame) = null
+        time(s"ivfpq build $tag")({
+          val (ce, cb, co) = IvfPq.build(spark, corpus, kc, cr, mm, sl, kCb, pr)
+          built = (ce.localCheckpoint(true), cb.localCheckpoint(true),
+            co.localCheckpoint(true))
+          built._3.count()
+        })
+        val (ce, cb, co) = built
+        for (nProbe <- probes) {
+          var adc: Map[Long, Seq[Long]] = Map.empty
+          time(s"ivfpq probe np=$nProbe $tag")(
+            { adc = topk(IvfPq.probe(spark, ce, cb, co, qs, k, nProbe, mm, sl,
+                excludeSelf = true)); adc.size.toLong })
+          var rr: Map[Long, Seq[Long]] = Map.empty
+          time(s"ivfpq rerank np=$nProbe $tag")({
+            val c100 = IvfPq.probe(spark, ce, cb, co, qs, 100, nProbe, mm, sl,
+              excludeSelf = true)
+            rr = topk(ProductQuantizer.rerank(spark, c100, corpus, qs, k))
+            rr.size.toLong
+          })
+          println(f"[stress] ivfpq $tag np=$nProbe recall=${recall(adc)}%.3f rerank100=${recall(rr)}%.3f")
+        }
+      }
+      corpus.unpersist(); qs.unpersist(): Unit
+    }
     // Tokenizer + data-selection at 1M docs (round-10): BPE's corpus
     // work is ONE wordcount (the merge rounds run on the word-TYPE
     // table — the printed type count shows why they are ~free);

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: product quantization over RESIDUALS against a coarse
+  * quantizer — the IVFADC scheme of Jégou, Douze & Schmid (TPAMI
+  * 2011, §IV), and the architecture behind every production
+  * billion-vector index.
+  *
+  * Why plain PQ is not enough: the ADC estimator's resolution is the
+  * PQ cell radius, and on a clustered corpus that radius is the
+  * CLUSTER scale — the 1M ablation (PLANS.md) measured recall@10 =
+  * 0.000 because every near-tie neighborhood collapsed into one code
+  * word. Encoding the residual `v − centroid(cell(v))` re-centers
+  * every cell at the origin, so the SAME small codebook budget is
+  * spent resolving the within-cell scale where the true neighbors
+  * live.
+  *
+  * Scale shape (100 TB): the coarse centroid frame (kc rows) and PQ
+  * codebooks (m·k rows) broadcast everywhere; the corpus is stored
+  * ONCE as `(vec_id, cell, m codes)` — at 100 TB of raw vectors the
+  * code table is ~64× smaller, and written partitioned/bucketed by
+  * `cell` so a probe's `cell ∈ probed` predicate prunes partitions at
+  * the scan (locally it is the broadcast-hash join key). Probe cost
+  * is |probed cells| of the corpus, never the whole table; the exact
+  * full-width vectors are touched only by [[ProductQuantizer.rerank]]
+  * on the top-C candidate slice.
+  *
+  * Everything is EXACT int64 arithmetic over the engine-wide
+  * `floor(x·1000)` quantization (residuals are integer differences),
+  * so build and probe are deterministic and the seed-parameter
+  * configuration is oracle-checked end-to-end as `q_ann_ivfpq`
+  * ([[graft.queries.VectorQueries]]).
+  */
+object IvfPq {
+
+  private def d2(s: SparkSession, a: Column, b: Column): Column = {
+    import graft.functions.VectorOps.dotLong
+    dotLong(s, a, a) - lit(2L) * dotLong(s, a, b) + dotLong(s, b, b)
+  }
+
+  /** Assign each `(vec_id, qv)` to its nearest coarse centroid and
+    * emit the integer residual: `(vec_id, cell, rv)`. One broadcast
+    * of the kc-row centroid frame, one argmin — and the argmin
+    * aggregates ONLY `(d2, c_id)` scalars; the full vectors join
+    * back AFTER the winner is known. Carrying `qv`/`cv` arrays
+    * through the aggregate looks harmless but multiplies the
+    * aggregate's input volume by kc·|vector| bytes — at kc = 2 000
+    * over 1M×64-dim vectors that is a ~2 TB sort-spill stream (it
+    * filled the disk in the round-10 ablation); the lean shape's
+    * aggregate stream is 24 bytes/candidate regardless of kc or
+    * dimensionality, and the join-back touches each vector once. */
+  def residuals(s: SparkSession, qvecs: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val best = qvecs
+      .crossJoin(broadcast(centroids.select(col("c_id"), col("cv"))))
+      .select(col("vec_id"), col("c_id"), d2(s, col("qv"), col("cv")).as("_d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("_d2"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("m.c_id").as("cell"))
+    best.join(qvecs, Seq("vec_id"))
+      .join(broadcast(centroids.select(col("c_id").as("cell"), col("cv"))),
+        Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("rv"))
+  }
+
+  /** Build the index from a quantized corpus `(vec_id, qv)`:
+    * coarse centroids (seed = kc lowest vec_ids, `coarseRounds`
+    * Lloyd iterations in quantized space; 0 rounds = seed geometry,
+    * the oracle configuration), then PQ codebooks fit on the
+    * RESIDUALS (seed = kCb lowest vec_ids' residual subvectors,
+    * `pqRounds` Lloyd iterations per subspace), then the code table.
+    * Returns (centroids `(c_id, cv)`, codebooks `(sub, c_id, c_sv)`,
+    * codes `(vec_id, cell, sub, code)`). */
+  def build(s: SparkSession, qvecs: DataFrame, kc: Int, coarseRounds: Int,
+      m: Int, subLen: Int, kCb: Int, pqRounds: Int,
+      mat: Materializer = Materializer.Local): (DataFrame, DataFrame, DataFrame) = {
+    val cents =
+      if (coarseRounds == 0)
+        qvecs.filter(col("vec_id") < kc)
+          .select(col("vec_id").as("c_id"), col("qv").as("cv"))
+      else KMeans.fitQuantized(qvecs, kc, coarseRounds, mat)
+        .select(col("c_id"), col("cv"))
+    val res = residuals(s, qvecs, cents)
+    val resQv = res.select(col("vec_id"), col("cell"), col("rv").as("qv"))
+    val codebooks =
+      if (pqRounds == 0)
+        ProductQuantizer.seedCodebooks(resQv, m, subLen, kCb)
+      else (0 until m).map { i =>
+        KMeans.fitQuantized(resQv.select(col("vec_id"),
+            slice(col("qv"), i * subLen + 1, subLen).as("qv")),
+          kCb, pqRounds, mat)
+          .select(lit(i).as("sub"), col("c_id"), col("cv").as("c_sv"))
+      }.reduce(_ unionByName _)
+    val codes = ProductQuantizer.encode(s, resQv, codebooks, m, subLen)
+      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    (cents, codebooks, codes)
+  }
+
+  /** ADC probe: per query `(q_id, qv)`, rank the vectors of the
+    * `nProbe` nearest coarse cells by residual-ADC distance and
+    * return the top k `(q_id, rnk, vec_id, d2_est)`. The LUT is
+    * per-(query, probed cell) — |q|·nProbe·m·kCb rows, broadcast —
+    * because the query residual differs per probed cell; `cell` sits
+    * in the join key so unprobed cells never leave the (bucketed)
+    * scan. */
+  def probe(s: SparkSession, centroids: DataFrame, codebooks: DataFrame,
+      codes: DataFrame, queries: DataFrame, k: Int, nProbe: Int,
+      m: Int, subLen: Int, excludeSelf: Boolean = false): DataFrame = {
+    val wq = Window.partitionBy("q_id").orderBy(col("_d2").asc, col("c_id").asc)
+    val qcells = queries
+      .crossJoin(broadcast(centroids.select(col("c_id"), col("cv"))))
+      .withColumn("_d2", d2(s, col("qv"), col("cv")))
+      .withColumn("_pr", row_number().over(wq))
+      .filter(col("_pr") <= nProbe)
+      .select(col("q_id"), col("c_id").as("cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qrv"))
+    val qsubs = qcells.select(col("q_id"), col("cell"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), i -> slice(qrv, i * $subLen + 1, $subLen))"))
+        .as(Seq("sub", "q_sv")))
+    val lut = qsubs.join(broadcast(codebooks), Seq("sub"))
+      .select(col("q_id"), col("cell"), col("sub"), col("c_id"),
+        d2(s, col("q_sv"), col("c_sv")).as("_d2"))
+    val est = codes.join(broadcast(lut),
+        codes("cell") === lut("cell") && codes("sub") === lut("sub") &&
+          codes("code") === lut("c_id"))
+      .groupBy(col("q_id"), codes("vec_id"))
+      .agg(sum(col("_d2")).as("d2_est"))
+    val base = if (excludeSelf) est.filter(col("vec_id") =!= col("q_id")) else est
+    val w = Window.partitionBy("q_id").orderBy(col("d2_est").asc, col("vec_id").asc)
+    base.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "d2_est")
+  }
+}

@@ -53,11 +53,20 @@ object KMeans {
     * `(c_id, cv: array<long>, n_members)` — `cv` in quantized units.
     */
   def fit(vecs: DataFrame, k: Int, rounds: Int,
+      mat: Materializer = Materializer.Local): DataFrame =
+    fitQuantized(
+      vecs.select(col("vec_id"), quantize(col("embedding")).as("qv")),
+      k, rounds, mat)
+
+  /** [[fit]] over an ALREADY-quantized `(vec_id, qv: array<long>)`
+    * frame — the entry point for fitting in residual space
+    * ([[IvfPq]]), where the input is an integer difference of two
+    * quantized vectors, not a raw float embedding. */
+  def fitQuantized(vecs: DataFrame, k: Int, rounds: Int,
       mat: Materializer = Materializer.Local): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got $k, $rounds")
     val s = vecs.sparkSession
-    val eq = vecs.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-      .persist()
+    val eq = vecs.select(col("vec_id"), col("qv")).persist()
     var cents = eq.filter(col("vec_id") < k)
       .select(col("vec_id").as("c_id"), col("qv").as("cv"),
         lit(0L).as("n_members"))

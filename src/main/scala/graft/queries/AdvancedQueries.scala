@@ -271,7 +271,61 @@ object AdvancedQueries {
        |  MAX(day) - MIN(day) + 1 AS span_days
        |FROM k GROUP BY 1 ORDER BY file_bucket""".stripMargin
 
+  /** SCD2 (Kimball type-2) dimension history, built event-sourced:
+    * compress each customer's order-status change log into validity
+    * intervals — keep only rows where the attribute CHANGES
+    * (lag-compare), then `valid_to` = the next kept row's
+    * `valid_from` (lead; NULL = current) and a per-key version
+    * counter. This is the query-side twin of
+    * [[graft.sink.Scd2Sink]]'s incremental merge: the sink maintains
+    * exactly this frame under arriving batches; equality of the two
+    * (rebuild == incremental) is the sink spec's core property.
+    *
+    * Scale shape: everything is per-key windows over
+    * `(o_custkey ORDER BY o_orderdate, o_orderkey)` — one shuffle on
+    * the key, no global sort; the deterministic `o_orderkey`
+    * tiebreak makes same-day changes reproducible. At 100 TB the
+    * key-partitioned window is the standard event-sourcing shape
+    * (same as sessionize). */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    // Daily change grain, last order of the day wins (max_by on the
+    // unique o_orderkey — skew-immune, deterministic): the SAME event
+    // dedup Scd2Sink applies, so rebuild and incremental state cannot
+    // diverge on a multi-change day.
+    val ch = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("custkey"),
+        col("o_orderdate").cast(DateType).as("valid_from"))
+      .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("status"))
+    val w = Window.partitionBy("custkey").orderBy("valid_from")
+    ch.withColumn("_prev", lag(col("status"), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col("status"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("custkey"), col("version"), col("status"),
+        col("valid_from"), col("valid_to"))
+      .orderBy("custkey", "version")
+  }
+
+  val scd2HistorySql: String =
+    """WITH ch AS (
+      |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS valid_from,
+      |    max_by(o_orderstatus, o_orderkey) AS status
+      |  FROM orders GROUP BY 1, 2),
+      |chg AS (
+      |  SELECT * FROM (
+      |    SELECT custkey, status, valid_from,
+      |      LAG(status) OVER (PARTITION BY custkey ORDER BY valid_from) AS prev
+      |    FROM ch)
+      |  WHERE prev IS NULL OR prev <> status)
+      |SELECT custkey,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY valid_from) AS INTEGER) AS version,
+      |  status, valid_from,
+      |  LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) AS valid_to
+      |FROM chg
+      |ORDER BY custkey, version""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q_scd2_history", scd2History, Some(scd2HistorySql)),
     QueryDef("q_conditional_agg", conditionalAgg, Some(conditionalAggSql)),
     QueryDef("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     QueryDef("q_date_trunc", dateTrunc, Some(dateTruncSql)),

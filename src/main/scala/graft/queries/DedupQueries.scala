@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 import graft.Tables
 import graft.operators.{MinHashDedup, SimHashDedup}
@@ -509,6 +509,103 @@ object DedupQueries {
        |SELECT node AS doc_id, pr FROM r5
        |ORDER BY pr DESC, doc_id ASC""".stripMargin
 
+  /** Triangle counts + local clustering coefficient over the
+    * near-dup graph — the graph-shape diagnostic that separates
+    * genuine duplicate CLIQUES (every member pairs with every other →
+    * coefficient ≈ 1) from hash-collision CHAINS (A~B, B~C but A≁C →
+    * coefficient ≈ 0): a low-coefficient high-degree node is a
+    * banding artifact hub, not a duplicate. Same memoized pair frame
+    * as clusters/pagerank.
+    *
+    * Algorithm: degree-ordered edge orientation (Chiba–Nishizeki /
+    * the standard MapReduce formulation): orient every edge from the
+    * (deg, id)-smaller endpoint, count each triangle exactly once as
+    * a wedge `u→v, u→w` (ord(v) < ord(w)) closed by `v→w`. Why this
+    * scales where the naive wedge join explodes: out-degree under
+    * this orientation is O(√m), so the wedge fan-out is Σ outdeg² ≤
+    * m^1.5 instead of Σ deg² — the dup-graph's worst hub (a 20-copy
+    * clique's member, or a hot band bucket) contributes wedges only
+    * toward HIGHER-ordered vertices. Three equi-joins, no window, no
+    * global sort; the (deg,id) order needs no global rank because
+    * the comparison is evaluated pairwise. Coefficient = one IEEE
+    * division of exact ints (2·tri vs deg·(deg−1)), NULL for
+    * deg < 2. */
+  def trianglesQ(s: SparkSession, dir: String): DataFrame =
+    triangleStats(simhashPairs(s, dir).select("doc_a", "doc_b"))
+
+  /** Graph core of [[trianglesQ]] over any `(doc_a, doc_b)` edge
+    * frame (doc_a < doc_b, distinct) — split out so specs can plant
+    * exact graphs (clique vs chain) without reverse-engineering the
+    * simhash pipeline. */
+  private[graft] def triangleStats(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("doc_a").as("v"))
+      .union(pairs.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = pairs
+      .join(deg.select(col("v").as("doc_a"), col("deg").as("da")), Seq("doc_a"))
+      .join(deg.select(col("v").as("doc_b"), col("deg").as("db")), Seq("doc_b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    val e = withDeg.select(
+      when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+      when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+    val ordLt = col("w1.dd") < col("w2.dd") ||
+      (col("w1.dd") === col("w2.dd") && col("w1.dst") < col("w2.dst"))
+    val tri = e.as("w1").join(e.as("w2"),
+        col("w1.src") === col("w2.src") && ordLt)
+      .join(e.as("w3"),
+        col("w1.dst") === col("w3.src") && col("w2.dst") === col("w3.dst"))
+      .select(col("w1.src").as("x"), col("w1.dst").as("y"), col("w2.dst").as("z"))
+    val perDoc = tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.join(perDoc, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          (lit(2L) * coalesce(col("tri"), lit(0L))).cast(DoubleType) /
+            (col("deg") * (col("deg") - 1)).cast(DoubleType)).as("clus"))
+      .orderBy("doc_id")
+  }
+
+  val trianglesSql: String =
+    s"""WITH $simhashPairsCte,
+       |deg AS (
+       |  SELECT v, COUNT(*) AS deg FROM (
+       |    SELECT doc_a AS v FROM verified
+       |    UNION ALL SELECT doc_b AS v FROM verified)
+       |  GROUP BY v),
+       |e AS (
+       |  SELECT
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+       |      THEN p.doc_a ELSE p.doc_b END AS src,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+       |      THEN p.doc_b ELSE p.doc_a END AS dst,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+       |      THEN db.deg ELSE da.deg END AS dd
+       |  FROM verified p
+       |  JOIN deg da ON da.v = p.doc_a
+       |  JOIN deg db ON db.v = p.doc_b),
+       |tri AS (
+       |  SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+       |  FROM e w1
+       |  JOIN e w2 ON w1.src = w2.src
+       |    AND (w1.dd < w2.dd OR (w1.dd = w2.dd AND w1.dst < w2.dst))
+       |  JOIN e w3 ON w3.src = w1.dst AND w3.dst = w2.dst),
+       |per AS (
+       |  SELECT v, COUNT(*) AS tri FROM (
+       |    SELECT x AS v FROM tri
+       |    UNION ALL SELECT y AS v FROM tri
+       |    UNION ALL SELECT z AS v FROM tri)
+       |  GROUP BY v)
+       |SELECT d.v AS doc_id, CAST(d.deg AS BIGINT) AS deg,
+       |  CAST(COALESCE(p.tri, 0) AS BIGINT) AS tri,
+       |  CASE WHEN d.deg >= 2 THEN
+       |    CAST(2 * COALESCE(p.tri, 0) AS DOUBLE)
+       |      / CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS clus
+       |FROM deg d LEFT JOIN per p ON p.v = d.v
+       |ORDER BY doc_id""".stripMargin
+
   private val MinMatch = 8 // est_jaccard ≥ 8/24 = 1/3
 
   /** INCREMENTAL dedup — a new batch against the existing corpus's
@@ -596,5 +693,6 @@ object DedupQueries {
     QueryDef("q_dedup_priority", priorityQ, Some(prioritySql)),
     QueryDef("q_dedup_ensemble", ensembleQ, Some(ensembleSql)),
     QueryDef("q_dedup_incremental", incrementalQ, Some(incrementalSql)),
-    QueryDef("q_dup_pagerank", pagerankQ, Some(pagerankSql)))
+    QueryDef("q_dup_pagerank", pagerankQ, Some(pagerankSql)),
+    QueryDef("q_dup_triangles", trianglesQ, Some(trianglesSql)))
 }

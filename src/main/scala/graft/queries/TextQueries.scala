@@ -173,6 +173,104 @@ object TextQueries {
       shingleSets(Tables.documents(s, dir), "doc_id", "text", 3))
       .orderBy("doc_a", "doc_b")
 
+  /** EXACT similarity self-join via prefix filtering — the
+    * AllPairs/PPJoin scheme (Chaudhuri et al. ICDE 2006; Xiao et al.
+    * WWW 2008; distributed form: Vernica, Carey & Li SIGMOD 2010).
+    * Unlike [[dedupNgramJaccard]]'s df-capped inverted index (a
+    * recall trade) and the MinHash/SimHash arms (probabilistic),
+    * this finds EVERY pair with Jaccard ≥ 0.7 and only those — no
+    * cap, no hash, no misses.
+    *
+    * The pruning theorem that makes exactness affordable: order all
+    * shingles by global (df, shingle) — rarest first — and keep only
+    * each doc's first `sz − ⌈0.7·sz⌉ + 1` shingles (its "prefix").
+    * Any pair with J ≥ 0.7 must share a shingle in BOTH prefixes:
+    * the overlap bound `o ≥ t(sa+sb)/(1+t)` plus the length filter
+    * `10·min ≥ 7·max` force the smallest common shingle into each
+    * side's prefix (if it sat past a's prefix, o ≤ ⌈t·sa⌉ − 1 < the
+    * bound — contradiction). So candidates come from a self-join on
+    * PREFIX shingles only — and because the global order puts hot
+    * (high-df) shingles LAST, they rarely enter any prefix: the
+    * boilerplate shingle that blows up a naive inverted index
+    * generates no candidates here unless a doc is mostly
+    * boilerplate. Candidates then verify with one exact
+    * `array_intersect` against the full shingle sets; the ≥ 0.7 keep
+    * rule is integer cross-multiplication (`10·n ≥ 7·(union)`), the
+    * reported jaccard one IEEE division of exact ints.
+    *
+    * Scale shape: shingle explode → df agg (map-side combine) → df
+    * join + per-doc rank window → prefix filter shrinks the index to
+    * ~(1−t) of the shingle mass → equi-join on rare shingles →
+    * verify joins fetch only candidate docs' sets. No all-pairs
+    * term anywhere; skew lives exactly where df is high, which is
+    * exactly what the prefix excludes. */
+  def dedupPpjoin(s: SparkSession, dir: String): DataFrame = {
+    val rows = shingleRows(Tables.documents(s, dir), "doc_id", "text")
+      .select("doc_id", "sh").distinct()
+    val dfreq = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val wSz = Window.partitionBy("doc_id")
+    val ranked = rows.join(dfreq, Seq("sh"))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("sz", count(lit(1)).over(wSz))
+    val pfx = ranked
+      .filter(col("rk") <= col("sz") - expr("(7*sz+9) div 10") + 1)
+      .select(col("doc_id"), col("sh"), col("sz"))
+    val cand = pfx.as("a").join(pfx.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * 10 >= col("b.sz") * 7 &&
+          col("b.sz") * 10 >= col("a.sz") * 7)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = rows.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("shs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("sz_a", size(col("sh_a")))
+      .withColumn("sz_b", size(col("sh_b")))
+      .filter(col("n_common") * 10 >= (col("sz_a") + col("sz_b") - col("n_common")) * 7)
+      .select(col("doc_a"), col("doc_b"),
+        col("n_common").cast(LongType).as("n_common"),
+        (col("n_common").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast(DoubleType)).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupPpjoinSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+      |rk AS (
+      |  SELECT s.doc_id, s.sh,
+      |    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rk,
+      |    COUNT(*) OVER (PARTITION BY s.doc_id) AS sz
+      |  FROM sh s JOIN df d USING (sh)),
+      |pfx AS (SELECT * FROM rk WHERE rk <= sz - ((7*sz+9)//10) + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pfx a JOIN pfx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |    AND a.sz*10 >= b.sz*7 AND b.sz*10 >= a.sz*7),
+      |com AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.doc_a
+      |  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+      |  GROUP BY c.doc_a, c.doc_b),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+      |SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+      |  CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+      |FROM com
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE 10*n_common >= 7*(sa.sz + sb.sz - n_common)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Pair pipeline over a pre-built `(doc_id, sh: array<string>)`
     * distinct-shingle frame — the shared-scan entry point (mirrors
     * [[graft.operators.MinHashDedup.pairsFromShingles]]): the
@@ -665,5 +763,6 @@ object TextQueries {
     QueryDef("q_lang_trigram", langTrigramQ, Some(langTrigramSql)),
     QueryDef("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
     QueryDef("q_dedup_exact", dedupExact, Some(dedupExactSql)),
-    QueryDef("q_dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)))
+    QueryDef("q_dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
+    QueryDef("q_dedup_ppjoin", dedupPpjoin, Some(dedupPpjoinSql)))
 }

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{IvfPq, ProductQuantizer}
+import graft.queries.VectorQueries
+
+/** IVF-PQ correctness and the residual-encoding contrast that
+  * motivates it. The load-bearing construction: a clustered corpus
+  * whose every RESIDUAL is itself a residual-codebook entry, so
+  * IVF-PQ's ADC estimates are the exact L2 distances (and its top-k
+  * must equal brute force), while plain PQ on the SAME corpus
+  * collapses every cluster to one code word — all within-cluster
+  * estimates tie at 0 and the ranking degenerates to vec_id order.
+  * This is the spec-scale reproduction of the 1M recall-collapse
+  * ablation (PLANS.md). */
+class IvfPqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 8 clusters on a line (centers 16,32,..,128 per dim — far apart),
+  // 16 shared noise patterns with |p| ≤ 3/128 per dim. Dyadic values
+  // on purpose: center + pattern is EXACT in float at every cluster
+  // magnitude, so the quantized residual of variant j is the same
+  // integer vector in every cluster — the "every residual is a
+  // codebook entry" premise holds bit-exactly. (Decimal noise like
+  // 0.01f floors differently at magnitude 10 vs 80 and the premise
+  // silently breaks by one quantization unit per dim.)
+  private val dims = 64
+  private def pattern(j: Int): Array[Float] =
+    Array.tabulate(dims)(i => ((((j * 31 + i * 17) % 7) - 3) / 128f))
+  private def center(c: Int): Array[Float] =
+    Array.fill(dims)(16f * (c + 1))
+  private def plus(a: Array[Float], b: Array[Float]): Array[Float] =
+    a.zip(b).map { case (x, y) => x + y }
+
+  /** ids 0..7 = centers; 8..23 = cluster 0's variants p1..p16 (the
+    * residual-codebook seeds); 24.. = clusters 1..7 × p1..p16. */
+  private lazy val vecs: Seq[(Long, Array[Float])] =
+    (0 until 8).map(c => c.toLong -> center(c)) ++
+      (1 to 16).map(j => (7 + j).toLong -> plus(center(0), pattern(j))) ++
+      (for (c <- 1 until 8; j <- 1 to 16)
+        yield (24 + (c - 1) * 16 + (j - 1)).toLong -> plus(center(c), pattern(j)))
+
+  private lazy val dir: String = {
+    val d = Fixtures.tempDir("ivfpq").toString
+    vecs.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private lazy val q: Map[Long, Array[Long]] = vecs.map { case (id, v) =>
+    id -> v.map(x => math.floor(x.toDouble * 1000).toLong)
+  }.toMap
+  private def d2(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  private def quantized =
+    graft.Tables.embeddings(spark, dir).select(col("vec_id"),
+      ProductQuantizer.quantize(col("embedding")).as("qv"))
+
+  test("exact-residual corpus: IVF-PQ ADC == brute-force L2 top-10, estimates exact") {
+    val e = quantized
+    val (cents, cbs, codes) = IvfPq.build(spark, e, kc = 8, coarseRounds = 0,
+      m = 4, subLen = 16, kCb = 24, pqRounds = 0)
+    val qs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    val got = IvfPq.probe(spark, cents, cbs, codes, qs, k = 10, nProbe = 1,
+        m = 4, subLen = 16, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val ids = vecs.map(_._1)
+    for (qid <- 0L until 8L) {
+      val expected = ids.filter(_ != qid)
+        .map(v => v -> d2(q(qid), q(v)))
+        .sortBy { case (v, d) => (d, v) }.take(10)
+      val mine = got.filter(_._1 == qid).sortBy(_._2)
+      assert(mine.map(r => (r._3, r._4)).toSeq === expected,
+        s"query $qid: IVF-PQ top-10 != exact L2 top-10")
+      // nProbe=1 pruning: every hit is in the query's own cluster
+      val own = Set(qid) ++ (if (qid == 0L) (8L to 23L).toSet
+        else (24 + (qid - 1) * 16 until 24 + qid * 16).toSet)
+      assert(mine.forall(r => own.contains(r._3)))
+    }
+  }
+
+  test("plain PQ on the same corpus: within-cluster estimates all tie (zero discrimination)") {
+    val e = quantized
+    val cb = ProductQuantizer.seedCodebooks(e, 4, 16, 16)
+    val codes = ProductQuantizer.encode(spark, e, cb, 4, 16)
+    val qs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    val got = ProductQuantizer.adcTopK(spark, codes, cb, qs, 10, 4, 16,
+        excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // Codebooks resolve only the CLUSTER scale here: every cluster-c
+    // vector encodes to center c's codes, so for query c all
+    // within-cluster d2_est collapse to one value and rank order is
+    // vec_id order — NOT the true distance order IVF-PQ recovers.
+    for (qid <- 1L until 8L) {
+      val mine = got.filter(_._1 == qid).sortBy(_._2)
+      assert(mine.map(_._4).distinct.length == 1,
+        s"query $qid: plain-PQ estimates unexpectedly discriminate")
+      assert(mine.map(_._3).toSeq == mine.map(_._3).sorted.toSeq)
+    }
+  }
+
+  test("q_ann_ivfpq over sf0.001: deterministic, dense ranks, 10 hits per query") {
+    val a = VectorQueries.annIvfPq(spark, sfDir).collect()
+    val b = VectorQueries.annIvfPq(spark, sfDir).collect()
+    assert(a.toSeq === b.toSeq)
+    val byQ = a.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    for ((_, rows) <- byQ)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 10))
+  }
+
+  test("trained path: Lloyd coarse + per-subspace codebooks run deterministically") {
+    val e = quantized
+    def run() = {
+      val (cents, cbs, codes) = IvfPq.build(spark, e, kc = 8, coarseRounds = 2,
+        m = 4, subLen = 16, kCb = 16, pqRounds = 1)
+      val qs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv"))
+      IvfPq.probe(spark, cents, cbs, codes, qs, 10, nProbe = 2,
+          m = 4, subLen = 16, excludeSelf = true)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(r => (r._1, r._2)).toSeq
+    }
+    val a = run()
+    assert(a == run())
+    assert(a.groupBy(_._1).size == 8 && a.size == 80)
+  }
+}

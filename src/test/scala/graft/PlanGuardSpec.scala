@@ -27,6 +27,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q_range_join",     // band predicate vs 8 derived bands
     "q_ann_ivf",        // 16-centroid assignment + probe (constants)
     "q_ann_ivf_incr",   // same constants, existing/batch split + append
+    "q_ann_ivfpq",      // 8 broadcast coarse centroids (assign + probe)
     "q_ann_lsh",        // in-query brute-force baseline (8 queries)
     "q_knn_bruteforce", // 8 broadcast query vectors
     "q_kmeans_assign",  // k=5 broadcast seed centroids
