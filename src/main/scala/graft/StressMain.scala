@@ -673,6 +673,19 @@ object StressMain {
       }
       corpus.unpersist(); qs.unpersist(): Unit
     }
+    // PPJoin exactness at scale (round-10): the duplicated corpora
+    // are the ADVERSARIAL case for the capped inverted index (every
+    // shingle is corpus-hot; q_dedup_ngram_jaccard's df cap correctly
+    // drops everything and reports 0) — prefix filtering has no cap
+    // to trip, so it must emit EVERY >=0.7 pair: 5k x C(20,2) = 950k
+    // exact-copy pairs at 100k docs; 50k x C(20,2) = 9.5M at 1M docs
+    // (cross-variant J ~= (sz-14)/(sz+14) ~= 0.58 < 0.7 at the ~54-
+    // token average, so variants do NOT pair).
+    if (sys.env.contains("SPARK_GRAFT_STRESS_PPJOIN")) {
+      time("ppjoin 100k")(queries.TextQueries.dedupPpjoin(spark, "/tmp/stress").count())
+      ensure1mCorpus(spark)
+      time("ppjoin 1M")(queries.TextQueries.dedupPpjoin(spark, "/tmp/stress1m").count())
+    }
     // Tokenizer + data-selection at 1M docs (round-10): BPE's corpus
     // work is ONE wordcount (the merge rounds run on the word-TYPE
     // table — the printed type count shows why they are ~free);
