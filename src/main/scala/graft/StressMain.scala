@@ -64,6 +64,35 @@ object StressMain {
 
   /** 1M-vector ANN corpus: 2 000 sf0.1 embeddings × 500 deterministic
     * per-variant perturbations. Returns the parquet path. */
+  /** Planted-pair 1M corpus (shared by the containment and ppjoin
+    * stresses): per base doc, variant 0 = the original (CONTAINED),
+    * variant 1 = original + a 12-token suffix (CONTAINER; base
+    * shingles df = 2), variants 2..199 = doc-unique salted tokens
+    * (unique shingles → no pairs). 1M docs, exactly 5 000 true
+    * containment pairs; for ppjoin the same 5 000 pairs sit at
+    * J = sz/(sz+14) — ≥ 0.7 iff sz ≥ 33 shingles. */
+  def ensureContCorpus(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    val contDir = "/tmp/stress1m_cont"
+    if (!complete(s"$contDir/documents.parquet")) {
+      val d = Tables.documents(spark, "/root/testdata/sf0.1")
+      (0 until 200).map { k =>
+        val text =
+          if (k == 0) col("text")
+          else if (k == 1) concat(col("text"),
+            lit(" " + (0 until 12).map(j => s"q$j").mkString(" ")))
+          else concat_ws(" ",
+            transform(split(trim(col("text")), "\\s+"), (_, i) =>
+              concat(lit("s"), col("doc_id") + lit(k * 5000L), lit("x"),
+                i.cast("string"))))
+        d.select((col("doc_id") + lit(k * 5000L)).as("doc_id"),
+          text.as("text"), col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).coalesce(16)
+        .write.mode("overwrite").parquet(s"$contDir/documents.parquet")
+    }
+    contDir
+  }
+
   def ensureAnn1m(spark: SparkSession): String = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{DoubleType, FloatType}
@@ -490,24 +519,7 @@ object StressMain {
       // shingles have df=2, under the cap), variants 2..199 =
       // doc-unique salted tokens (shingles unique → no pairs). 1M
       // docs, exactly 5 000 true containment pairs.
-      import org.apache.spark.sql.functions._
-      val contDir = "/tmp/stress1m_cont"
-      if (!complete(s"$contDir/documents.parquet")) {
-        val d = Tables.documents(spark, "/root/testdata/sf0.1")
-        (0 until 200).map { k =>
-          val text =
-            if (k == 0) col("text")
-            else if (k == 1) concat(col("text"),
-              lit(" " + (0 until 12).map(j => s"q$j").mkString(" ")))
-            else concat_ws(" ",
-              transform(split(trim(col("text")), "\\s+"), (_, i) =>
-                concat(lit("s"), col("doc_id") + lit(k * 5000L), lit("x"),
-                  i.cast("string"))))
-          d.select((col("doc_id") + lit(k * 5000L)).as("doc_id"),
-            text.as("text"), col("lang"), col("source"), col("n_chars"))
-        }.reduce(_ unionByName _).coalesce(16)
-          .write.mode("overwrite").parquet(s"$contDir/documents.parquet")
-      }
+      val contDir = ensureContCorpus(spark)
       time("containment 1M planted")(
         queries.TextQueries.dedupContainment(spark, contDir).count())
       time("containment 1M capped")(queries.TextQueries.dedupContainment(spark, dir).count())
@@ -673,18 +685,26 @@ object StressMain {
       }
       corpus.unpersist(); qs.unpersist(): Unit
     }
-    // PPJoin exactness at scale (round-10): the duplicated corpora
-    // are the ADVERSARIAL case for the capped inverted index (every
-    // shingle is corpus-hot; q_dedup_ngram_jaccard's df cap correctly
-    // drops everything and reports 0) — prefix filtering has no cap
-    // to trip, so it must emit EVERY >=0.7 pair: 5k x C(20,2) = 950k
-    // exact-copy pairs at 100k docs; 50k x C(20,2) = 9.5M at 1M docs
-    // (cross-variant J ~= (sz-14)/(sz+14) ~= 0.58 < 0.7 at the ~54-
-    // token average, so variants do NOT pair).
+    // PPJoin exactness at scale (round-10). 100k duplicated corpus:
+    // every shingle is corpus-hot (q_dedup_ngram_jaccard's df cap
+    // correctly drops everything there) — prefix filtering has no cap
+    // to trip and must emit EVERY >=0.7 pair: 5k x C(20,2) = 950k
+    // exact-copy pairs + the base corpus's own near-dup pairs x 400.
+    // The 1M VARIANT corpus is deliberately NOT run: variants share
+    // the base body, so every base shingle has df = 200 and the
+    // ~C(200,2) x 5k ~= 100M cross-variant pairs sit at J ~= 0.58 —
+    // BELOW 0.7 but above any prefix/positional filter's pruning
+    // reach (they share most prefix tokens). Any EXACT algorithm
+    // must verify near-threshold mass — Omega(near-misses) — and
+    // verifying 100M candidate pairs x two shingle arrays spilled
+    // past the disk (measured; PLANS.md). The linear case at 1M uses
+    // the planted-containment corpus: unique-filler docs, 5k true
+    // contained/container pairs at J = sz/(sz+14).
     if (sys.env.contains("SPARK_GRAFT_STRESS_PPJOIN")) {
       time("ppjoin 100k")(queries.TextQueries.dedupPpjoin(spark, "/tmp/stress").count())
-      ensure1mCorpus(spark)
-      time("ppjoin 1M")(queries.TextQueries.dedupPpjoin(spark, "/tmp/stress1m").count())
+      val contDir = ensureContCorpus(spark)
+      time("ppjoin 1M planted")(
+        queries.TextQueries.dedupPpjoin(spark, contDir).count())
     }
     // Tokenizer + data-selection at 1M docs (round-10): BPE's corpus
     // work is ONE wordcount (the merge rounds run on the word-TYPE
