@@ -203,10 +203,27 @@ object TextQueries {
     * ~(1−t) of the shingle mass → equi-join on rare shingles →
     * verify joins fetch only candidate docs' sets. No all-pairs
     * term anywhere; skew lives exactly where df is high, which is
-    * exactly what the prefix excludes. */
+    * exactly what the prefix excludes.
+    *
+    * Honest cost bound: EXACT joins are Ω(near-threshold mass) — a
+    * pair at J slightly below t shares most prefix tokens and no
+    * prefix/positional/suffix filter can prune it, so it must be
+    * verified. On corpora DENSE with near-ties (the 1M variant
+    * stress corpus: ~10⁸ candidate pairs at J ≈ 0.58 vs t = 0.7,
+    * PLANS.md) the verify stage dominates and the capped/sketched
+    * family (ngram-jaccard, MinHash, SimHash) with their explicit
+    * recall contracts is the right tool; PPJoin is for the
+    * real-corpus regime where near-threshold mass is sparse and
+    * exactness is the requirement. */
   def dedupPpjoin(s: SparkSession, dir: String): DataFrame = {
+    // Three consumers (df agg, rank join, verify sets) would each
+    // recompute the tokenize+shingle+distinct front — persist the
+    // distinct (doc, shingle) frame once (the ensemble idiom: persist
+    // the corpus-scale intermediate, eagerly checkpoint only the
+    // SMALL pair result before unpersisting).
     val rows = shingleRows(Tables.documents(s, dir), "doc_id", "text")
       .select("doc_id", "sh").distinct()
+      .persist()
     val dfreq = rows.groupBy("sh").agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
     val wSz = Window.partitionBy("doc_id")
@@ -224,18 +241,21 @@ object TextQueries {
       .distinct()
     val sets = rows.groupBy("doc_id")
       .agg(sort_array(collect_list(col("sh"))).as("shs"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("sz_a", size(col("sh_a")))
-      .withColumn("sz_b", size(col("sh_b")))
-      .filter(col("n_common") * 10 >= (col("sz_a") + col("sz_b") - col("n_common")) * 7)
-      .select(col("doc_a"), col("doc_b"),
-        col("n_common").cast(LongType).as("n_common"),
-        (col("n_common").cast(DoubleType) /
-          (col("sz_a") + col("sz_b") - col("n_common")).cast(DoubleType)).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    try {
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
+        .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("sz_a", size(col("sh_a")))
+        .withColumn("sz_b", size(col("sh_b")))
+        .filter(col("n_common") * 10 >= (col("sz_a") + col("sz_b") - col("n_common")) * 7)
+        .select(col("doc_a"), col("doc_b"),
+          col("n_common").cast(LongType).as("n_common"),
+          (col("n_common").cast(DoubleType) /
+            (col("sz_a") + col("sz_b") - col("n_common")).cast(DoubleType)).as("jaccard"))
+        .localCheckpoint(true)
+        .orderBy("doc_a", "doc_b")
+    } finally { rows.unpersist(); () }
   }
 
   val dedupPpjoinSql: String =
