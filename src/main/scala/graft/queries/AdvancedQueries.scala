@@ -324,8 +324,51 @@ object AdvancedQueries {
       |FROM chg
       |ORDER BY custkey, version""".stripMargin
 
+  /** Point-in-time (as-of) lookup over the SCD2 history — the read
+    * side of the type-2 pattern: each key's attribute AS OF
+    * 1997-06-15, i.e. the unique version row whose validity interval
+    * covers the probe date (`valid_from ≤ d < valid_to`, open row =
+    * unbounded). Composes [[scd2History]] so the interval invariant
+    * is exercised end-to-end: exactly one row per key qualifies when
+    * the key existed on the date; keys born later drop out. At scale
+    * this filter rides the same key-partitioned frame — no join, no
+    * window beyond the history build. */
+  def scd2Asof(s: SparkSession, dir: String): DataFrame = {
+    val d = lit("1997-06-15").cast(DateType)
+    scd2History(s, dir)
+      .filter(col("valid_from") <= d &&
+        (col("valid_to").isNull || col("valid_to") > d))
+      .select(col("custkey"), col("version"), col("status"),
+        col("valid_from"))
+      .orderBy("custkey")
+  }
+
+  val scd2AsofSql: String =
+    """WITH ch AS (
+      |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS valid_from,
+      |    max_by(o_orderstatus, o_orderkey) AS status
+      |  FROM orders GROUP BY 1, 2),
+      |chg AS (
+      |  SELECT * FROM (
+      |    SELECT custkey, status, valid_from,
+      |      LAG(status) OVER (PARTITION BY custkey ORDER BY valid_from) AS prev
+      |    FROM ch)
+      |  WHERE prev IS NULL OR prev <> status),
+      |hist AS (
+      |  SELECT custkey,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY valid_from) AS INTEGER) AS version,
+      |    status, valid_from,
+      |    LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY valid_from) AS valid_to
+      |  FROM chg)
+      |SELECT custkey, version, status, valid_from
+      |FROM hist
+      |WHERE valid_from <= DATE '1997-06-15'
+      |  AND (valid_to IS NULL OR valid_to > DATE '1997-06-15')
+      |ORDER BY custkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_scd2_history", scd2History, Some(scd2HistorySql)),
+    QueryDef("q_scd2_asof", scd2Asof, Some(scd2AsofSql)),
     QueryDef("q_conditional_agg", conditionalAgg, Some(conditionalAggSql)),
     QueryDef("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     QueryDef("q_date_trunc", dateTrunc, Some(dateTruncSql)),

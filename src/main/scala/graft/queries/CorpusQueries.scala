@@ -782,6 +782,110 @@ object CorpusQueries {
       .select("rnk", "doc_id", "n_terms", "score")
   }
 
+  /** RAG-shaped retrieval: the exact-integer BM25 of [[bm25Topk]]
+    * scored over the 32/24 sliding CHUNKS of [[chunkDocs]] instead of
+    * whole documents — the unit a retrieval-augmented pipeline
+    * actually indexes and returns (a hit inside a long doc ranks on
+    * its local passage, and the emitted `(start, len)` extent is the
+    * retrievable span). N/T/df/dl all re-ground at the chunk level,
+    * so the saturation and idf terms price passage frequency, not
+    * document frequency. Same integer-exactness contract as the doc
+    * scorer (DIV arithmetic, order-free sums); chunking is the
+    * map-only explode; tf/df/dl are map-side-combining aggregates;
+    * the final top-10 is TakeOrderedAndProject. */
+  def ragRetrieve(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "vector", "customer")
+    val cap = 32L
+    val stride = 24L
+    val t = Tables.documents(s, dir).select(col("doc_id"),
+      wsTokens(col("text")).as("toks"),
+      tokenCount(col("text")).cast(LongType).as("n_tok"))
+    val chunks = t.withColumn("n_chunks",
+        when(col("n_tok") <= cap, lit(1L))
+          .otherwise(lit(1L) +
+            floor((col("n_tok") - cap + stride - 1) / stride).cast(LongType)))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0L), col("n_chunks") - 1)).as(Seq("_p", "chunk_id")),
+        col("n_tok"))
+      .withColumn("start", col("chunk_id") * stride)
+      .withColumn("len", least(lit(cap), col("n_tok") - col("start")))
+    val ctoks = chunks.select(col("doc_id"), col("chunk_id"),
+        explode(slice(col("toks"), (col("start") + 1).cast(IntegerType),
+          col("len").cast(IntegerType))).as("token"))
+      .filter(col("token") =!= "")
+    val dl = ctoks.groupBy("doc_id", "chunk_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tok"))
+    val tf = ctoks.filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "token")
+      .join(dl, Seq("doc_id", "chunk_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("a", expr(
+        "(44 * t_tok * tf * 1000000) DIV (20 * t_tok * tf + 6 * t_tok + 18 * n_docs * dl)"))
+      .withColumn("term_score", expr("(a * (2 * n_docs - 2 * df + 1)) DIV (2 * df + 1)"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_terms"),
+        sum(col("term_score")).as("score"))
+      .join(chunks.select("doc_id", "chunk_id", "start", "len"),
+        Seq("doc_id", "chunk_id"))
+      .orderBy(col("score").desc, col("doc_id").asc, col("chunk_id").asc)
+      .limit(10)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc, col("chunk_id").asc)))
+      .select("rnk", "doc_id", "chunk_id", "start", "len", "n_terms", "score")
+  }
+
+  val ragRetrieveSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, toks, n_tok,
+      |    CASE WHEN n_tok <= 32 THEN 1 ELSE 1 + (n_tok - 32 + 23) // 24 END AS n_chunks
+      |  FROM t),
+      |c AS (
+      |  SELECT doc_id, toks, n_tok, unnest(range(0, n_chunks)) AS chunk_id
+      |  FROM n),
+      |ch AS (
+      |  SELECT doc_id, chunk_id, toks, chunk_id * 24 AS start,
+      |    LEAST(32, n_tok - chunk_id * 24) AS len
+      |  FROM c),
+      |ct AS (
+      |  SELECT doc_id, chunk_id,
+      |    unnest(toks[start + 1 : start + len]) AS token
+      |  FROM ch),
+      |nz AS (SELECT * FROM ct WHERE token <> ''),
+      |dl AS (SELECT doc_id, chunk_id, COUNT(*) AS dl FROM nz GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tok FROM dl),
+      |tf AS (
+      |  SELECT doc_id, chunk_id, token, COUNT(*) AS tf FROM nz
+      |  WHERE token IN ('spark', 'vector', 'customer')
+      |  GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |sc AS (
+      |  SELECT t.doc_id, t.chunk_id, f.df, s.n_docs,
+      |    (44 * s.t_tok * t.tf * 1000000)
+      |      // (20 * s.t_tok * t.tf + 6 * s.t_tok + 18 * s.n_docs * d.dl) AS a
+      |  FROM tf t JOIN dfreq f USING (token)
+      |  JOIN dl d USING (doc_id, chunk_id)
+      |  CROSS JOIN stats s),
+      |ts AS (
+      |  SELECT doc_id, chunk_id,
+      |    (a * (2 * n_docs - 2 * df + 1)) // (2 * df + 1) AS term_score
+      |  FROM sc),
+      |agg AS (
+      |  SELECT doc_id, chunk_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+      |    CAST(SUM(term_score) AS BIGINT) AS score
+      |  FROM ts GROUP BY 1, 2)
+      |SELECT CAST(ROW_NUMBER() OVER (
+      |    ORDER BY a.score DESC, a.doc_id ASC, a.chunk_id ASC) AS INTEGER) AS rnk,
+      |  a.doc_id, a.chunk_id, h.start, h.len, a.n_terms, a.score
+      |FROM agg a JOIN ch h USING (doc_id, chunk_id)
+      |ORDER BY a.score DESC, a.doc_id ASC, a.chunk_id ASC LIMIT 10""".stripMargin
+
   val bm25TopkSql: String =
     """WITH toks AS (
       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
@@ -816,6 +920,7 @@ object CorpusQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q_budget_select", budgetSelect, Some(budgetSelectSql)),
     QueryDef("q_bm25_topk", bm25Topk, Some(bm25TopkSql)),
+    QueryDef("q_rag_retrieve", ragRetrieve, Some(ragRetrieveSql)),
     QueryDef("q_contamination_ngram", contaminationNgram, Some(contaminationNgramSql)),
     QueryDef("q_decon_bloom", deconBloom, Some(contaminationNgramSql)),
     QueryDef("q_repeated_grams", repeatedGrams, Some(repeatedGramsSql)),

@@ -33,6 +33,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q_kmeans_assign",  // k=5 broadcast seed centroids
     "q_semantic_dedup", // k=5 broadcast seed centroids (SemDeDup assign)
     "q_bm25_topk",      // 1-row corpus-stats (N, T) scalar broadcast
+    "q_rag_retrieve",   // same 1-row chunk-stats scalar broadcast
     "q_colloc_pmi",     // 1-row total-token-count scalar broadcast
     "q_dsir_lift",      // 1-row corpus-totals scalar broadcast
     "q_tpch_q22",       // scalar avg-balance broadcast
