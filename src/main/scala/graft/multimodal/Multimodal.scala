@@ -174,6 +174,81 @@ object Multimodal {
         col("hamming"))
   }
 
+  /** 64-bit audio fingerprint — [[dhash64]]'s construction carried to
+    * PCM: decode 16-bit samples, split the stream into 65 equal
+    * TIME-NORMALIZED windows, take each window's integer
+    * sum-of-absolute-amplitudes, and set bit i when window i's MEAN
+    * exceeds window i+1's — compared by integer cross-multiplication
+    * (`sum_i · cnt_{i+1} > sum_{i+1} · cnt_i`, the dhash device: no
+    * division, no float). Adjacent-mean comparisons make the
+    * signature invariant to uniform gain (both sides scale
+    * together — the re-encoded/normalized-volume copy hashes
+    * identically up to rounding ties) and to resampling (windows cut
+    * by POSITION fraction, not sample count, so a 2× upsample
+    * doubles every window uniformly). Overflow bound: window sum ≤
+    * 32768·(n/65) and the cross-multiplier ≤ n/65+1, so the product
+    * stays inside Int64 for n ≲ 2²⁹ samples (~3 h at 44.1 kHz) —
+    * far past any training-corpus clip; longer payloads return None
+    * rather than risk the bound. None for undecodable payloads or
+    * streams shorter than 65 samples. */
+  def audioHash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val ok = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+        if (!ok) None
+        else {
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          if (n < 65 || n > (1 << 29)) None
+          else {
+            val sums = Array.ofDim[Long](65)
+            val cnts = Array.ofDim[Long](65)
+            var i = 0
+            while (i < n) {
+              val w = math.min((i.toLong * 65 / n).toInt, 64)
+              val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+              sums(w) += math.abs(s.toInt)
+              cnts(w) += 1
+              i += 1
+            }
+            var hash = 0L
+            var w = 0
+            while (w < 64) {
+              if (sums(w) * cnts(w + 1) > sums(w + 1) * cnts(w))
+                hash |= 1L << w
+              w += 1
+            }
+            Some(hash)
+          }
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Audio near-duplicate pairs — [[imageNearDupPairs]] with
+    * [[audioHash64]] signatures: one decode per payload, then the
+    * SAME capped band/verify machinery
+    * ([[graft.operators.SimHashDedup.pairsFromSignatures]]); the
+    * banding layer is signature-agnostic, so a third modality costs
+    * only its hash function. Undecodable/short payloads drop out
+    * (no signature → no pairs), the labeled-fallback policy. */
+  def audioNearDupPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 10, maxBucket: Int = 200): DataFrame = {
+    import spark.implicits._
+    val sigs = media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) => audioHash64(bytes).map(s => (id, s)) }
+      .toDF("doc_id", "sig")
+    graft.operators.SimHashDedup.pairsFromSignatures(sigs, maxHamming, maxBucket)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+  }
+
   /** Decoded-video summary: container frame count plus the mean
     * luminance of each SAMPLED frame (in sample order). */
   final case class VideoMeta(nFrames: Int, frameLumas: Seq[Double])
