@@ -428,6 +428,54 @@ object StressMain {
       time("dhash pairs 100k imgs")(
         multimodal.Multimodal.imageNearDupPairs(spark, media).count())
     }
+    // Audio near-dup at 100k clips (round-10, the dHash stress's
+    // third-modality mirror): 10k base "melodies" × 10 variants —
+    // variant 0 the original, variants 1-4 gain-scaled (MUST hash
+    // identically → C(5,2)·10k = 100k exact-collision pairs),
+    // variants 5-9 with one amplitude window perturbed (lands within
+    // a few bits). WAVs are synthesized AND decoded in executors;
+    // same banding machinery as text/images.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_AUDIO")) {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val media = spark.range(100000L).as[Long].map { id =>
+        val base = id / 10
+        val variant = (id % 10).toInt
+        val n = 1300
+        // Per-base RANDOM window profile (the image stress's seeding
+        // device): ~2^64 signature variety across bases, so band
+        // buckets stay tiny. A periodic formula here produced 11
+        // distinct melodies → 9k-doc buckets → the cap (correctly)
+        // dropped everything and 0 pairs came back.
+        val rnd = new scala.util.Random(base)
+        val winAmp = Array.fill(65)(50 + rnd.nextInt(900))
+        val samples = Array.tabulate(n) { i =>
+          val w = i * 65 / n
+          var amp = winAmp(w)
+          if (variant >= 5 && w == (variant * 7) % 65) amp += 400
+          if (variant >= 1 && variant <= 4) amp = amp / (variant + 1)
+          (if (i % 2 == 0) amp else -amp).toShort
+        }
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          pcm(2 * i) = (samples(i) & 0xff).toByte
+          pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        (id, out.toByteArray)
+      }.toDF("media_id", "payload")
+        .withColumn("kind", lit("audio"))
+        .localCheckpoint(true)
+      time("audio pairs 100k clips")(
+        multimodal.Multimodal.audioNearDupPairs(spark, media).count())
+    }
     // Corpus-curation ops at 1M docs (r9): the 7 new operators on the
     // 10× stress corpus — chunking/packing are map-heavy (explode +
     // window), contamination/repeated-grams/oov are gram- or
