@@ -476,6 +476,35 @@ object StressMain {
       time("audio pairs 100k clips")(
         multimodal.Multimodal.audioNearDupPairs(spark, media).count())
     }
+    // SCD2 sink at 2M change events (round-10): the 2M-event stream
+    // as a type-2 change log (key = user, attr = event type, daily
+    // grain), applied as 3 in-order date-range batches into a
+    // 1024-bucket table — then a 10-key trickle batch, where bucket
+    // pruning makes the merge read ~1% of the table instead of all
+    // of it (the per-merge cost ∝ batch key spread claim, measured).
+    if (sys.env.contains("SPARK_GRAFT_STRESS_SCD2")) {
+      import org.apache.spark.sql.functions._
+      val log = queries.IngestQueries.events(spark, "/tmp/stress")
+        .select(col("user_id").as("key"), col("event_type").as("attr"),
+          to_date(col("ts")).as("eff_date"), col("event_id").as("seq"))
+        .persist()
+      println(s"[stress] scd2 change log       rows=${log.count()}")
+      val cuts = log.agg(min("eff_date"), max("eff_date")).collect()(0)
+      val (lo, hi) = (cuts.getDate(0).toLocalDate, cuts.getDate(1).toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(lo, hi) + 1
+      val sink = new graft.sink.Scd2Sink(spark, "/tmp/scd2_stress", nBuckets = 1024)
+      for (b <- 0 until 3) {
+        val from = java.sql.Date.valueOf(lo.plusDays(b * span / 3))
+        val to = java.sql.Date.valueOf(lo.plusDays((b + 1) * span / 3))
+        val batch = log.filter(col("eff_date") >= lit(from) &&
+          (if (b == 2) lit(true) else col("eff_date") < lit(to)))
+        time(s"scd2 merge batch $b")(sink.applyBatch(batch).count())
+      }
+      println(s"[stress] scd2 state            rows=${sink.read().count()}")
+      val trickle = log.filter(col("key") < 10)
+        .withColumn("eff_date", date_add(col("eff_date"), 4000))
+      time("scd2 trickle 10-key")(sink.applyBatch(trickle).count())
+    }
     // Corpus-curation ops at 1M docs (r9): the 7 new operators on the
     // 10× stress corpus — chunking/packing are map-heavy (explode +
     // window), contamination/repeated-grams/oov are gram- or
