@@ -476,6 +476,26 @@ object StressMain {
       time("audio pairs 100k clips")(
         multimodal.Multimodal.audioNearDupPairs(spark, media).count())
     }
+    // Triangle counting on the 100k dup graph (round-10): 5k exact
+    // 20-cliques → the dense worst case for wedge generation. With
+    // degree-ordered orientation each clique contributes exactly
+    // C(20,3) = 1 140 triangles and Σ outdeg² stays ~3.4k/clique —
+    // 17M wedge rows total, closed by the third equi-join. Expected:
+    // 5k × 1 140 = 5.7M triangles + the 256 base near-dup pairs'
+    // cross-clique contributions. (The 1M corpus is Θ(Σ c³) ≈ 570M
+    // triangles with a ~70 GB wedge shuffle — output-scale inherent
+    // to clique-dense graphs, documented rather than crashed into.)
+    if (sys.env.contains("SPARK_GRAFT_STRESS_TRIANGLES")) {
+      import org.apache.spark.sql.functions.{sum => fsum}
+      time("triangles 100k")({
+        val t = queries.DedupQueries.trianglesQ(spark, "/tmp/stress").persist()
+        val n = t.count()
+        val tot = t.agg(fsum("tri")).collect()(0).getLong(0) / 3
+        println(s"[stress] triangles total       $tot over $n graph vertices")
+        t.unpersist()
+        n
+      })
+    }
     // SCD2 sink at 2M change events (round-10): the 2M-event stream
     // as a type-2 change log (key = user, attr = event type, daily
     // grain), applied as 3 in-order date-range batches into a

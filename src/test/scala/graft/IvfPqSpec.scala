@@ -114,6 +114,31 @@ class IvfPqSpec extends SparkTestBase {
       assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 10))
   }
 
+  test("rerank returns the exact-L2 order over any candidate slice") {
+    val e = quantized
+    // candidates deliberately include far vectors and exclude one
+    // true neighbor per query: rerank must order EXACTLY what it is
+    // given by true distance, no more, no less.
+    import spark.implicits._
+    val cand = (for (q <- 0L until 4L) yield {
+      val own = if (q == 0L) (8L to 15L) else (24 + (q - 1) * 16 until 24 + (q - 1) * 16 + 8)
+      own.map(v => (q, v)) :+ ((q, (q + 1) % 8 match { case c => c })) // one far centroid
+    }).flatten.toDF("q_id", "vec_id")
+    val qs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    val got = ProductQuantizer.rerank(spark, cand, e, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val candSet = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (q <- 0L until 4L) {
+      val mine = got.filter(_._1 == q).sortBy(_._2)
+      val expected = candSet.filter(_._1 == q).map(_._2).toSeq
+        .filter(_ != q)
+        .map(v => v -> d2(this.q(q), this.q(v)))
+        .sortBy { case (v, d) => (d, v) }.take(5)
+      assert(mine.map(r => (r._3, r._4)).toSeq === expected)
+    }
+  }
+
   test("trained path: Lloyd coarse + per-subspace codebooks run deterministically") {
     val e = quantized
     def run() = {
