@@ -139,6 +139,43 @@ class IvfPqSpec extends SparkTestBase {
     }
   }
 
+  test("degenerate shapes: kc past the corpus, nProbe past the cells, k past the candidates") {
+    // 10 tiny vectors, kc=64 seed (only 10 materialize), nProbe=99
+    // (clamps to the real cells), k=50 (returns what exists). The
+    // operator must degrade to exact behavior, never throw or pad.
+    import spark.implicits._
+    val tiny = (0L until 10L)
+      .map(i => (i, Array.tabulate(64)(d => (i * 100 + d).toFloat)))
+      .map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val dir = Fixtures.tempDir("ivfpq-tiny").toString
+    tiny.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = graft.Tables.embeddings(spark, dir).select(col("vec_id"),
+      ProductQuantizer.quantize(col("embedding")).as("qv"))
+    val (cents, cbs, codes) = IvfPq.build(spark, e, kc = 64, coarseRounds = 0,
+      m = 4, subLen = 16, kCb = 64, pqRounds = 0)
+    assert(cents.count() == 10) // seeds clamp to the corpus
+    val qs = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    val got = IvfPq.probe(spark, cents, cbs, codes, qs, k = 50, nProbe = 99,
+        m = 4, subLen = 16, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every cell probed + every vector a codebook entry ⇒ exact: all
+    // 9 non-self vectors returned per query, in true distance order
+    val tq: Map[Long, Array[Long]] = (0L until 10L).map(i =>
+      i -> Array.tabulate(64)(d =>
+        math.floor((i * 100 + d).toFloat.toDouble * 1000).toLong)).toMap
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L))
+    for ((qid, rows) <- byQ) {
+      assert(rows.length == 9)
+      val expected = (0L until 10L).filter(_ != qid)
+        .map(v => v -> d2(tq(qid), tq(v)))
+        .sortBy { case (v, d) => (d, v) }.map(_._1)
+      assert(rows.sortBy(_._2).map(_._3).toSeq === expected)
+    }
+  }
+
   test("trained path: Lloyd coarse + per-subspace codebooks run deterministically") {
     val e = quantized
     def run() = {
