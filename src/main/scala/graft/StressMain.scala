@@ -754,6 +754,9 @@ object StressMain {
           case t @ "kc64-m4-cb64" => (t, 64, 2, 4, 16, 64, 2, Seq(1, 4))
           case t @ "kc64-m16-cb256" => (t, 64, 2, 16, 4, 256, 2, Seq(4))
           case t @ "kc2000-m4-cb256" => (t, 2000, 0, 4, 16, 256, 2, Seq(1))
+          case other => sys.error(
+            s"unknown SPARK_GRAFT_IVFPQ_CONFIGS tag '$other'; valid: " +
+              "kc64-m4-cb64, kc64-m16-cb256, kc2000-m4-cb256")
         }
       for ((tag, kc, cr, mm, sl, kCb, pr, probes) <- configs) {
         var built: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,

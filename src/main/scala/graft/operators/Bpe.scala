@@ -96,16 +96,33 @@ object Bpe {
       .select(col("word"), col("freq"))
       .withColumn("syms", initSyms))
     var merges = Vector.empty[DataFrame]
-    for (i <- 1 to rounds) {
+    var i = 1
+    var exhausted = false
+    while (i <= rounds && !exhausted) {
       val winner = mat(pairCounts(words)
         .orderBy(col("c").desc, col("l"), col("r")).limit(1))
-      merges :+= winner.select(
-        lit(i).as("merge_rank"), col("l").as("left_sym"),
-        col("r").as("right_sym"), col("c").as("pair_freq"))
-      words = mat(words.crossJoin(broadcast(winner.select("l", "r")))
-        .select(col("word"), col("freq"), mergeApply.as("syms")))
+      // Merge exhaustion: every word is a single symbol, so no pair
+      // exists and the winner frame is EMPTY. Cross-joining it would
+      // silently empty the state (and the final census with it) —
+      // the fixpoint is "state stays as-is, merge table stops
+      // growing", matching the twin's LEFT JOIN below. Cheap check:
+      // winner is materialized and at most one row.
+      if (winner.isEmpty) exhausted = true
+      else {
+        merges :+= winner.select(
+          lit(i).as("merge_rank"), col("l").as("left_sym"),
+          col("r").as("right_sym"), col("c").as("pair_freq"))
+        words = mat(words.crossJoin(broadcast(winner.select("l", "r")))
+          .select(col("word"), col("freq"), mergeApply.as("syms")))
+      }
+      i += 1
     }
-    (merges.reduce(_ unionByName _).orderBy("merge_rank"), words)
+    val mergeTable =
+      if (merges.nonEmpty) merges.reduce(_ unionByName _).orderBy("merge_rank")
+      else pairCounts(words).limit(0).select(
+        lit(0).as("merge_rank"), col("l").as("left_sym"),
+        col("r").as("right_sym"), col("c").as("pair_freq"))
+    (mergeTable, words)
   }
 
   /** DuckDB twin: CTE chain `s0 → p1 → m1 → s1 → … → s<rounds>` over
@@ -135,7 +152,7 @@ object Bpe {
          |    (acc, xx) -> CASE WHEN acc[-1] = m.l AND xx[1] = m.r
          |      THEN acc[:-2] || [acc[-1] || xx[1]]
          |      ELSE acc || xx END) AS syms
-         |  FROM s${i - 1}, m$i m)""".stripMargin
+         |  FROM s${i - 1} LEFT JOIN m$i m ON TRUE)""".stripMargin
     }
     (s0 +: steps).mkString(",\n")
   }

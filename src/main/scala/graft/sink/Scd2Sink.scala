@@ -24,9 +24,15 @@ import org.apache.spark.sql.types._
   *  - `eff_date` past the key's frontier (its open version's
   *    `valid_from`) → applied; an unchanged attr compresses away
   *    (run-length semantics, so replaying a batch is a no-op).
-  *  - exact replay of an EXISTING version row (same key, attr,
-  *    eff_date = its valid_from) → silently dropped (idempotent
-  *    retry, the foreachBatch contract).
+  *  - an event whose attr equals the attr IN EFFECT at its
+  *    eff_date (the version row with valid_from <= eff_date <
+  *    valid_to, open row unbounded) → silently dropped. This is the
+  *    idempotent-retry contract (foreachBatch), and it is wider than
+  *    exact version-row replay on purpose: an event that was
+  *    accepted but COMPRESSED AWAY (attr unchanged) leaves no
+  *    version row, yet its replay must still be a no-op — it
+  *    compresses away in the full-log rebuild too, so dropping it
+  *    preserves rebuild == incremental.
   *  - anything else at or behind the frontier → returned in the
   *    `late` frame, NOT applied — rewriting closed history from
   *    compressed state is ambiguous (a late event may re-establish
@@ -42,6 +48,16 @@ import org.apache.spark.sql.types._
   * Recompression windows partition by key — no global sort anywhere.
   * On Delta/Iceberg the same merge body becomes `MERGE INTO` with a
   * close-and-insert WHEN MATCHED pair; the semantics and spec stay.
+  *
+  * Durability limitation (plain parquet, no table format): the
+  * dynamic partition overwrite commits touched buckets ONE AT A
+  * TIME — a crash mid-write can leave mixed-generation state (some
+  * buckets merged, others stale). That is exactly the atomicity gap
+  * a transactional table format closes (the Delta/Iceberg MERGE
+  * INTO remark above); until then, recovery is re-running the batch
+  * — safe because the merge is idempotent per the no-op rules, so a
+  * replay completes the partially-applied generation without
+  * double-applying the already-merged buckets.
   */
 final class Scd2Sink(spark: SparkSession, targetDir: String,
     nBuckets: Int = 64) {
@@ -108,17 +124,36 @@ final class Scd2Sink(spark: SparkSession, targetDir: String,
         .localCheckpoint(true)
       val frontier = existingTouched.groupBy("key")
         .agg(max(col("valid_from")).as("_frontier"))
-      val replay = existingTouched.select(col("key"),
-        col("valid_from").as("eff_date"), col("attr"), lit(1).as("_replay"))
+      // Replay detection, generalized past exact version-row matches:
+      // an event is a silent no-op when its attr equals the attr IN
+      // EFFECT at its eff_date (version row with valid_from <=
+      // eff_date < valid_to, open row = no upper bound). This covers
+      // the event that was ACCEPTED but compressed away (attr
+      // unchanged) on the first run — it left no version row, so an
+      // exact-row check would misfile its replay as 'behind_frontier'
+      // once a later event in the same batch advanced the frontier.
+      // Dropping it is safe for rebuild == incremental: the same
+      // event compresses away in the full-log rebuild too (its
+      // lag(attr) equals its attr). Key-equi join + range filter; the
+      // per-key version count bounds the fan-out.
+      val inEffect = existingTouched.select(col("key"),
+        col("attr").as("_eff_attr"), col("valid_from").as("_vf"),
+        col("valid_to").as("_vt"))
+      val noop = b.join(inEffect, Seq("key"))
+        .filter(col("_vf") <= col("eff_date") &&
+          (col("_vt").isNull || col("eff_date") < col("_vt")) &&
+          col("attr") === col("_eff_attr"))
+        .select(col("key"), col("eff_date"), col("attr"), lit(1).as("_noop"))
+        .distinct()
       val cls = b
         .join(frontier, Seq("key"), "left")
-        .join(replay, Seq("key", "eff_date", "attr"), "left")
+        .join(noop, Seq("key", "eff_date", "attr"), "left")
       val accepted = cls
         .filter(col("_frontier").isNull || col("eff_date") > col("_frontier"))
         .select(col("key"), col("attr"), col("eff_date").as("valid_from"))
       val late = cls
         .filter(col("_frontier").isNotNull &&
-          col("eff_date") <= col("_frontier") && col("_replay").isNull)
+          col("eff_date") <= col("_frontier") && col("_noop").isNull)
         .select(col("key"), col("attr"), col("eff_date"),
           lit("behind_frontier").as("reason"))
         .localCheckpoint(true)

@@ -47,12 +47,29 @@ class BpeSpec extends SparkTestBase {
 
   test("exhaustion: merge table stops short once every word is one symbol") {
     // "ab"*1 has pairs (a,b) then (ab,</w>) then nothing: round 3's
-    // winner is empty, the state empties via the cross join, and the
-    // merge table carries 2 rows, not 5.
-    val (merges, _) = Bpe.learn(wc("ab" -> 1L), 5, Materializer.Local)
+    // winner is empty. The fixpoint contract: the merge table carries
+    // 2 rows, not 5, AND the state keeps the fully-merged words — an
+    // empty winner must not empty the state via the cross join (the
+    // bpeEncode census reads it).
+    val (merges, state) = Bpe.learn(wc("ab" -> 1L), 5, Materializer.Local)
     val got = merges.collect().map(r =>
       (r.getInt(0), r.getString(1), r.getString(2))).toSeq
     assert(got === Seq((1, "a", "b"), (2, "ab", "</w>")))
+    val st = state.select("word", "syms").as[(String, Seq[String])].collect()
+    assert(st.toSeq === Seq(("ab", Seq("ab</w>"))),
+      "exhaustion must preserve the fully-merged state, not empty it")
+  }
+
+  test("exhaustion before any merge: empty merge table, schema intact") {
+    // An empty word-count frame is exhausted at round 1: the merge
+    // table must come back EMPTY but correctly typed (the
+    // reduce-over-empty guard), and the state must stay an empty
+    // frame with the syms column, not throw.
+    val (m0, s0) = Bpe.learn(wc(), 3, Materializer.Local)
+    assert(m0.isEmpty)
+    assert(m0.columns.toSeq ===
+      Seq("merge_rank", "left_sym", "right_sym", "pair_freq"))
+    assert(s0.isEmpty && s0.columns.contains("syms"))
   }
 
   test("q_bpe_merges over sf0.001 is deterministic across two runs and ranks densely") {

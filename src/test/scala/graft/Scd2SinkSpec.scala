@@ -93,6 +93,41 @@ class Scd2SinkSpec extends SparkTestBase {
       (5L, 2, "B", Date.valueOf("2024-03-01"), None)))
   }
 
+  test("replay is a no-op even for events that compressed away") {
+    // The hard replay case: within one batch, an accepted-but-
+    // compressed-away event (attr unchanged → no version row) is
+    // followed by an event that advances the key's frontier. An
+    // exact-version-row replay check would misfile the first event's
+    // replay as 'behind_frontier'; the in-effect-attr rule must keep
+    // it a silent no-op (it compresses away in a full-log rebuild
+    // too, so state correctness and replay purity agree).
+    val dir = Fixtures.tempDir("scd2-replay-comp").toString
+    val sink = new Scd2Sink(spark, s"$dir/state")
+    sink.applyBatch(Seq((11L, "A", "2024-01-01", 1L))
+      .toDF("key", "attr", "eff_date", "seq")).count()
+    val b2 = Seq(
+      (11L, "A", "2024-02-01", 2L), // accepted, compresses away
+      (11L, "B", "2024-03-01", 3L)  // advances frontier past it
+    ).toDF("key", "attr", "eff_date", "seq")
+    assert(sink.applyBatch(b2).isEmpty, "first run must be clean")
+    val before = snap(sink)
+    assert(sink.applyBatch(b2).isEmpty,
+      "crash-replay must not quarantine the compressed-away event")
+    assert(snap(sink) === before, "replay must leave state unchanged")
+    // Wider contract: ANY event matching the attr in effect at its
+    // eff_date is a no-op, even if never part of an applied batch —
+    // it would compress away in the full-log rebuild as well.
+    val echo = Seq((11L, "A", "2024-01-20", 9L))
+      .toDF("key", "attr", "eff_date", "seq")
+    assert(sink.applyBatch(echo).isEmpty, "in-effect echo is a no-op")
+    assert(snap(sink) === before)
+    // ...but a CONFLICTING behind-frontier event still quarantines.
+    val conflict = Seq((11L, "C", "2024-01-20", 10L))
+      .toDF("key", "attr", "eff_date", "seq")
+    assert(sink.applyBatch(conflict).collect()
+      .map(_.getString(3)).toSeq === Seq("behind_frontier"))
+  }
+
   test("same-day collision resolves by greatest seq, deterministically") {
     val dir = Fixtures.tempDir("scd2-tie").toString
     val sink = new Scd2Sink(spark, s"$dir/state")
