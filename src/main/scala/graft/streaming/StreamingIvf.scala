@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Similarity
+
+/** Streaming IVF index maintenance — [[Similarity.ivfAppend]] wired
+  * into a `foreachBatch` stream: arriving vector batches append to a
+  * FROZEN coarse quantizer; replays no-op; the served index after any
+  * prefix is bit-identical to assigning that prefix's corpus against
+  * the same centroids in one batch (the `ivfAppend` contract,
+  * spec-pinned end-to-end here).
+  *
+  * Shape: `foreachBatch`, like [[StreamingKMeans]] — the centroid
+  * frame is tiny global state every batch row must read (broadcast
+  * argmax), which the keyed-state API cannot express without
+  * funneling the stream through one task. But the STATE here differs
+  * from k-means in the way that decides the storage layout: the
+  * k-means accumulator is k rows REWRITTEN each batch (versioned
+  * pointer swap), while the IVF inverted lists GROW with the stream —
+  * rewriting them per batch would cost O(corpus) per arrival. So the
+  * state is append-only:
+  *
+  *  - `centroids/` — written ONCE by the first non-empty batch
+  *    (deterministic seed: the nCentroids smallest vec_ids, the
+  *    [[Similarity.ivfIndex]] rule), then frozen. Appends can never
+  *    move it; distribution drift away from a frozen quantizer is the
+  *    documented rebuild trigger.
+  *  - `lists/v<batchId>/` — each batch's assigned rows land in their
+  *    own directory; per-batch cost follows the BATCH size, never the
+  *    index size. A directory is visible to readers only once its
+  *    `_SUCCESS` marker exists, so a crash mid-write leaves an
+  *    invisible partial that the replay simply overwrites — and a
+  *    COMMITTED directory doubles as the replay marker (a re-delivered
+  *    batch id finds its directory committed and skips). That is the
+  *    same crash-window reasoning as the k-means pointer swap, with
+  *    the directory's `_SUCCESS` playing the pointer's role per batch.
+  *
+  * At 100 TB the per-batch directories are the compaction unit: a
+  * background pass coalesces them into the cluster-partitioned layout
+  * [[Similarity.ivfIndex]] documents (probe reads become
+  * partition-pruned scans); the stream keeps appending regardless.
+  */
+object StreamingIvf {
+
+  private def committedListDirs(stateDir: String): Seq[File] = {
+    val lists = new File(stateDir, "lists")
+    Option(lists.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("v") &&
+        new File(d, "_SUCCESS").exists())
+      .sortBy(_.getName)
+  }
+
+  private def centroidsDir(stateDir: String) = new File(stateDir, "centroids")
+
+  /** The frozen coarse quantizer, or None before the first committed
+    * batch. */
+  def readCentroids(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val d = centroidsDir(stateDir)
+    if (new File(d, "_SUCCESS").exists()) Some(spark.read.parquet(d.getPath))
+    else None
+  }
+
+  /** The served index `(centroids, assigned lists)` after every
+    * committed batch, or None before the first. Only `_SUCCESS`-marked
+    * list directories are read — partial writes are invisible. */
+  def readIndex(spark: SparkSession, stateDir: String): Option[(DataFrame, DataFrame)] =
+    readCentroids(spark, stateDir).map { cents =>
+      val dirs = committedListDirs(stateDir)
+      val assigned =
+        if (dirs.isEmpty)
+          // centroids committed but no lists yet (crash window between
+          // the two first-batch writes): an empty, correctly-typed list
+          // frame — the replay will fill it.
+          cents.limit(0).select(col("cent_id").as("cluster"),
+            col("cent_id").as("c_id"), col("cent_vec").as("c_vec"))
+        else spark.read.parquet(dirs.map(_.getPath): _*)
+      (cents, assigned)
+    }
+
+  /** Fold one batch into the index — pure batch logic, callable (and
+    * tested) outside any stream. First non-empty batch also seeds and
+    * freezes the quantizer. Returns true iff the batch was applied
+    * (false = replay skip or empty batch). */
+  def appendBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
+      nCentroids: Int, batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    val listDir = new File(new File(stateDir, "lists"), f"v$batchId%020d")
+    if (new File(listDir, "_SUCCESS").exists()) return false // replay
+    if (batch.isEmpty) return false
+    val cents = readCentroids(spark, stateDir).getOrElse {
+      // Deterministic seed from THIS batch (smallest ids), then freeze.
+      // A crash after this write replays the same batch → the same
+      // centroids are simply read back, not re-derived — idempotent.
+      val (c, _) = Similarity.ivfIndex(batch, nCentroids, idCol, vecCol)
+      c.coalesce(1).write.mode("overwrite").parquet(centroidsDir(stateDir).getPath)
+      spark.read.parquet(centroidsDir(stateDir).getPath)
+    }
+    Similarity.ivfAssign(cents, batch, idCol, vecCol)
+      .write.mode("overwrite").parquet(listDir.getPath)
+    true
+  }
+
+  /** Wire the appender into a stream. `vecs` must carry
+    * `(idCol, vecCol)`; each micro-batch appends its own committed
+    * list directory; re-delivered batch ids no-op. */
+  def fit(spark: SparkSession, vecs: Dataset[_], stateDir: String,
+      checkpointDir: String, nCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[_], batchId: Long) =>
+        appendBatch(spark, stateDir, batch.toDF(), nCentroids, batchId,
+          idCol, vecCol)
+        ()
+      }
+      .start()
+
+  /** Serve queries from the maintained index —
+    * [[Similarity.ivfProbe]] over the committed state. Throws before
+    * the first committed batch (no index to probe). */
+  def probe(spark: SparkSession, stateDir: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (cents, assigned) = readIndex(spark, stateDir).getOrElse(
+      sys.error(s"no committed IVF index under $stateDir"))
+    Similarity.ivfProbe(cents, assigned, queries, k, nProbe, idCol, vecCol)
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.io.File
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.streaming.StreamingIvf
+
+/** Streaming IVF maintenance: the served index after ANY stream
+  * prefix must be bit-identical to the one-shot batch
+  * [[Similarity.ivfIndex]] over that prefix's corpus (id-ordered
+  * batches keep the deterministic centroid seed equal), replayed
+  * batch ids must no-op, and the recall the batch operator proves on
+  * planted near-duplicates must survive the streamed build. */
+class StreamingIvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** The SimilaritySpec corpus: 200 random vectors + 5 planted
+    * near-duplicates of ids 0-4 at ids 1000-1004. */
+  private lazy val corpus = {
+    val rnd = new Random(7)
+    val base = (0 until 200).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val planted = (0 until 5).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    (base ++ planted).toDF("vec_id", "embedding")
+  }
+
+  private def clusterMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select("c_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("streamed index equals the batch ivfIndex after every prefix; " +
+      "probe is bit-identical; planted recall intact") {
+    val base = Fixtures.tempDir("sivf")
+    val data = base.resolve("vecs").toString
+    val state = base.resolve("state").toString
+    val ckpt = base.resolve("ckpt").toString
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .parquet(data)
+      StreamingIvf.fit(spark, src, state, ckpt, nCentroids = 8)
+        .awaitTermination()
+    }
+    val splits = Seq(
+      corpus.filter($"vec_id" < 80),
+      corpus.filter($"vec_id" >= 80 && $"vec_id" < 150),
+      corpus.filter($"vec_id" >= 150))
+    var prefix = splits.head.limit(0)
+    for (b <- splits) {
+      b.coalesce(1).write.mode("append").parquet(data)
+      prefix = prefix.unionByName(b)
+      runOnce()
+      // prefix equivalence: streamed lists == one-shot batch build of
+      // the prefix corpus (id-ordered batches ⇒ same centroid seed)
+      val (bc, ba) = Similarity.ivfIndex(prefix, nCentroids = 8)
+      val (sc, sa) = StreamingIvf.readIndex(spark, state).get
+      assert(sc.select("cent_id").as[Long].collect().sorted.toSeq ===
+        bc.select("cent_id").as[Long].collect().sorted.toSeq,
+        "frozen centroids must match the batch seed")
+      assert(clusterMap(sa) === clusterMap(ba),
+        "streamed lists diverge from the batch build of this prefix")
+    }
+    // a rerun with no new files must leave the committed state as-is
+    val dirsBefore = new File(state, "lists").list().sorted.toSeq
+    runOnce()
+    assert(new File(state, "lists").list().sorted.toSeq === dirsBefore,
+      "an empty run must not grow the state")
+    // serve: maintained-index probe ≡ batch-index probe, row for row
+    val queries = corpus.filter($"vec_id" >= 1000)
+    val (bc, ba) = Similarity.ivfIndex(corpus, nCentroids = 8)
+    val fromStream = StreamingIvf.probe(spark, state, queries, k = 1, nProbe = 8)
+      .collect().map(_.toString).sorted.toSeq
+    val fromBatch = Similarity.ivfProbe(bc, ba, queries, k = 1, nProbe = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromStream === fromBatch, "probe paths must be bit-identical")
+    // recall gate: each planted near-dup still finds its original
+    val top = StreamingIvf.probe(spark, state, queries, k = 1, nProbe = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (i <- 0 until 5) assert(top(1000L + i) == i.toLong,
+      s"planted copy ${1000 + i} lost its original in the streamed index")
+  }
+
+  test("appendBatch: replayed batch id no-ops; crashed write is invisible " +
+      "and completed by the replay") {
+    val base = Fixtures.tempDir("sivf-replay")
+    val state = base.resolve("state").toString
+    val b1 = corpus.filter($"vec_id" < 100)
+    assert(StreamingIvf.appendBatch(spark, state, b1, 8, batchId = 0L))
+    val after1 = clusterMap(StreamingIvf.readIndex(spark, state).get._2)
+    // replay of a committed batch id: skipped, state unchanged
+    assert(!StreamingIvf.appendBatch(spark, state, b1, 8, batchId = 0L))
+    assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) === after1)
+    // crash simulation: batch 1's list dir lost its _SUCCESS mid-write
+    val b2 = corpus.filter($"vec_id" >= 100)
+    assert(StreamingIvf.appendBatch(spark, state, b2, 8, batchId = 1L))
+    val v1 = new File(new File(state, "lists"), f"v${1L}%020d")
+    assert(new File(v1, "_SUCCESS").delete())
+    // the partial is invisible to readers...
+    assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) === after1)
+    // ...and the WAL re-delivers batch 1, whose replay completes it
+    assert(StreamingIvf.appendBatch(spark, state, b2, 8, batchId = 1L))
+    val healed = clusterMap(StreamingIvf.readIndex(spark, state).get._2)
+    assert(healed === clusterMap(Similarity.ivfAssign(
+      StreamingIvf.readCentroids(spark, state).get, corpus)))
+    // an empty batch is a no-op, not a seed or an empty list dir
+    assert(!StreamingIvf.appendBatch(spark, state, corpus.limit(0), 8, 2L))
+  }
+}
