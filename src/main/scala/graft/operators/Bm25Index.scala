@@ -1,0 +1,265 @@
+package graft.operators
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.functions.TextFunctions._
+
+/** Incremental BM25 retrieval index — the `incrementalPairs` /
+  * [[graft.streaming.StreamingIvf]] analogue for ranked retrieval:
+  * the corpus is tokenized and chunked ONCE, the per-chunk statistics
+  * BM25 needs (`tf`, `dl`, `df`, corpus `N`/`T`) persist as stored
+  * state, and an arriving document batch folds in WITHOUT
+  * re-tokenizing anything already indexed. Serving reads the
+  * maintained state and reproduces `q_rag_retrieve` EXACTLY — every
+  * statistic is an additive integer aggregate over doc-disjoint
+  * batches (tf/dl are per-chunk, df/N/T are sums), so batch-fold ≡
+  * full rebuild bit-for-bit (spec-pinned, and the `q_rag_incremental`
+  * driver query hashes against the full-rebuild oracle).
+  *
+  * Chunking/tokenization and the fixed-point scoring arithmetic are
+  * SHARED with [[graft.queries.CorpusQueries.ragRetrieve]]
+  * ([[chunkTokens]] / [[score]]) so index and direct query cannot
+  * drift — the Scd2Sink/compress discipline.
+  *
+  * Storage layout under `stateDir` (plain parquet, no table format):
+  *
+  *  - `postings/v<batchId>/` — `(doc_id, chunk_id, token, tf)`,
+  *    append-only, PARTITIONED BY a 64-way token-hash bucket `tkb` so
+  *    a query-term probe is a partition-pruned read (the 100 TB
+  *    device: a 3-term query touches ≤3/64 of the posting mass).
+  *  - `dl/v<batchId>/` — `(doc_id, chunk_id, start, len, dl)`,
+  *    append-only.
+  *  - `merged/v<batchId>/{df,stats}` + `merged/CURRENT` pointer —
+  *    the two frames that must MERGE rather than append: `df` is
+  *    vocabulary-sized (token → containing-chunk count) and `stats`
+  *    is one row `(n_docs, t_tok, last_batch)`; each batch writes a
+  *    new version and atomically swaps the pointer (the
+  *    StreamingKMeans state discipline).
+  *
+  * Crash/replay contract: `last_batch` in the committed stats row is
+  * the ONLY replay marker, and it commits LAST — a crash after the
+  * postings/dl appends but before the merged swap leaves
+  * `last_batch` behind, so the replay recomputes the batch,
+  * overwrites the same append directories (idempotent — same docs,
+  * same bytes), and completes the merge. Readers only see append
+  * directories `<= last_batch`, so the half-committed batch is
+  * invisible until its merge lands.
+  *
+  * Assumption (documented, asserted nowhere cheaper than ingest):
+  * batches are DOC-DISJOINT — the upstream keyed-upsert/dedup ingest
+  * guarantees each doc_id arrives once. Re-indexing a changed
+  * document is a rebuild-class operation, as in every inverted-index
+  * store.
+  *
+  * At 100 TB: the per-batch append dirs are the compaction unit
+  * (coalesce into fewer, larger tkb-partitioned files in the
+  * background); `df` merge cost is vocabulary-scale, not corpus-
+  * scale; `dl` probes join on (doc_id, chunk_id) after the postings
+  * filter has already shrunk the left side to matching chunks only.
+  */
+object Bm25Index {
+
+  private val Cap = 32L
+  private val Stride = 24L
+  private val TkBuckets = 64
+
+  /** Tokenize + 32/24 sliding-window chunk one document frame into
+    * `(doc_id, chunk_id, start, len, token)` rows (empty tokens
+    * dropped) — the exact front of `q_rag_retrieve`, factored out so
+    * the direct query and this index share one definition. */
+  def chunkTokens(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      wsTokens(col("text")).as("toks"),
+      tokenCount(col("text")).cast(LongType).as("n_tok"))
+    t.withColumn("n_chunks",
+        when(col("n_tok") <= Cap, lit(1L))
+          .otherwise(lit(1L) +
+            floor((col("n_tok") - Cap + Stride - 1) / Stride).cast(LongType)))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0L), col("n_chunks") - 1)).as(Seq("_p", "chunk_id")),
+        col("n_tok"))
+      .withColumn("start", col("chunk_id") * Stride)
+      .withColumn("len", least(lit(Cap), col("n_tok") - col("start")))
+      .select(col("doc_id"), col("chunk_id"), col("start"), col("len"),
+        explode(slice(col("toks"), (col("start") + 1).cast(IntegerType),
+          col("len").cast(IntegerType))).as("token"))
+      .filter(col("token") =!= "")
+  }
+
+  /** Fixed-point integer BM25 over chunk-grounded statistics — the
+    * exact scoring tail of `q_rag_retrieve` (see
+    * [[graft.queries.CorpusQueries.bm25Topk]] for the arithmetic
+    * derivation). `tf`: `(doc_id, chunk_id, token, tf)` already
+    * filtered to the query terms; `dfreq`: `(token, df)` for those
+    * terms; `dl`: `(doc_id, chunk_id, start, len, dl)`; `stats`: one
+    * row `(n_docs, t_tok)`. */
+  def score(tf: DataFrame, dfreq: DataFrame, dl: DataFrame,
+      stats: DataFrame, k: Int = 10): DataFrame =
+    tf.join(broadcast(dfreq), "token")
+      .join(dl, Seq("doc_id", "chunk_id"))
+      .crossJoin(broadcast(stats.select("n_docs", "t_tok")))
+      .withColumn("a", expr(
+        "(44 * t_tok * tf * 1000000) DIV (20 * t_tok * tf + 6 * t_tok + 18 * n_docs * dl)"))
+      .withColumn("term_score", expr("(a * (2 * n_docs - 2 * df + 1)) DIV (2 * df + 1)"))
+      .groupBy("doc_id", "chunk_id", "start", "len")
+      .agg(count(lit(1)).cast(IntegerType).as("n_terms"),
+        sum(col("term_score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc, col("chunk_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc, col("chunk_id").asc)))
+      .select("rnk", "doc_id", "chunk_id", "start", "len", "n_terms", "score")
+
+  // ---- stored state ----
+
+  private def mergedDir(stateDir: String) = new File(stateDir, "merged")
+
+  private def committed(d: File): Boolean = new File(d, "_SUCCESS").exists()
+
+  /** The committed merged version name, or None before the first
+    * fully-committed batch. A version is served only if the pointer
+    * names it AND both its frames finished writing. */
+  private def currentVersion(stateDir: String): Option[String] = {
+    val cur = new File(mergedDir(stateDir), "CURRENT")
+    if (!cur.exists()) None
+    else {
+      val v = new String(Files.readAllBytes(cur.toPath),
+        StandardCharsets.UTF_8).trim
+      val d = new File(mergedDir(stateDir), v)
+      if (committed(new File(d, "df")) && committed(new File(d, "stats")))
+        Some(v)
+      else None
+    }
+  }
+
+  /** `(df, stats)` of the current committed generation. */
+  def readMerged(spark: SparkSession, stateDir: String): Option[(DataFrame, DataFrame)] =
+    currentVersion(stateDir).map { v =>
+      val d = new File(mergedDir(stateDir), v)
+      (spark.read.parquet(new File(d, "df").getPath),
+        spark.read.parquet(new File(d, "stats").getPath))
+    }
+
+  /** Append dirs visible at the committed frontier: `v<bid>` with
+    * `_SUCCESS`, bid <= the merged state's last_batch (dirs from a
+    * half-committed batch exist but are NOT served). */
+  private def visibleAppendDirs(stateDir: String, sub: String,
+      lastBatch: Long): Seq[String] = {
+    val frontier = f"v$lastBatch%020d"
+    Option(new File(stateDir, sub).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("v") &&
+        d.getName <= frontier && committed(d))
+      .sortBy(_.getName).map(_.getPath)
+  }
+
+  /** The full served state `(postings, dl, df, stats)` after every
+    * committed batch, or None before the first. */
+  def readState(spark: SparkSession, stateDir: String)
+      : Option[(DataFrame, DataFrame, DataFrame, DataFrame)] =
+    readMerged(spark, stateDir).map { case (dfreq, stats) =>
+      val last = stats.select("last_batch").head().getLong(0)
+      // one read per version dir, each rooted at its own basePath so
+      // the tkb= partition layout resolves; the union is append-only
+      // file metadata, and a tkb filter pushes through it into every
+      // arm's partition pruning
+      val postings = visibleAppendDirs(stateDir, "postings", last)
+        .map(d => spark.read.option("basePath", d).parquet(d))
+        .reduce(_ unionByName _)
+      val dl = spark.read
+        .parquet(visibleAppendDirs(stateDir, "dl", last): _*)
+      (postings, dl, dfreq, stats)
+    }
+
+  /** Fold one document batch `(doc_id, text)` into the index. Only
+    * the batch pays tokenization; postings/dl append, df/stats merge.
+    * Returns true iff applied (false = replay of a committed batch id
+    * or empty batch). */
+  def appendBatch(spark: SparkSession, stateDir: String, docs: DataFrame,
+      batchId: Long): Boolean = {
+    val cur = readMerged(spark, stateDir)
+    val last = cur.map(_._2.select("last_batch").head().getLong(0))
+    if (last.exists(_ >= batchId)) return false // replay
+    if (docs.isEmpty) return false
+    val vname = f"v$batchId%020d"
+    val ctoks = chunkTokens(docs)
+    val postings = ctoks
+      .groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("tkb", pmod(xxhash64(col("token")), lit(TkBuckets.toLong)))
+      .persist()
+    try {
+      val dl = ctoks.groupBy("doc_id", "chunk_id", "start", "len")
+        .agg(count(lit(1)).as("dl"))
+        .persist()
+      try {
+        postings.write.mode("overwrite").partitionBy("tkb")
+          .parquet(new File(new File(stateDir, "postings"), vname).getPath)
+        dl.write.mode("overwrite")
+          .parquet(new File(new File(stateDir, "dl"), vname).getPath)
+        val bDf = postings.groupBy("token").agg(count(lit(1)).as("df"))
+        val bStats = dl.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("t_tok"))
+        val (nDf, nStats) = cur match {
+          case None => (bDf, bStats)
+          case Some((pDf, pStats)) =>
+            (pDf.unionByName(bDf).groupBy("token")
+              .agg(sum(col("df")).as("df")),
+              pStats.select("n_docs", "t_tok").unionByName(bStats)
+                .agg(sum(col("n_docs")).as("n_docs"),
+                  sum(col("t_tok")).as("t_tok")))
+        }
+        commitMerged(spark, stateDir, vname,
+          nDf.localCheckpoint(true),
+          nStats.withColumn("last_batch", lit(batchId)).localCheckpoint(true))
+        true
+      } finally { dl.unpersist(); () }
+    } finally { postings.unpersist(); () }
+  }
+
+  /** Write-new-version + atomic pointer swap + GC (the
+    * StreamingKMeans commit). The localCheckpoints upstream severed
+    * lineage from the generation being collected. */
+  private def commitMerged(spark: SparkSession, stateDir: String,
+      vname: String, dfreq: DataFrame, stats: DataFrame): Unit = {
+    val d = new File(mergedDir(stateDir), vname)
+    dfreq.coalesce(1).write.mode("overwrite").parquet(new File(d, "df").getPath)
+    stats.coalesce(1).write.mode("overwrite").parquet(new File(d, "stats").getPath)
+    val tmp = new File(mergedDir(stateDir), "CURRENT.tmp").toPath
+    Files.write(tmp, vname.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, new File(mergedDir(stateDir), "CURRENT").toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    Option(mergedDir(stateDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v") && f.getName != vname)
+      .foreach(deleteRec)
+  }
+
+  private def deleteRec(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  /** Serve a term query from the maintained index — identical output
+    * to running `q_rag_retrieve`'s direct computation over every
+    * indexed document, without touching their text. The postings read
+    * is partition-pruned to the query terms' token-hash buckets. */
+  def retrieve(spark: SparkSession, stateDir: String, terms: Seq[String],
+      k: Int = 10): DataFrame = {
+    val (postings, dl, dfreq, stats) = readState(spark, stateDir).getOrElse(
+      sys.error(s"no committed BM25 index under $stateDir"))
+    import spark.implicits._
+    val buckets = terms.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(TkBuckets.toLong))).as[Long]
+      .collect().distinct.toSeq
+    val tf = postings
+      .filter(col("tkb").isin(buckets: _*))
+      .filter(col("token").isin(terms: _*))
+      .select("doc_id", "chunk_id", "token", "tf")
+    score(tf, dfreq.filter(col("token").isin(terms: _*)), dl, stats, k)
+  }
+}

@@ -794,46 +794,49 @@ object CorpusQueries {
     * map-only explode; tf/df/dl are map-side-combining aggregates;
     * the final top-10 is TakeOrderedAndProject. */
   def ragRetrieve(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bm25Index
+    // Chunking/tokenization and the scoring tail live in Bm25Index
+    // (chunkTokens / score), SHARED with the stored-state index so
+    // the direct query and q_rag_incremental cannot drift.
     val terms = Seq("spark", "vector", "customer")
-    val cap = 32L
-    val stride = 24L
-    val t = Tables.documents(s, dir).select(col("doc_id"),
-      wsTokens(col("text")).as("toks"),
-      tokenCount(col("text")).cast(LongType).as("n_tok"))
-    val chunks = t.withColumn("n_chunks",
-        when(col("n_tok") <= cap, lit(1L))
-          .otherwise(lit(1L) +
-            floor((col("n_tok") - cap + stride - 1) / stride).cast(LongType)))
-      .select(col("doc_id"), col("toks"),
-        posexplode(sequence(lit(0L), col("n_chunks") - 1)).as(Seq("_p", "chunk_id")),
-        col("n_tok"))
-      .withColumn("start", col("chunk_id") * stride)
-      .withColumn("len", least(lit(cap), col("n_tok") - col("start")))
-    val ctoks = chunks.select(col("doc_id"), col("chunk_id"),
-        explode(slice(col("toks"), (col("start") + 1).cast(IntegerType),
-          col("len").cast(IntegerType))).as("token"))
-      .filter(col("token") =!= "")
-    val dl = ctoks.groupBy("doc_id", "chunk_id").agg(count(lit(1)).as("dl"))
+    val ctoks = Bm25Index.chunkTokens(Tables.documents(s, dir))
+    val dl = ctoks.groupBy("doc_id", "chunk_id", "start", "len")
+      .agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tok"))
     val tf = ctoks.filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "token")
-      .join(dl, Seq("doc_id", "chunk_id"))
-      .crossJoin(broadcast(stats))
-      .withColumn("a", expr(
-        "(44 * t_tok * tf * 1000000) DIV (20 * t_tok * tf + 6 * t_tok + 18 * n_docs * dl)"))
-      .withColumn("term_score", expr("(a * (2 * n_docs - 2 * df + 1)) DIV (2 * df + 1)"))
-      .groupBy("doc_id", "chunk_id")
-      .agg(count(lit(1)).cast(IntegerType).as("n_terms"),
-        sum(col("term_score")).as("score"))
-      .join(chunks.select("doc_id", "chunk_id", "start", "len"),
-        Seq("doc_id", "chunk_id"))
-      .orderBy(col("score").desc, col("doc_id").asc, col("chunk_id").asc)
-      .limit(10)
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id").asc, col("chunk_id").asc)))
-      .select("rnk", "doc_id", "chunk_id", "start", "len", "n_terms", "score")
+    Bm25Index.score(tf, dfreq, dl, stats, k = 10)
+  }
+
+  /** STORED-STATE retrieval — `q_rag_retrieve` served from the
+    * incremental [[graft.operators.Bm25Index]] instead of the raw
+    * text: the corpus folds in as two doc-disjoint batches (the
+    * Knuth-hash 90/10 split), each paying tokenization exactly once,
+    * and the query probes the persisted tf/df/dl/N state. Because
+    * every BM25 statistic is an additive integer aggregate over
+    * doc-disjoint batches, the served result is BIT-IDENTICAL to the
+    * full-corpus computation — so the oracle is simply
+    * [[ragRetrieveSql]], the strongest possible gate for an
+    * incremental path. In-query the state lives in a temp dir
+    * (driver queries are standalone); the production swap-in point is
+    * the `stateDir` argument of `Bm25Index.appendBatch`/`retrieve`. */
+  def ragIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bm25Index
+    val bucket =
+      pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(100L))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-idx")
+    try {
+      Bm25Index.appendBatch(s, tmp.toString, docs.filter(bucket < 90), 0L)
+      Bm25Index.appendBatch(s, tmp.toString, docs.filter(bucket >= 90), 1L)
+      Bm25Index.retrieve(s, tmp.toString,
+          Seq("spark", "vector", "customer"), k = 10)
+        .localCheckpoint(true) // sever lineage before the state dir dies
+        .orderBy("rnk")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile); ()
+    }
   }
 
   val ragRetrieveSql: String =
@@ -921,6 +924,7 @@ object CorpusQueries {
     QueryDef("q_budget_select", budgetSelect, Some(budgetSelectSql)),
     QueryDef("q_bm25_topk", bm25Topk, Some(bm25TopkSql)),
     QueryDef("q_rag_retrieve", ragRetrieve, Some(ragRetrieveSql)),
+    QueryDef("q_rag_incremental", ragIncremental, Some(ragRetrieveSql)),
     QueryDef("q_contamination_ngram", contaminationNgram, Some(contaminationNgramSql)),
     QueryDef("q_decon_bloom", deconBloom, Some(contaminationNgramSql)),
     QueryDef("q_repeated_grams", repeatedGrams, Some(repeatedGramsSql)),

@@ -1,0 +1,111 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bm25Index
+import graft.queries.CorpusQueries
+
+/** Incremental BM25 index: batch-fold must equal full rebuild
+  * statistic-for-statistic (the Scd2Sink rebuild==incremental
+  * pattern), serving from stored state must reproduce the direct
+  * q_rag_retrieve computation row-for-row, replays must no-op, and a
+  * half-committed batch must stay invisible until its replay
+  * completes the merge. */
+class Bm25IndexSpec extends SparkTestBase {
+
+  private def docs: DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+
+  private val bucket =
+    pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(100L))
+
+  private def dfMap(df: DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("two-batch fold == full rebuild for every stored statistic") {
+    val state = Fixtures.tempDir("bm25-fold").resolve("state").toString
+    assert(Bm25Index.appendBatch(spark, state, docs.filter(bucket < 90), 0L))
+    assert(Bm25Index.appendBatch(spark, state, docs.filter(bucket >= 90), 1L))
+    val (postings, dl, dfreq, stats) = Bm25Index.readState(spark, state).get
+    // rebuild the same statistics in one pass over the full corpus
+    val ctoks = Bm25Index.chunkTokens(docs)
+    val rDl = ctoks.groupBy("doc_id", "chunk_id", "start", "len")
+      .agg(count(lit(1)).as("dl"))
+    val rPost = ctoks.groupBy("doc_id", "chunk_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    assert(dfMap(dfreq) === dfMap(rPost.groupBy("token")
+      .agg(count(lit(1)).as("df"))), "df diverged")
+    val st = stats.select("n_docs", "t_tok").head()
+    val rSt = rDl.agg(count(lit(1)), sum(col("dl"))).head()
+    assert((st.getLong(0), st.getLong(1)) === (rSt.getLong(0), rSt.getLong(1)),
+      "corpus stats diverged")
+    def key3(df: DataFrame): Set[(Long, Long, String, Long)] =
+      df.select("doc_id", "chunk_id", "token", "tf").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(key3(postings) === key3(rPost), "postings diverged")
+    assert(dl.count() === rDl.count())
+  }
+
+  test("retrieve from stored state == direct q_rag_retrieve, row for row") {
+    val state = Fixtures.tempDir("bm25-serve").resolve("state").toString
+    Bm25Index.appendBatch(spark, state, docs.filter(bucket < 50), 0L)
+    Bm25Index.appendBatch(spark, state, docs.filter(bucket >= 50), 1L)
+    val served = Bm25Index.retrieve(spark, state,
+        Seq("spark", "vector", "customer"), k = 10)
+      .collect().map(_.toString).toSeq
+    val direct = CorpusQueries.ragRetrieve(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(served === direct,
+      "index-served retrieval must be bit-identical to the direct query")
+  }
+
+  test("replay no-ops; a half-committed batch is invisible, then healed") {
+    val state = Fixtures.tempDir("bm25-replay").resolve("state").toString
+    val b1 = docs.filter(bucket < 50)
+    val b2 = docs.filter(bucket >= 50)
+    assert(Bm25Index.appendBatch(spark, state, b1, 0L))
+    val after1 = Bm25Index.readState(spark, state).get._4
+      .select("n_docs", "t_tok", "last_batch").head().toSeq
+    // replay of a committed batch id: skipped, stats unchanged
+    assert(!Bm25Index.appendBatch(spark, state, b1, 0L))
+    assert(Bm25Index.readState(spark, state).get._4
+      .select("n_docs", "t_tok", "last_batch").head().toSeq === after1)
+    // crash window: batch 1's appends land but the merged swap never
+    // happens — emulate by applying batch 1 then rolling the merged
+    // state back to generation 0
+    val gen0 = new File(new File(state, "merged"), "CURRENT")
+    val v0 = new String(java.nio.file.Files.readAllBytes(gen0.toPath)).trim
+    assert(Bm25Index.appendBatch(spark, state, b2, 1L))
+    // roll the pointer back (the crash left the old generation live;
+    // GC'd dirs mean we simulate by rewriting the pointer BEFORE GC
+    // would have run — so rebuild generation 0 instead)
+    val state2 = Fixtures.tempDir("bm25-crash").resolve("state").toString
+    Bm25Index.appendBatch(spark, state2, b1, 0L)
+    // write batch 2's APPENDS only (what a crash before commit leaves)
+    val ctoks = Bm25Index.chunkTokens(b2)
+    ctoks.groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("tkb", pmod(xxhash64(col("token")), lit(64L)))
+      .write.mode("overwrite").partitionBy("tkb")
+      .parquet(new File(new File(state2, "postings"), f"v${1L}%020d").getPath)
+    ctoks.groupBy("doc_id", "chunk_id", "start", "len").agg(count(lit(1)).as("dl"))
+      .write.mode("overwrite")
+      .parquet(new File(new File(state2, "dl"), f"v${1L}%020d").getPath)
+    // the orphaned appends are invisible: served state == batch-1-only
+    val (p2, _, _, st2) = Bm25Index.readState(spark, state2).get
+    assert(st2.select("last_batch").head().getLong(0) === 0L)
+    assert(p2.select("doc_id").distinct().count() ===
+      b1.select("doc_id").distinct().count(),
+      "orphaned postings must not be served")
+    // the WAL re-delivers batch 1 → replay recomputes + commits
+    assert(Bm25Index.appendBatch(spark, state2, b2, 1L))
+    val healedStats = Bm25Index.readState(spark, state2).get._4
+      .select("n_docs", "t_tok").head()
+    val fullStats = Bm25Index.readState(spark, state).get._4
+      .select("n_docs", "t_tok").head()
+    assert(healedStats.toSeq === fullStats.toSeq, "healed state diverged")
+    assert(v0.nonEmpty) // silence unused warning; generation sanity
+  }
+}
