@@ -84,6 +84,17 @@ object IvfPq {
           .select(col("vec_id").as("c_id"), col("qv").as("cv"))
       else KMeans.fitQuantized(qvecs, kc, coarseRounds, mat)
         .select(col("c_id"), col("cv"))
+    buildWith(s, qvecs, cents, m, subLen, kCb, pqRounds, mat)
+  }
+
+  /** [[build]] with a PRECOMPUTED coarse quantizer — the entry point
+    * for [[autoKc]]'s sample-fitted centroids (the standard
+    * production move: quantizers train on a sample, only the single
+    * assignment pass touches the full corpus) and for reusing a
+    * frozen quantizer across index rebuilds. */
+  def buildWith(s: SparkSession, qvecs: DataFrame, cents: DataFrame,
+      m: Int, subLen: Int, kCb: Int, pqRounds: Int,
+      mat: Materializer = Materializer.Local): (DataFrame, DataFrame, DataFrame) = {
     val res = residuals(s, qvecs, cents)
     val resQv = res.select(col("vec_id"), col("cell"), col("rv").as("qv"))
     val codebooks =
@@ -98,6 +109,90 @@ object IvfPq {
     val codes = ProductQuantizer.encode(s, resQv, codebooks, m, subLen)
       .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
     (cents, codebooks, codes)
+  }
+
+  /** AUTO-SIZE the coarse quantizer — the round-10 ablation's recipe
+    * (PLANS.md "IVF-PQ at 1M vectors") made a one-call operator: a
+    * kc matched to the corpus's natural cluster count wins BOTH
+    * recall and probe cost, because residuals then span only the
+    * within-cluster scale the PQ codebooks can resolve. The
+    * selection signal is exactly that geometry, measured on samples:
+    *
+    *  1. draw a deterministic hash-split fit sample (~`fitN`) and a
+    *     DISJOINT eval sample (~`evalN`) — held-out, so a kc large
+    *     enough to memorize the fit sample earns no free zero
+    *     residuals;
+    *  2. estimate the NEIGHBOR scale once: median over eval vectors
+    *     of the exact nearest-fit-point d2 (zero distances — exact
+    *     duplicates — carry no scale information and are excluded).
+    *     Sample sparsity inflates this estimate (the true nearest
+    *     neighbor may not be sampled), which `alpha` absorbs;
+    *  3. per grid kc (ascending): fit the coarse quantizer ON THE
+    *     SAMPLE (Lloyd in quantized space; kc capped at the sample
+    *     size), assign the eval sample, and take the median residual
+    *     norm-squared — the scale PQ would have to encode;
+    *  4. pick the SMALLEST kc whose median residual d2 <=
+    *     alpha x neighbor d2 (under-resolution is what kills ADC
+    *     recall, and probe cost RISES with cell size, so the
+    *     smallest sufficient kc is the right end of the trade); if
+    *     none qualifies, the grid maximum (with its ratio visible in
+    *     the diagnostics).
+    *
+    * Returns (chosen kc, the winning SAMPLE-FITTED centroid frame —
+    * feed it to [[buildWith]] so the full corpus pays one assignment
+    * pass and zero full-scale Lloyd rounds — and a diagnostics frame
+    * `(kc, med_res_d2, nn_d2, ratio, chosen)`).
+    *
+    * Cost shape at 100 TB: one corpus `count()`, one hash-filtered
+    * sample scan, then everything downstream is sample x sample or
+    * sample x kc — the corpus is never crossed with anything. The
+    * fit-sample re-id window is a single task over ~fitN rows
+    * (bounded by construction, the pack_bins exemption). */
+  def autoKc(s: SparkSession, qvecs: DataFrame,
+      grid: Seq[Int] = Seq(64, 256, 1024, 4096),
+      fitN: Long = 4096, evalN: Long = 512, alpha: Double = 1.0,
+      coarseRounds: Int = 2,
+      mat: Materializer = Materializer.Local): (Int, DataFrame, DataFrame) = {
+    require(grid.nonEmpty, "autoKc needs a non-empty kc grid")
+    import graft.functions.VectorOps.dotLong
+    val n = math.max(1L, qvecs.count())
+    val ppm = 1000000L
+    val fitCut = math.min(ppm, math.max(1L, fitN * ppm / n))
+    val evalCut = math.min(ppm - fitCut, math.max(1L, evalN * ppm / n))
+    val h = pmod(xxhash64(col("vec_id")), lit(ppm))
+    val fit = qvecs.filter(h < fitCut)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("long").as("vec_id"), col("qv")) // dense re-id for the seed rule
+      .localCheckpoint(true)
+    val eval = qvecs.filter(h >= fitCut && h < fitCut + evalCut)
+      .select("vec_id", "qv").localCheckpoint(true)
+    val fitCount = fit.count()
+    val nnD2 = eval
+      .crossJoin(broadcast(fit.select(col("qv").as("fv"))))
+      .select(col("vec_id"), (dotLong(s, col("qv"), col("qv"))
+        - lit(2L) * dotLong(s, col("qv"), col("fv"))
+        + dotLong(s, col("fv"), col("fv"))).as("_d2"))
+      .filter(col("_d2") > 0)
+      .groupBy("vec_id").agg(min(col("_d2")).as("nn"))
+      .agg(expr("percentile(nn, 0.5)")).head().getDouble(0)
+    val fitted = grid.sorted.map { kc =>
+      val kcap = math.min(kc.toLong, fitCount).toInt
+      val cents =
+        if (coarseRounds == 0) fit.filter(col("vec_id") < kcap)
+          .select(col("vec_id").as("c_id"), col("qv").as("cv"))
+        else KMeans.fitQuantized(fit, kcap, coarseRounds, mat)
+          .select(col("c_id"), col("cv"))
+          .localCheckpoint(true)
+      val medRes = residuals(s, eval, cents)
+        .select(dotLong(s, col("rv"), col("rv")).as("r2"))
+        .agg(expr("percentile(r2, 0.5)")).head().getDouble(0)
+      (kc, cents, medRes)
+    }
+    val chosen = fitted.find(_._3 <= alpha * nnD2).getOrElse(fitted.last)
+    val diag = s.createDataFrame(fitted.map { case (kc, _, r) =>
+      (kc, r, nnD2, r / nnD2, kc == chosen._1)
+    }).toDF("kc", "med_res_d2", "nn_d2", "ratio", "chosen")
+    (chosen._1, chosen._2, diag)
   }
 
   /** ADC probe: per query `(q_id, qv)`, rank the vectors of the
