@@ -168,14 +168,33 @@ object Bm25Index {
       // one read per version dir, each rooted at its own basePath so
       // the tkb= partition layout resolves; the union is append-only
       // file metadata, and a tkb filter pushes through it into every
-      // arm's partition pruning
-      val postings = visibleAppendDirs(stateDir, "postings", last)
-        .map(d => spark.read.option("basePath", d).parquet(d))
-        .reduce(_ unionByName _)
-      val dl = spark.read
-        .parquet(visibleAppendDirs(stateDir, "dl", last): _*)
+      // arm's partition pruning. Zero visible dirs (external GC, or a
+      // compaction race) degrades to a correctly-typed empty frame —
+      // the StreamingIvf.readIndex empty-lists discipline — instead
+      // of reduce() throwing on the empty Seq (ADVICE r11).
+      val pDirs = visibleAppendDirs(stateDir, "postings", last)
+      val postings =
+        if (pDirs.isEmpty) emptyPostings(spark)
+        else pDirs.map(d => spark.read.option("basePath", d).parquet(d))
+          .reduce(_ unionByName _)
+      val dlDirs = visibleAppendDirs(stateDir, "dl", last)
+      val dl =
+        if (dlDirs.isEmpty) emptyDl(spark)
+        else spark.read.parquet(dlDirs: _*)
       (postings, dl, dfreq, stats)
     }
+
+  private def emptyPostings(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, String, Long, Long)]
+      .toDF("doc_id", "chunk_id", "token", "tf", "tkb")
+  }
+
+  private def emptyDl(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long, Long, Long)]
+      .toDF("doc_id", "chunk_id", "start", "len", "dl")
+  }
 
   /** Fold one document batch `(doc_id, text)` into the index. Only
     * the batch pays tokenization; postings/dl append, df/stats merge.
@@ -193,6 +212,12 @@ object Bm25Index {
       .groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
       .withColumn("tkb", pmod(xxhash64(col("token")), lit(TkBuckets.toLong)))
       .persist()
+    // A non-empty doc batch can still tokenize to ZERO rows (all
+    // whitespace/empty texts): writing it would leave a partitioned
+    // dir with _SUCCESS but no part files, and every later read would
+    // fail schema inference on it — treat as an empty batch instead
+    // (ADVICE r11). The batch id is NOT consumed: no state changed.
+    if (postings.isEmpty) { postings.unpersist(); return false }
     try {
       val dl = ctoks.groupBy("doc_id", "chunk_id", "start", "len")
         .agg(count(lit(1)).as("dl"))

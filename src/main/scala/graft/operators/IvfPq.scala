@@ -157,8 +157,13 @@ object IvfPq {
     import graft.functions.VectorOps.dotLong
     val n = math.max(1L, qvecs.count())
     val ppm = 1000000L
-    val fitCut = math.min(ppm, math.max(1L, fitN * ppm / n))
-    val evalCut = math.min(ppm - fitCut, math.max(1L, evalN * ppm / n))
+    // Reserve the eval share FIRST (ADVICE r11): on a corpus with
+    // n <= fitN the fit cut would otherwise clamp to the whole hash
+    // range and leave the held-out sample empty — the NULL-percentile
+    // NPE. Eval gets its proportional share capped at 20% of the
+    // range; fit takes up to the remainder.
+    val evalCut = math.min(ppm / 5, math.max(1L, evalN * ppm / n))
+    val fitCut = math.min(ppm - evalCut, math.max(1L, fitN * ppm / n))
     val h = pmod(xxhash64(col("vec_id")), lit(ppm))
     val fit = qvecs.filter(h < fitCut)
       .select((row_number().over(Window.orderBy("vec_id")) - 1)
@@ -167,14 +172,25 @@ object IvfPq {
     val eval = qvecs.filter(h >= fitCut && h < fitCut + evalCut)
       .select("vec_id", "qv").localCheckpoint(true)
     val fitCount = fit.count()
-    val nnD2 = eval
+    require(fitCount > 0 && !eval.isEmpty, s"autoKc: the hash split " +
+      s"produced an empty sample (n=$n, fit=$fitCount) — corpus too " +
+      "small to auto-size; pass kc explicitly to build()")
+    // Zero nearest-fit distances (exact duplicates) carry no scale
+    // information; a corpus where EVERY eval point duplicates a fit
+    // point leaves nothing to calibrate against — fail with the
+    // remedy rather than an opaque NPE on the NULL percentile.
+    val nnRow = eval
       .crossJoin(broadcast(fit.select(col("qv").as("fv"))))
       .select(col("vec_id"), (dotLong(s, col("qv"), col("qv"))
         - lit(2L) * dotLong(s, col("qv"), col("fv"))
         + dotLong(s, col("fv"), col("fv"))).as("_d2"))
       .filter(col("_d2") > 0)
       .groupBy("vec_id").agg(min(col("_d2")).as("nn"))
-      .agg(expr("percentile(nn, 0.5)")).head().getDouble(0)
+      .agg(expr("percentile(nn, 0.5)")).head()
+    require(!nnRow.isNullAt(0), "autoKc: every eval vector exactly " +
+      "duplicates a fit vector — the corpus has no neighbor scale to " +
+      "calibrate against; dedup first or pass kc explicitly to build()")
+    val nnD2 = nnRow.getDouble(0)
     val fitted = grid.sorted.map { kc =>
       val kcap = math.min(kc.toLong, fitCount).toInt
       val cents =

@@ -830,9 +830,15 @@ object CorpusQueries {
     try {
       Bm25Index.appendBatch(s, tmp.toString, docs.filter(bucket < 90), 0L)
       Bm25Index.appendBatch(s, tmp.toString, docs.filter(bucket >= 90), 1L)
-      Bm25Index.retrieve(s, tmp.toString,
-          Seq("spark", "vector", "customer"), k = 10)
-        .localCheckpoint(true) // sever lineage before the state dir dies
+      val res = Bm25Index.retrieve(s, tmp.toString,
+        Seq("spark", "vector", "customer"), k = 10)
+      // The result is <= k rows: pin it on the DRIVER before the temp
+      // state dir dies. localCheckpoint alone leaves the frame's
+      // recomputation path reaching into the deleted directory if an
+      // executor holding checkpoint blocks is lost — fine in local
+      // mode, wrong on a cluster (ADVICE r11).
+      s.createDataFrame(
+          java.util.Arrays.asList(res.collect(): _*), res.schema)
         .orderBy("rnk")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile); ()

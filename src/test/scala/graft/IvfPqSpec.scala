@@ -176,6 +176,71 @@ class IvfPqSpec extends SparkTestBase {
     }
   }
 
+  test("autoKc on the planted corpus: rejects under-resolved kc, picks the matched one") {
+    val e = quantized
+    // alpha=1.25: the held-out nearest-FIT-point distance understates
+    // nothing here, but a Lloyd centroid sits at the cluster MEAN, so
+    // the matched-kc median residual runs a few % above the nn scale
+    // (measured 1.106 on this corpus) — alpha is the documented knob
+    // that absorbs exactly this sample-geometry slack.
+    val (kc, cents, diag) = IvfPq.autoKc(spark, e,
+      grid = Seq(2, 4, 8, 16), alpha = 1.25)
+    assert(kc == 8, s"autoKc picked $kc, not the natural cluster count")
+    val d = diag.collect().map(r =>
+      (r.getInt(0), r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+    // kc below the natural count leaves residuals at CLUSTER scale —
+    // ratios 5-6 orders of magnitude past any sane alpha; the rule
+    // must skip them, not "almost qualify"
+    assert(d.filter(_._1 < 8).forall(_._2 > 1000.0))
+    assert(d.collect { case (k, _, true) => k }.toSeq == Seq(8))
+    // end-to-end: the SAMPLE-fitted centroids feed buildWith, and
+    // probe+rerank over the full corpus recovers the brute-force
+    // top-1 for every centroid query (own-cluster cells are probed
+    // first by construction, rerank is exact over the candidates)
+    val (ce, cb, co) = IvfPq.buildWith(spark, e, cents,
+      m = 4, subLen = 16, kCb = 24, pqRounds = 0)
+    val qs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    val c100 = IvfPq.probe(spark, ce, cb, co, qs, k = 100, nProbe = 2,
+      m = 4, subLen = 16, excludeSelf = true)
+    val got = ProductQuantizer.rerank(spark, c100, e, qs, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val ids = vecs.map(_._1)
+    for (qid <- 0L until 8L) {
+      val want = ids.filter(_ != qid)
+        .map(v => v -> d2(q(qid), q(v))).minBy { case (v, dd) => (dd, v) }._1
+      assert(got(qid) == want, s"query $qid: top-1 ${got(qid)} != exact $want")
+    }
+    // default alpha=1.0 is stricter than the 1.106 matched-kc ratio:
+    // nothing qualifies and the rule falls back to the grid maximum —
+    // the documented fallback, visible in the diagnostics
+    val (kcStrict, _, _) = IvfPq.autoKc(spark, e, grid = Seq(2, 4, 8, 16))
+    assert(kcStrict == 16)
+  }
+
+  test("autoKc degenerate corpora: clear errors, never an NPE") {
+    import spark.implicits._
+    // n=10 (far below fitN=4096): the eval share is reserved BEFORE
+    // the fit cut clamps, so the held-out sample is non-empty and the
+    // call completes instead of NPE-ing on a NULL percentile
+    val tiny = (0L until 10L)
+      .map(i => (i, Array.tabulate(64)(d => (i * 100 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), ProductQuantizer.quantize(col("embedding")).as("qv"))
+    val (kcT, centsT, _) = IvfPq.autoKc(spark, tiny, grid = Seq(2, 4))
+    assert(Seq(2, 4).contains(kcT) && centsT.count() > 0)
+    // all-duplicate corpus: every eval-to-fit distance is 0, there is
+    // no neighbor scale — must fail with the remedy in the message
+    val dup = (0L until 50L).map(i => (i, Array.fill(64)(1.5f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), ProductQuantizer.quantize(col("embedding")).as("qv"))
+    val ex = intercept[IllegalArgumentException] {
+      IvfPq.autoKc(spark, dup, grid = Seq(2))
+    }
+    assert(ex.getMessage.contains("autoKc") &&
+      ex.getMessage.contains("pass kc explicitly"))
+  }
+
   test("trained path: Lloyd coarse + per-subspace codebooks run deterministically") {
     val e = quantized
     def run() = {
