@@ -58,11 +58,13 @@ import graft.functions.TextFunctions._
   * document is a rebuild-class operation, as in every inverted-index
   * store.
   *
-  * At 100 TB: the per-batch append dirs are the compaction unit
-  * (coalesce into fewer, larger tkb-partitioned files in the
-  * background); `df` merge cost is vocabulary-scale, not corpus-
-  * scale; `dl` probes join on (doc_id, chunk_id) after the postings
-  * filter has already shrunk the left side to matching chunks only.
+  * At 100 TB: the per-batch append dirs are the compaction unit —
+  * [[compact]] rewrites the visible dirs of each family into one
+  * generation (tkb layout preserved) behind a heal-able rename-aside
+  * swap, so N-batch read fan-in is a maintenance knob, not a decay
+  * curve; `df` merge cost is vocabulary-scale, not corpus-scale;
+  * `dl` probes join on (doc_id, chunk_id) after the postings filter
+  * has already shrunk the left side to matching chunks only.
   */
 object Bm25Index {
 
@@ -162,7 +164,8 @@ object Bm25Index {
   /** The full served state `(postings, dl, df, stats)` after every
     * committed batch, or None before the first. */
   def readState(spark: SparkSession, stateDir: String)
-      : Option[(DataFrame, DataFrame, DataFrame, DataFrame)] =
+      : Option[(DataFrame, DataFrame, DataFrame, DataFrame)] = {
+    healCompaction(stateDir)
     readMerged(spark, stateDir).map { case (dfreq, stats) =>
       val last = stats.select("last_batch").head().getLong(0)
       // one read per version dir, each rooted at its own basePath so
@@ -183,6 +186,7 @@ object Bm25Index {
         else spark.read.parquet(dlDirs: _*)
       (postings, dl, dfreq, stats)
     }
+  }
 
   private def emptyPostings(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -202,6 +206,7 @@ object Bm25Index {
     * or empty batch). */
   def appendBatch(spark: SparkSession, stateDir: String, docs: DataFrame,
       batchId: Long): Boolean = {
+    healCompaction(stateDir)
     val cur = readMerged(spark, stateDir)
     val last = cur.map(_._2.select("last_batch").head().getLong(0))
     if (last.exists(_ >= batchId)) return false // replay
@@ -267,6 +272,81 @@ object Bm25Index {
   private def deleteRec(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
     f.delete(); ()
+  }
+
+  /** Heal the compaction swap's crash windows before touching state:
+    * a live family dir missing with its `.bak` present means the swap
+    * died between its two renames — restore the backup; a `.bak` next
+    * to a live dir means the swap completed but cleanup didn't —
+    * drop it; any `.tmp` is an unfinished compaction write — drop it.
+    * Every caller that lists or writes the family dirs runs this
+    * first, so a crashed [[compact]] can never be half-seen (and an
+    * [[appendBatch]] landing after a mid-swap crash cannot recreate
+    * the live dir and trick cleanup into deleting the backup). */
+  private def healCompaction(stateDir: String): Unit =
+    for (sub <- Seq("postings", "dl")) {
+      val live = new File(stateDir, sub)
+      val bak = new File(stateDir, sub + ".bak")
+      val tmp = new File(stateDir, sub + ".tmp")
+      if (!live.exists() && bak.exists()) { bak.renameTo(live); () }
+      else if (bak.exists()) deleteRec(bak)
+      if (tmp.exists()) deleteRec(tmp)
+    }
+
+  /** Rename-aside swap (the [[graft.sink.Compactor]] discipline): the
+    * live dir moves to `.bak`, the rewrite moves in, the backup dies.
+    * A crash at any point leaves a state [[healCompaction]] restores. */
+  private def swapIn(live: File, tmp: File): Unit = {
+    val bak = new File(live.getParentFile, live.getName + ".bak")
+    deleteRec(bak)
+    if (!live.renameTo(bak)) sys.error(s"compact: cannot move $live aside")
+    if (!tmp.renameTo(live)) {
+      bak.renameTo(live)
+      sys.error(s"compact: swap failed for $live; original restored")
+    }
+    deleteRec(bak)
+  }
+
+  /** Background compaction — the coalesce the scaladoc above promised:
+    * rewrite the visible postings/dl append dirs into ONE generation
+    * each (named at the committed frontier, so readers' `<= frontier`
+    * rule picks it up and later appends sort after it). Served content
+    * is IDENTICAL before and after (spec-pinned); the postings rewrite
+    * keeps the `tkb` partition layout, and each family swaps
+    * independently — a crash between the two swaps leaves one family
+    * compacted and the other not, which readers cannot distinguish
+    * from content (union semantics). The merged `df`/`stats`
+    * generation is untouched: it is already one frame. Run this when
+    * no writer is active (single-writer discipline, as with every
+    * file-layout compactor); concurrent READERS on another session
+    * see either generation, never half of one, thanks to the
+    * rename-aside windows being healable and `_SUCCESS`-gated.
+    * Returns true iff a rewrite happened (false = nothing to merge). */
+  def compact(spark: SparkSession, stateDir: String): Boolean = {
+    healCompaction(stateDir)
+    val cur = readMerged(spark, stateDir)
+    if (cur.isEmpty) return false
+    val last = cur.get._2.select("last_batch").head().getLong(0)
+    val vname = f"v$last%020d"
+    val pDirs = visibleAppendDirs(stateDir, "postings", last)
+    val dlDirs = visibleAppendDirs(stateDir, "dl", last)
+    if (pDirs.size <= 1 && dlDirs.size <= 1) return false
+    val pTmp = new File(stateDir, "postings.tmp")
+    val dlTmp = new File(stateDir, "dl.tmp")
+    if (pDirs.nonEmpty) {
+      pDirs.map(d => spark.read.option("basePath", d).parquet(d))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").partitionBy("tkb")
+        .parquet(new File(pTmp, vname).getPath)
+      swapIn(new File(stateDir, "postings"), pTmp)
+    }
+    if (dlDirs.nonEmpty) {
+      spark.read.parquet(dlDirs: _*)
+        .write.mode("overwrite")
+        .parquet(new File(dlTmp, vname).getPath)
+      swapIn(new File(stateDir, "dl"), dlTmp)
+    }
+    true
   }
 
   /** Serve a term query from the maintained index — identical output

@@ -108,4 +108,103 @@ class Bm25IndexSpec extends SparkTestBase {
     assert(healedStats.toSeq === fullStats.toSeq, "healed state diverged")
     assert(v0.nonEmpty) // silence unused warning; generation sanity
   }
+
+  private def versionDirs(state: String, sub: String): Seq[String] =
+    Option(new File(state, sub).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("v"))
+      .map(_.getName).sorted
+
+  test("compact: N append dirs become one, served content identical, appends continue") {
+    val state = Fixtures.tempDir("bm25-compact").resolve("state").toString
+    val terms = Seq("spark", "vector", "customer")
+    for (i <- 0 until 3)
+      assert(Bm25Index.appendBatch(spark, state,
+        docs.filter(bucket >= i * 25 && bucket < (i + 1) * 25), i.toLong))
+    val before = Bm25Index.retrieve(spark, state, terms)
+      .collect().map(_.toString).toSeq
+    val (p0, d0, _, _) = Bm25Index.readState(spark, state).get
+    val pBefore = p0.collect().map(_.toString).sorted.toSeq
+    val dBefore = d0.collect().map(_.toString).sorted.toSeq
+    assert(versionDirs(state, "postings").size === 3)
+    assert(Bm25Index.compact(spark, state))
+    // one generation per family, named at the committed frontier
+    assert(versionDirs(state, "postings") === Seq(f"v${2L}%020d"))
+    assert(versionDirs(state, "dl") === Seq(f"v${2L}%020d"))
+    // served content is identical row-for-row (postings keep tkb)
+    val (p1, d1, _, st1) = Bm25Index.readState(spark, state).get
+    assert(p1.collect().map(_.toString).sorted.toSeq === pBefore)
+    assert(d1.collect().map(_.toString).sorted.toSeq === dBefore)
+    assert(st1.select("last_batch").head().getLong(0) === 2L)
+    assert(Bm25Index.retrieve(spark, state, terms)
+      .collect().map(_.toString).toSeq === before)
+    // compacting a compacted index is a no-op
+    assert(!Bm25Index.compact(spark, state))
+    // appends keep folding on top of the compacted generation, and the
+    // final served ranking equals the direct full-corpus computation
+    assert(Bm25Index.appendBatch(spark, state, docs.filter(bucket >= 75), 3L))
+    assert(versionDirs(state, "postings").size === 2)
+    val full = CorpusQueries.ragRetrieve(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(Bm25Index.retrieve(spark, state, terms)
+      .collect().map(_.toString).toSeq === full)
+  }
+
+  test("compact crash windows heal: mid-swap, stale backup, orphan tmp") {
+    val state = Fixtures.tempDir("bm25-cheal").resolve("state").toString
+    Bm25Index.appendBatch(spark, state, docs.filter(bucket < 50), 0L)
+    Bm25Index.appendBatch(spark, state, docs.filter(bucket >= 50), 1L)
+    val want = Bm25Index.retrieve(spark, state, Seq("spark", "vector"))
+      .collect().map(_.toString).toSeq
+    // crash between the swap's two renames: live gone, backup present
+    val live = new File(state, "postings")
+    val bak = new File(state, "postings.bak")
+    assert(live.renameTo(bak))
+    assert(Bm25Index.retrieve(spark, state, Seq("spark", "vector"))
+      .collect().map(_.toString).toSeq === want, "heal must restore the backup")
+    assert(live.exists() && !bak.exists())
+    // crash after the swap, before cleanup: stale backup next to live
+    val staleBak = new File(state, "dl.bak")
+    assert(staleBak.mkdirs())
+    // crash mid-rewrite: an orphaned tmp tree
+    val orphan = new File(new File(state, "postings.tmp"), "vjunk")
+    assert(orphan.mkdirs())
+    assert(Bm25Index.retrieve(spark, state, Seq("spark", "vector"))
+      .collect().map(_.toString).toSeq === want)
+    assert(!staleBak.exists() && !new File(state, "postings.tmp").exists())
+  }
+
+  test("zero-token batch: rejected before it can brick the partitioned layout") {
+    import spark.implicits._
+    val state = Fixtures.tempDir("bm25-zero").resolve("state").toString
+    val blank = Seq((1L, "   "), (2L, "")).toDF("doc_id", "text")
+    // on an empty index: nothing committed at all
+    assert(!Bm25Index.appendBatch(spark, state, blank, 0L))
+    assert(Bm25Index.readState(spark, state).isEmpty)
+    // on a live index: state byte-identical, the batch id NOT consumed
+    assert(Bm25Index.appendBatch(spark, state, docs.filter(bucket < 50), 0L))
+    val st0 = Bm25Index.readState(spark, state).get._4
+      .select("n_docs", "t_tok", "last_batch").head().toSeq
+    assert(!Bm25Index.appendBatch(spark, state, blank, 1L))
+    assert(Bm25Index.readState(spark, state).get._4
+      .select("n_docs", "t_tok", "last_batch").head().toSeq === st0)
+    // ...so the real batch 1 still lands under its id
+    assert(Bm25Index.appendBatch(spark, state, docs.filter(bucket >= 50), 1L))
+  }
+
+  test("externally GC'd append dirs degrade to empty frames, not a crash") {
+    val state = Fixtures.tempDir("bm25-gc").resolve("state").toString
+    Bm25Index.appendBatch(spark, state, docs.filter(bucket < 50), 0L)
+    def nuke(sub: String): Unit = {
+      def rec(f: File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+        f.delete(); ()
+      }
+      rec(new File(state, sub))
+    }
+    nuke("postings"); nuke("dl")
+    val (p, d, _, st) = Bm25Index.readState(spark, state).get
+    assert(p.count() === 0L && d.count() === 0L)
+    assert(st.select("last_batch").head().getLong(0) === 0L)
+    assert(Bm25Index.retrieve(spark, state, Seq("spark")).count() === 0L)
+  }
 }
