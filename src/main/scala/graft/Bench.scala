@@ -21,6 +21,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Load-factor sentinel (VERDICT r10 #6 / r11 #4): one FIXED query
+    // — q_tpch_q6, a single-stage scan+agg whose plan never changes
+    // round to round — timed solo before the suite (one untimed run
+    // to compile its codegen, then min of three). Its value moves
+    // with the bench host's transient co-tenant load and nothing
+    // else, so round-over-round totals can be read against it: if
+    // `lf` moved 1.3× between rounds, a 1.3× total move is the host,
+    // not the code.
+    val sentinel = "q_tpch_q6"
+    val lf: Double =
+      if (!SparkEntry.queries.contains(sentinel)) -1.0
+      else {
+        try {
+          SparkEntry.queries(sentinel)(spark, sfDir).count()
+          (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(sentinel)(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        } catch { case _: Throwable => -1.0 }
+      }
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
@@ -183,7 +204,7 @@ object Bench {
       // set iff its emitted value is ≥ 1.5 s, modulo the rare boundary
       // query whose extra samples dropped its min below the cut, which
       // the count exposes (PLANS.md "Bench protocol").
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n5":${slow.size},"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n5":${slow.size},"lf":${fmt(lf)},"sf":"$sfTag"}"""
     }
     // First encoding that fits the window wins — stage 1 first for key
     // continuity with prior rounds, stage 2 when stage 1 overflows,
@@ -203,7 +224,7 @@ object Bench {
           .stripTrailingZeros.toPlainString
       val qs = emitted.map { case (k, v) => s"\"" + short(k) + "\":" + fmtc(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n5":${slow.size},"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n5":${slow.size},"lf":${fmt(lf)},"sf":"$sfTag"}"""
     }
     val candidates =
       (shorten(abbrev) ++ shorten(abbrev2) ++ shorten(abbrev3) ++
@@ -216,7 +237,7 @@ object Bench {
         s"(stages present: a=${shorten(abbrev).isDefined} a2=${shorten(abbrev2).isDefined} " +
         s"a3=${shorten(abbrev3).isDefined} a4=${shorten(abbrev4).isDefined} a5=${abbrev5.isDefined})")
     val safe = candidates.find(_.length <= 1850).getOrElse(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":"$sfTag"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"lf":${fmt(lf)},"sf":"$sfTag"}""")
     // Stop Spark BEFORE printing: shutdown logging would otherwise land
     // after the metric line and push it away from the end of the tail
     // window the harness captures.

@@ -785,6 +785,128 @@ object StressMain {
       }
       corpus.unpersist(); qs.unpersist(): Unit
     }
+    // AUTO-KC ablation at 1M vectors (VERDICT r11 #1): does the
+    // sample-only sizing rule reach the matched-coarse recall the
+    // hand-tuned kc2000 config measured, without being told 2000?
+    // The corpus has 2000 natural clusters; the rule sees only a
+    // ~4096-point fit sample and a disjoint ~512-point eval sample.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_AUTOKC")) {
+      import org.apache.spark.sql.functions._
+      import operators.{IvfPq, ProductQuantizer}
+      val (m, subLen, kCb) = (4, 16, 256)
+      val raw = spark.read.parquet(ensureAnn1m(spark))
+      val corpus = raw.select(col("vec_id"),
+        ProductQuantizer.quantize(col("embedding")).as("qv")).persist()
+      println(s"[stress] autokc corpus         rows=${corpus.count()}")
+      val qs = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv")).persist()
+      qs.count(): Unit
+      val k = 10
+      def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+      var exact: Map[Long, Seq[Long]] = Map.empty
+      time("autokc exact-l2 1M")(
+        { exact = topk(ProductQuantizer.exactL2TopK(spark, corpus, qs, k)); exact.size.toLong })
+      def recall(got: Map[Long, Seq[Long]]): Double = {
+        val per = exact.keys.toSeq.map { q =>
+          exact(q).count(got.getOrElse(q, Nil).toSet).toDouble / exact(q).size }
+        per.sum / per.size
+      }
+      var picked: (Int, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
+      time("autokc select 1M")({ picked = IvfPq.autoKc(spark, corpus); picked._1.toLong })
+      picked._3.orderBy("kc").collect().foreach { r =>
+        println(f"[stress] autokc grid kc=${r.getInt(0)}%-5d " +
+          f"med_res=${r.getDouble(1)}%.3e nn=${r.getDouble(2)}%.3e " +
+          f"ratio=${r.getDouble(3)}%.3f chosen=${r.getBoolean(4)}")
+      }
+      val cents = picked._2.localCheckpoint(true)
+      var built: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = null
+      time(s"autokc build kc=${picked._1}")({
+        val (ce, cb, co) = IvfPq.buildWith(spark, corpus, cents, m, subLen, kCb,
+          pqRounds = 2)
+        built = (ce.localCheckpoint(true), cb.localCheckpoint(true),
+          co.localCheckpoint(true))
+        built._3.count()
+      })
+      val (ce, cb, co) = built
+      for (nProbe <- Seq(1, 4, 16)) {
+        var adc: Map[Long, Seq[Long]] = Map.empty
+        time(s"autokc probe np=$nProbe")(
+          { adc = topk(IvfPq.probe(spark, ce, cb, co, qs, k, nProbe, m, subLen,
+              excludeSelf = true)); adc.size.toLong })
+        var rr: Map[Long, Seq[Long]] = Map.empty
+        time(s"autokc rerank np=$nProbe")({
+          val c100 = IvfPq.probe(spark, ce, cb, co, qs, 100, nProbe, m, subLen,
+            excludeSelf = true)
+          rr = topk(ProductQuantizer.rerank(spark, c100, corpus, qs, k))
+          rr.size.toLong
+        })
+        println(f"[stress] autokc kc=${picked._1} np=$nProbe " +
+          f"recall=${recall(adc)}%.3f rerank100=${recall(rr)}%.3f")
+      }
+      corpus.unpersist(); qs.unpersist(): Unit
+    }
+    // Z-ORDER write-path ablation at 2M rows (VERDICT r11 #5): the
+    // writeZOrdered layout vs a single-column custkey sort, judged by
+    // the parquet row-group footers a scan's skipping consults —
+    // uniform (custkey, day) over the full 2048×4096 domain, 64
+    // files each.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_ZORDER")) {
+      import org.apache.spark.sql.functions._
+      import scala.jdk.CollectionConverters._
+      val n = 2000000L
+      val df = spark.range(n).select(col("id").as("o_orderkey"),
+          pmod(col("id") * 2654435761L, lit(2048L)).as("o_custkey"),
+          pmod(col("id") * 1103515245L + 12345L, lit(4096L)).as("day"))
+        .localCheckpoint(true)
+      val nFiles = 64
+      val zdir = "/tmp/stress_zorder/z"
+      val sdir = "/tmp/stress_zorder/s"
+      time("zorder write 2M")({
+        sink.PartitionedWriter.writeZOrdered(df, zdir,
+          functions.ZOrder.zkey(col("o_custkey"), 3, col("day"), 4, 8), nFiles)
+        n
+      })
+      time("sorted write 2M")({
+        df.repartitionByRange(nFiles, col("o_custkey"))
+          .sortWithinPartitions("o_custkey")
+          .write.mode("overwrite").parquet(sdir)
+        n
+      })
+      def rgStats(dir: String, column: String): Seq[(Long, Long)] = {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(conf)
+        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+          .toSeq.flatMap { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+            try r.getFooter.getBlocks.asScala.map { b =>
+              val st = b.getColumns.asScala
+                .find(_.getPath.toDotString == column).get.getStatistics
+              (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+            }.toSeq
+            finally r.close()
+          }
+      }
+      def overlaps(dir: String, cust: (Long, Long), day: (Long, Long)): (Int, Int) = {
+        val s = rgStats(dir, "o_custkey").zip(rgStats(dir, "day"))
+        (s.count { case ((cMin, cMax), (dMin, dMax)) =>
+          cMax >= cust._1 && cMin <= cust._2 && dMax >= day._1 && dMin <= day._2
+        }, s.size)
+      }
+      for ((tag, cust, day) <- Seq(
+          ("day[0,256)   ", (Long.MinValue, Long.MaxValue), (0L, 255L)),
+          ("cust[0,256)  ", (0L, 255L), (Long.MinValue, Long.MaxValue)),
+          ("2D 512x1024  ", (0L, 511L), (0L, 1023L)))) {
+        val (zo, zn) = overlaps(zdir, cust, day)
+        val (so, sn) = overlaps(sdir, cust, day)
+        println(s"[stress] zorder rowgroups $tag zorder $zo/$zn vs custkey-sort $so/$sn")
+      }
+    }
     // PPJoin exactness at scale (round-10). 100k duplicated corpus:
     // every shingle is corpus-hot (q_dedup_ngram_jaccard's df cap
     // correctly drops everything there) — prefix filtering has no cap
@@ -803,7 +925,18 @@ object StressMain {
     if (sys.env.contains("SPARK_GRAFT_STRESS_PPJOIN")) {
       time("ppjoin 100k")(queries.TextQueries.dedupPpjoin(spark, "/tmp/stress").count())
       val contDir = ensureContCorpus(spark)
-      time("ppjoin 1M planted")(
+      // A/B the r12 verify-set prune against the r10 single-DAG plan
+      // on the SAME corpus in the SAME JVM (the graft.ppjoin.force
+      // sysprop overrides the regime estimate), alternated twice so a
+      // host-load drift during either pair shows as inconsistency
+      // between the pairs rather than silently biasing one arm.
+      for (round <- 1 to 2; mode <- Seq("sparse", "dense")) {
+        System.setProperty("graft.ppjoin.force", mode)
+        try time(s"ppjoin 1M planted $mode r$round")(
+          queries.TextQueries.dedupPpjoin(spark, contDir).count())
+        finally System.clearProperty("graft.ppjoin.force")
+      }
+      time("ppjoin 1M planted auto")(
         queries.TextQueries.dedupPpjoin(spark, contDir).count())
     }
     // Tokenizer + data-selection at 1M docs (round-10): BPE's corpus

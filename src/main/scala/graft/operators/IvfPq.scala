@@ -118,9 +118,11 @@ object IvfPq {
     * within-cluster scale the PQ codebooks can resolve. The
     * selection signal is exactly that geometry, measured on samples:
     *
-    *  1. draw a deterministic hash-split fit sample (~`fitN`) and a
-    *     DISJOINT eval sample (~`evalN`) — held-out, so a kc large
-    *     enough to memorize the fit sample earns no free zero
+    *  1. draw a deterministic hash-split fit sample — at least
+    *     `max(fitN, minFitPerKc · max(grid))` points, so Lloyd keeps
+    *     ≥ minFitPerKc points per centroid even at the grid's top —
+    *     and a DISJOINT eval sample (~`evalN`), held-out so a kc
+    *     large enough to memorize the fit sample earns no free zero
     *     residuals;
     *  2. estimate the NEIGHBOR scale once: median over eval vectors
     *     of the exact nearest-fit-point d2 (zero distances — exact
@@ -151,19 +153,29 @@ object IvfPq {
   def autoKc(s: SparkSession, qvecs: DataFrame,
       grid: Seq[Int] = Seq(64, 256, 1024, 4096),
       fitN: Long = 4096, evalN: Long = 512, alpha: Double = 1.0,
-      coarseRounds: Int = 2,
+      coarseRounds: Int = 2, minFitPerKc: Int = 16,
       mat: Materializer = Materializer.Local): (Int, DataFrame, DataFrame) = {
     require(grid.nonEmpty, "autoKc needs a non-empty kc grid")
     import graft.functions.VectorOps.dotLong
     val n = math.max(1L, qvecs.count())
     val ppm = 1000000L
+    // The fit sample scales with the LARGEST kc the grid will try:
+    // Lloyd with fewer than ~a-dozen-plus points per centroid
+    // degenerates toward "every sample point its own centroid", which
+    // SPLITS natural clusters across cells and quietly caps probe
+    // recall (measured: fitN=4096 against kc=4096 on the 1M corpus
+    // left recall at 0.575 where a dense fit reaches the matched-kc
+    // class — PLANS.md r12). minFitPerKc=16 is the floor that keeps
+    // centroid estimates averages rather than memorized points; the
+    // cost stays sample × kc, never corpus-scale.
+    val fitTarget = math.max(fitN, minFitPerKc.toLong * grid.max)
     // Reserve the eval share FIRST (ADVICE r11): on a corpus with
-    // n <= fitN the fit cut would otherwise clamp to the whole hash
-    // range and leave the held-out sample empty — the NULL-percentile
-    // NPE. Eval gets its proportional share capped at 20% of the
-    // range; fit takes up to the remainder.
+    // n <= fitTarget the fit cut would otherwise clamp to the whole
+    // hash range and leave the held-out sample empty — the
+    // NULL-percentile NPE. Eval gets its proportional share capped at
+    // 20% of the range; fit takes up to the remainder.
     val evalCut = math.min(ppm / 5, math.max(1L, evalN * ppm / n))
-    val fitCut = math.min(ppm - evalCut, math.max(1L, fitN * ppm / n))
+    val fitCut = math.min(ppm - evalCut, math.max(1L, fitTarget * ppm / n))
     val h = pmod(xxhash64(col("vec_id")), lit(ppm))
     val fit = qvecs.filter(h < fitCut)
       .select((row_number().over(Window.orderBy("vec_id")) - 1)

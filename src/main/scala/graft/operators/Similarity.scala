@@ -155,6 +155,37 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame =
     assigned.unionByName(ivfAssign(centroids, batch, idCol, vecCol))
 
+  /** The query→nearest-`nProbe`-lists frame
+    * `(q_id, q_vec, cluster)` — the FIRST stage of [[ivfProbe]],
+    * shared with [[probedClusters]] so the cluster set a caller
+    * prunes its list read to is derived by the exact logic the probe
+    * join uses. Cost: |Q|·nCentroids broadcast scores, no shuffle of
+    * anything corpus-sized. */
+  private def probeFrame(centroids: DataFrame, queries: DataFrame,
+      nProbe: Int, idCol: String, vecCol: String): DataFrame = {
+    val s = queries.sparkSession
+    queries.select(col(idCol).as("q_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("score", ncosine(s, col("q_vec"), col("cent_vec")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("cent_id").asc)))
+      .filter(col("rnk") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cent_id").as("cluster"))
+  }
+
+  /** The ≤ |queries|·nProbe distinct cluster ids [[ivfProbe]] will
+    * touch for this query batch — collected to the driver (bounded by
+    * the query batch, never the corpus) so a caller holding a
+    * cluster-partitioned list store can `isin`-prune its read to
+    * exactly the probed lists before handing it to [[ivfProbe]]. */
+  def probedClusters(centroids: DataFrame, queries: DataFrame,
+      nProbe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Long] =
+    probeFrame(centroids, queries, nProbe, idCol, vecCol)
+      .select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSeq
+
   /** PROBE half over a prebuilt [[ivfIndex]]: each query scores the
     * broadcast centroid frame, picks its `nProbe` nearest lists, and
     * exact-ranks only those lists' members — per query batch the cost
@@ -164,14 +195,7 @@ object Similarity {
       queries: DataFrame, k: Int, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val s = queries.sparkSession
-    val q = queries.select(col(idCol).as("q_id"),
-      col(vecCol).cast(ArrayType(DoubleType)).as("q_vec"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("score", ncosine(s, col("q_vec"), col("cent_vec")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("score").desc, col("cent_id").asc)))
-      .filter(col("rnk") <= nProbe)
-      .select(col("q_id"), col("q_vec"), col("cent_id").as("cluster"))
+    val probes = probeFrame(centroids, queries, nProbe, idCol, vecCol)
     val scored = probes.join(assigned, "cluster")
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("cosine", ncosine(s, col("q_vec"), col("c_vec")))

@@ -225,20 +225,14 @@ object AdvancedQueries {
     * never lost. */
   def zorderLayout(s: SparkSession, dir: String): DataFrame = {
     val gridBits = 8
-    // [0, 2048) custkeys -> 8-bit cells of 8; [0, 4096) days -> cells of 16
-    // clamp BOTH domain edges before quantizing: a value below the
-    // anchor would shift as a negative and scatter into an arbitrary
-    // cell (arithmetic shiftright keeps the sign), breaking the
-    // rectangle invariant — greatest(0)/least(255) pin it to the edge
-    val xq = least(shiftright(greatest(col("o_custkey").cast(LongType), lit(0L)), 3),
-      lit(255L))
+    // [0, 2048) custkeys -> 8-bit cells of 8; [0, 4096) days -> cells
+    // of 16. Key construction lives in graft.functions.ZOrder, SHARED
+    // with PartitionedWriter.writeZOrdered — this query audits the
+    // exact key the sink clusters files by.
     val day = datediff(col("o_orderdate").cast(DateType),
       lit("1995-01-01").cast(DateType)).cast(LongType)
-    val yq = least(shiftright(greatest(day, lit(0L)), 4), lit(255L))
-    def bit(c: Column, i: Int) = shiftright(c, i).bitwiseAND(lit(1L))
-    val zkey = (0 until gridBits).map(i =>
-        shiftleft(bit(xq, i), 2 * i) + shiftleft(bit(yq, i), 2 * i + 1))
-      .reduce(_ + _)
+    val zkey = graft.functions.ZOrder.zkey(
+      col("o_custkey").cast(LongType), 3, day, 4, gridBits)
     Tables.orders(s, dir)
       .select(col("o_custkey"), col("o_orderdate"), day.as("day"), zkey.as("zkey"))
       .groupBy(shiftright(col("zkey"), 12).as("file_bucket"))

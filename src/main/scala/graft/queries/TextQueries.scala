@@ -230,32 +230,79 @@ object TextQueries {
     val ranked = rows.join(dfreq, Seq("sh"))
       .withColumn("rk", row_number().over(wRank))
       .withColumn("sz", count(lit(1)).over(wSz))
+    // pfx feeds the regime estimate AND the candidate self-join (and
+    // the checkpointed pair frame on the sparse path) — persist so
+    // the df-join + double-window front runs once, not per consumer
+    // (the 1M sparse path measured 72 s unpersisted vs 42 s persisted)
     val pfx = ranked
       .filter(col("rk") <= col("sz") - expr("(7*sz+9) div 10") + 1)
       .select(col("doc_id"), col("sh"), col("sz"))
+      .persist()
     val cand = pfx.as("a").join(pfx.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * 10 >= col("b.sz") * 7 &&
           col("b.sz") * 10 >= col("a.sz") * 7)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      // The pair frame is the SMALL result (sparse-candidate regime);
-      // pin it so the semi-join below and the verify join don't each
-      // recompute the prefix self-join.
-      .localCheckpoint(true)
-    // Verify-set prune (the q_span_clean surgery-guard idiom): only
-    // documents that appear in some candidate pair need their full
-    // shingle set materialized. Without this the collect_list below is
-    // a full corpus-mass shuffle building arrays that are never read —
-    // avoidable Ω(corpus) work when candidates are sparse (the common
-    // real case: 4 765 pairs out of 1M docs in the planted stress).
-    val candIds = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = rows.join(candIds, Seq("doc_id"), "left_semi")
+    // Verify-set prune (the q_span_clean surgery-guard idiom), gated
+    // by a REGIME ESTIMATE (r12): only documents in some candidate
+    // pair need their full shingle set materialized, and on a
+    // sparse-candidate corpus (the common real case) pruning the
+    // collect_list to those docs measures 35.4 s vs 50.1 s unpruned
+    // on the 1M planted stress. But the prune needs the pair frame
+    // PINNED (localCheckpoint) to avoid recomputing the prefix join,
+    // and a checkpointed pair frame is an AQE stats black hole — on
+    // the DENSE 100k stress (every doc a candidate) the resulting
+    // verify plan ran 230 s vs 60 s for the un-checkpointed single
+    // DAG, with or without a manual broadcast hint (measured r12).
+    // So decide the regime BEFORE materializing anything, from the
+    // prefix index itself: a doc can be in a candidate pair ONLY if
+    // one of its prefix shingles appears in >= 2 prefixes, so
+    // |docs with a shared prefix shingle| upper-bounds the candidate
+    // doc set (it ignores the size-compatibility predicate and the
+    // doc_a < doc_b pairing — conservative toward "dense", so the
+    // fallback is never chosen when pruning was needed). Sparse ⇒
+    // checkpoint the (small) pair frame, semi-join the verify sets
+    // to its doc ids. Dense ⇒ the r10 single-DAG plan, untouched:
+    // AQE sees every stat, and the estimate — one count aggregate +
+    // one semi-join over the prefix slice of the shingle mass — is
+    // the only cost added.
+    // Corpus-size gate first (parquet-metadata count, ~free): below
+    // ~50k docs the full verify-set build costs less than the
+    // estimate's own jobs (measured 3.2 s vs 10.8 s at the 5k-doc
+    // bench scale), so small corpora take the single-DAG plan
+    // directly and the machinery below engages only where it can pay.
+    // graft.ppjoin.force=sparse|dense (sysprop, env fallback)
+    // overrides the estimate — an ops escape hatch for a misjudged
+    // corpus, and the A/B lever the 1M stress uses to measure both
+    // paths on the same corpus in one JVM.
+    val nDocs = Tables.documents(s, dir).count()
+    val sparse = sys.props.get("graft.ppjoin.force")
+        .orElse(sys.env.get("GRAFT_PPJOIN_FORCE")) match {
+      case Some("sparse") => true
+      case Some("dense")  => false
+      case _ => nDocs >= 50000 && {
+        val hotSh = pfx.groupBy("sh").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).select("sh")
+        val candDocEst = pfx.join(hotSh, Seq("sh"), "left_semi")
+          .select("doc_id").distinct().count()
+        if (sys.env.contains("GRAFT_PPJOIN_DEBUG")) // ops visibility knob
+          println(s"[ppjoin-debug] candDocEst=$candDocEst nDocs=$nDocs")
+        candDocEst * 4 <= nDocs
+      }
+    }
+    val (candJ, setsBase) =
+      if (sparse) {
+        val candCk = cand.localCheckpoint(true)
+        val candIds = candCk.select(col("doc_a").as("doc_id"))
+          .union(candCk.select(col("doc_b").as("doc_id"))).distinct()
+        (broadcast(candCk), rows.join(candIds, Seq("doc_id"), "left_semi"))
+      } else (cand, rows)
+    val sets = setsBase
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("sh"))).as("shs"))
     try {
-      cand
+      candJ
         .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
         .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
         .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -268,7 +315,7 @@ object TextQueries {
             (col("sz_a") + col("sz_b") - col("n_common")).cast(DoubleType)).as("jaccard"))
         .localCheckpoint(true)
         .orderBy("doc_a", "doc_b")
-    } finally { rows.unpersist(); () }
+    } finally { pfx.unpersist(); rows.unpersist(); () }
   }
 
   val dedupPpjoinSql: String =

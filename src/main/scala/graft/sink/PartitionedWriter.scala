@@ -1,6 +1,7 @@
 package graft.sink
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Date-partitioned parquet layout writer — the engine's native
   * "gold" output mirroring the reference's directory-per-date input
@@ -27,4 +28,28 @@ object PartitionedWriter {
 
   def read(spark: SparkSession, targetDir: String): DataFrame =
     spark.read.parquet(targetDir)
+
+  /** Z-ORDERED physical layout — the write path `q_zorder_layout`
+    * audits: cluster rows along a Morton key
+    * ([[graft.functions.ZOrder.zkey]], the SAME definition the audit
+    * query uses) with `repartitionByRange` + `sortWithinPartitions`,
+    * so every output file's parquet row-group min/max footer is a
+    * tight RECTANGLE in both dimensions. A scan filtered on either
+    * dimension (or a 2-D box) then skips ~√files at the footer,
+    * where a single-column sort helps one dimension and scatters the
+    * other — proven by footer inspection in ZorderLayoutSpec and the
+    * 2M-row ablation (PLANS.md).
+    *
+    * Scale shape: the key is map-side codegen'd arithmetic; the only
+    * exchange is the range partition (a shuffle any clustered write
+    * pays — it IS the layout); the sort is within-partition,
+    * spill-safe, never global. At 100 TB this runs per partition/day
+    * as the compaction step, not over the whole table at once. */
+  def writeZOrdered(df: DataFrame, targetDir: String, zkey: Column,
+      nFiles: Int): Unit =
+    df.withColumn("__zkey", zkey)
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(targetDir)
 }

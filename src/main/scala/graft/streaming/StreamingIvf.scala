@@ -40,14 +40,23 @@ import graft.operators.Similarity
   *    same crash-window reasoning as the k-means pointer swap, with
   *    the directory's `_SUCCESS` playing the pointer's role per batch.
   *
-  * At 100 TB the per-batch directories are the compaction unit: a
-  * background pass coalesces them into the cluster-partitioned layout
-  * [[Similarity.ivfIndex]] documents (probe reads become
-  * partition-pruned scans); the stream keeps appending regardless.
+  * At 100 TB the per-batch directories are the compaction unit:
+  * [[compact]] coalesces every committed directory into one between
+  * drains (heal-able rename-aside swap, read-equivalence spec-pinned
+  * in StreamingIvfSpec) — written `partitionBy(cluster)`, so the
+  * compacted generation IS the cluster-partitioned layout
+  * [[Similarity.ivfIndex]] documents: [[probe]] filters the assigned
+  * read to its probed cluster ids and the scan skips every other
+  * list at the directory level (the `tkb` device of
+  * [[graft.operators.Bm25Index]] applied to vectors). Fresh appends
+  * after a compaction stay unpartitioned (per-batch dirs are small;
+  * the NEXT compaction folds them into the layout) and take the
+  * same filter as a row predicate.
   */
 object StreamingIvf {
 
   private def committedListDirs(stateDir: String): Seq[File] = {
+    healCompaction(stateDir)
     val lists = new File(stateDir, "lists")
     Option(lists.listFiles()).getOrElse(Array.empty).toSeq
       .filter(d => d.isDirectory && d.getName.startsWith("v") &&
@@ -78,7 +87,16 @@ object StreamingIvf {
           // frame — the replay will fill it.
           cents.limit(0).select(col("cent_id").as("cluster"),
             col("cent_id").as("c_id"), col("cent_vec").as("c_vec"))
-        else spark.read.parquet(dirs.map(_.getPath): _*)
+        else dirs
+          // per-dir reads + unionByName: a compacted dir is
+          // partitionBy(cluster) (cluster read back as a partition
+          // column — directory-name inference types it Int, so cast
+          // it back to the Long the data column carries), fresh
+          // append dirs hold it as a data column — one multi-path
+          // read would refuse the mixed layout
+          .map(d => spark.read.option("basePath", d.getPath).parquet(d.getPath)
+            .withColumn("cluster", col("cluster").cast("long")))
+          .reduce(_ unionByName _)
       (cents, assigned)
     }
 
@@ -89,6 +107,7 @@ object StreamingIvf {
   def appendBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
       nCentroids: Int, batchId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    healCompaction(stateDir)
     val listDir = new File(new File(stateDir, "lists"), f"v$batchId%020d")
     if (new File(listDir, "_SUCCESS").exists()) return false // replay
     if (batch.isEmpty) return false
@@ -103,6 +122,58 @@ object StreamingIvf {
     Similarity.ivfAssign(cents, batch, idCol, vecCol)
       .write.mode("overwrite").parquet(listDir.getPath)
     true
+  }
+
+  /** Background compaction — the coalesce the header promised: rewrite
+    * every committed `lists/v*` directory into ONE directory named at
+    * the current maximum committed batch id. Served content is
+    * identical (spec-pinned); replay stays safe because the only batch
+    * id the offsets WAL can re-deliver after a drain is the last one,
+    * whose `_SUCCESS` the compacted directory retains (earlier ids are
+    * WAL-committed and never replayed — and compaction runs BETWEEN
+    * drains, the single-writer discipline shared with
+    * [[graft.operators.Bm25Index.compact]]). The swap is the same
+    * heal-able rename-aside: a crash leaves either the old tree, the
+    * old tree plus a dead `.tmp`, or the new tree plus a dead `.bak`
+    * — [[healCompaction]] resolves all three on the next touch.
+    * Returns true iff a rewrite happened. */
+  def compact(spark: SparkSession, stateDir: String): Boolean = {
+    healCompaction(stateDir)
+    val dirs = committedListDirs(stateDir)
+    if (dirs.size <= 1) return false
+    val vname = dirs.map(_.getName).max
+    val tmp = new File(stateDir, "lists.tmp")
+    dirs.map(d => spark.read.option("basePath", d.getPath).parquet(d.getPath)
+        .withColumn("cluster", col("cluster").cast("long")))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(new File(tmp, vname).getPath)
+    val live = new File(stateDir, "lists")
+    val bak = new File(stateDir, "lists.bak")
+    deleteRec(bak)
+    if (!live.renameTo(bak)) sys.error(s"compact: cannot move $live aside")
+    if (!tmp.renameTo(live)) {
+      bak.renameTo(live)
+      sys.error(s"compact: swap failed for $live; original restored")
+    }
+    deleteRec(bak)
+    true
+  }
+
+  /** Resolve a crashed [[compact]] before listing or writing state —
+    * the [[graft.operators.Bm25Index]] heal contract. */
+  private def healCompaction(stateDir: String): Unit = {
+    val live = new File(stateDir, "lists")
+    val bak = new File(stateDir, "lists.bak")
+    val tmp = new File(stateDir, "lists.tmp")
+    if (!live.exists() && bak.exists()) { bak.renameTo(live); () }
+    else if (bak.exists()) deleteRec(bak)
+    if (tmp.exists()) deleteRec(tmp)
+  }
+
+  private def deleteRec(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
   }
 
   /** Wire the appender into a stream. `vecs` must carry
@@ -122,13 +193,24 @@ object StreamingIvf {
       .start()
 
   /** Serve queries from the maintained index —
-    * [[Similarity.ivfProbe]] over the committed state. Throws before
-    * the first committed batch (no index to probe). */
+    * [[Similarity.ivfProbe]] over the committed state, with the
+    * assigned read FILTERED to the probed cluster ids first: the
+    * query→cluster argmax is a broadcast crossjoin over |queries|
+    * rows (~free, recomputed inside `ivfProbe` anyway), its ≤
+    * |queries|·nProbe distinct ids are collected, and `isin` over
+    * them partition-prunes the compacted `partitionBy(cluster)`
+    * generation at the directory level — probe cost follows probed
+    * lists, not index size. Dropping non-probed clusters before the
+    * join is result-identical: the join on `cluster` discards them
+    * regardless. Throws before the first committed batch. */
   def probe(spark: SparkSession, stateDir: String, queries: DataFrame,
       k: Int, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val (cents, assigned) = readIndex(spark, stateDir).getOrElse(
       sys.error(s"no committed IVF index under $stateDir"))
-    Similarity.ivfProbe(cents, assigned, queries, k, nProbe, idCol, vecCol)
+    val probed = Similarity.probedClusters(cents, queries, nProbe, idCol, vecCol)
+    Similarity.ivfProbe(cents,
+      assigned.filter(col("cluster").isin(probed: _*)),
+      queries, k, nProbe, idCol, vecCol)
   }
 }

@@ -191,6 +191,24 @@ class Bm25IndexSpec extends SparkTestBase {
     assert(Bm25Index.appendBatch(spark, state, docs.filter(bucket >= 50), 1L))
   }
 
+  test("retrieve prunes the dl read to candidate doc-hash buckets at the partition level") {
+    val state = Fixtures.tempDir("bm25-dhb").resolve("state").toString
+    Bm25Index.appendBatch(spark, state, docs.filter(bucket < 50), 0L)
+    Bm25Index.appendBatch(spark, state, docs.filter(bucket >= 50), 1L)
+    val res = Bm25Index.retrieve(spark, state, Seq("spark", "vector", "customer"))
+    // the dl arm of the executed plan must carry a dhb partition
+    // filter — the scan skips non-candidate buckets at the directory
+    // level, it does not read-then-discard
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("dhb")),
+      s"dl scan is not partition-pruned:\n$plan")
+    // and pruning changed nothing: still identical to the direct query
+    assert(res.collect().map(_.toString).toSeq ===
+      CorpusQueries.ragRetrieve(spark, sfDir).collect().map(_.toString).toSeq)
+  }
+
   test("externally GC'd append dirs degrade to empty frames, not a crash") {
     val state = Fixtures.tempDir("bm25-gc").resolve("state").toString
     Bm25Index.appendBatch(spark, state, docs.filter(bucket < 50), 0L)

@@ -112,4 +112,75 @@ class StreamingIvfSpec extends SparkTestBase {
     // an empty batch is a no-op, not a seed or an empty list dir
     assert(!StreamingIvf.appendBatch(spark, state, corpus.limit(0), 8, 2L))
   }
+
+  test("compact: committed list dirs become one, served index identical, appends continue") {
+    val base = Fixtures.tempDir("sivf-compact")
+    val state = base.resolve("state").toString
+    for ((lo, hi, bid) <- Seq((0L, 60L, 0L), (60L, 130L, 1L), (130L, 2000L, 2L)))
+      assert(StreamingIvf.appendBatch(spark, state,
+        corpus.filter($"vec_id" >= lo && $"vec_id" < hi), 8, bid))
+    val before = clusterMap(StreamingIvf.readIndex(spark, state).get._2)
+    def listDirs() = new File(state, "lists").list().sorted.toSeq
+    assert(listDirs().size === 3)
+    assert(StreamingIvf.compact(spark, state))
+    // one dir, named at the max committed batch id (replay safety: the
+    // only WAL-replayable id after a drain keeps its _SUCCESS)
+    assert(listDirs() === Seq(f"v${2L}%020d"))
+    assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) === before)
+    // a replay of the frontier batch still no-ops after compaction
+    assert(!StreamingIvf.appendBatch(spark, state,
+      corpus.filter($"vec_id" >= 130L), 8, 2L))
+    assert(!StreamingIvf.compact(spark, state)) // idempotent no-op
+    // probe is bit-identical to the uncompacted build
+    val queries = corpus.filter($"vec_id" >= 1000)
+    val probed = StreamingIvf.probe(spark, state, queries, k = 1, nProbe = 8)
+      .collect().map(_.toString).sorted.toSeq
+    // crash windows: mid-swap (live gone, bak present) and orphan tmp
+    val live = new File(state, "lists")
+    val bak = new File(state, "lists.bak")
+    assert(live.renameTo(bak))
+    new File(state, "lists.tmp/vjunk").mkdirs()
+    assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) === before)
+    assert(live.exists() && !bak.exists() && !new File(state, "lists.tmp").exists())
+    // appends continue on top of the compacted generation
+    assert(StreamingIvf.appendBatch(spark, state,
+      corpus.filter($"vec_id" >= 1000), 8, 3L))
+    assert(listDirs().size === 2)
+    assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) ===
+      clusterMap(Similarity.ivfAssign(
+        StreamingIvf.readCentroids(spark, state).get, corpus)))
+    assert(probed.nonEmpty) // the compacted-state probe above returned rows
+  }
+
+  test("compacted layout is cluster-partitioned and probe reads are partition-pruned to probed lists") {
+    val base = Fixtures.tempDir("sivf-prune")
+    val state = base.resolve("state").toString
+    assert(StreamingIvf.appendBatch(spark, state,
+      corpus.filter($"vec_id" < 100), 8, 0L))
+    assert(StreamingIvf.appendBatch(spark, state,
+      corpus.filter($"vec_id" >= 100), 8, 1L))
+    // un-compacted baseline (row-filtered, not partition-pruned)
+    val queries = corpus.filter($"vec_id" >= 1000)
+    val want = StreamingIvf.probe(spark, state, queries, k = 1, nProbe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(StreamingIvf.compact(spark, state))
+    // physical layout: the compacted generation is partitionBy(cluster)
+    val gen = new File(state, "lists").listFiles().head
+    assert(gen.listFiles().exists(_.getName.startsWith("cluster=")),
+      s"compacted dir is not cluster-partitioned: ${gen.listFiles().toSeq}")
+    // the probe plan carries a cluster partition filter — non-probed
+    // lists are skipped at the directory level, not read-then-dropped
+    val res = StreamingIvf.probe(spark, state, queries, k = 1, nProbe = 2)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cluster")),
+      s"assigned scan is not partition-pruned:\n$plan")
+    // and pruning changed nothing
+    assert(res.collect().map(_.toString).sorted.toSeq === want)
+    // probedClusters is bounded by |queries|·nProbe and matches the
+    // argmax the probe join uses
+    val cents = StreamingIvf.readCentroids(spark, state).get
+    val ids = Similarity.probedClusters(cents, queries, nProbe = 2)
+    assert(ids.nonEmpty && ids.size <= queries.count() * 2)
+  }
 }
