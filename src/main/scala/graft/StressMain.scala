@@ -907,6 +907,16 @@ object StressMain {
         println(s"[stress] zorder rowgroups $tag zorder $zo/$zn vs custkey-sort $so/$sn")
       }
     }
+    // q_rag_incremental cost profile (round-12): the bench's slowest
+    // query — two in-query Bm25Index batches + one served retrieve.
+    // Used to verify the bucket-aligned repartition-before-partitionBy
+    // write fix (tasks x 64 tiny files otherwise).
+    if (sys.env.contains("SPARK_GRAFT_STRESS_RAGINC")) {
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      for (i <- 1 to 3)
+        time(s"rag_incremental sf0.1 r$i")(
+          queries.CorpusQueries.ragIncremental(spark, dir).count())
+    }
     // PPJoin exactness at scale (round-10). 100k duplicated corpus:
     // every shingle is corpus-hot (q_dedup_ngram_jaccard's df cap
     // correctly drops everything there) — prefix filtering has no cap

@@ -236,9 +236,19 @@ object Bm25Index {
         .withColumn("dhb", pmod(xxhash64(col("doc_id")), lit(DhBuckets)))
         .persist()
       try {
-        postings.write.mode("overwrite").partitionBy("tkb")
+        // Shuffle-align to the bucket key before the partitioned
+        // write: without it every upstream task writes a file into
+        // every bucket dir it touches — up to tasks×64 tiny files per
+        // batch (measured: q_rag_incremental's two in-query batches
+        // paid seconds of file-open overhead at bench scale). One
+        // hash exchange of the thin frame lands each bucket in one
+        // task → ≤64 files, the layout the partition-pruned probe
+        // wants at any scale.
+        postings.repartition(col("tkb"))
+          .write.mode("overwrite").partitionBy("tkb")
           .parquet(new File(new File(stateDir, "postings"), vname).getPath)
-        dl.write.mode("overwrite").partitionBy("dhb")
+        dl.repartition(col("dhb"))
+          .write.mode("overwrite").partitionBy("dhb")
           .parquet(new File(new File(stateDir, "dl"), vname).getPath)
         val bDf = postings.groupBy("token").agg(count(lit(1)).as("df"))
         val bStats = dl.agg(count(lit(1)).as("n_docs"),
@@ -344,6 +354,7 @@ object Bm25Index {
     if (pDirs.nonEmpty) {
       pDirs.map(d => spark.read.option("basePath", d).parquet(d))
         .reduce(_ unionByName _)
+        .repartition(col("tkb")) // bucket-aligned: ≤64 files, not tasks×64
         .write.mode("overwrite").partitionBy("tkb")
         .parquet(new File(pTmp, vname).getPath)
       swapIn(new File(stateDir, "postings"), pTmp)
@@ -351,6 +362,7 @@ object Bm25Index {
     if (dlDirs.nonEmpty) {
       dlDirs.map(d => spark.read.option("basePath", d).parquet(d))
         .reduce(_ unionByName _)
+        .repartition(col("dhb"))
         .write.mode("overwrite").partitionBy("dhb")
         .parquet(new File(dlTmp, vname).getPath)
       swapIn(new File(stateDir, "dl"), dlTmp)

@@ -146,6 +146,9 @@ object StreamingIvf {
     dirs.map(d => spark.read.option("basePath", d.getPath).parquet(d.getPath)
         .withColumn("cluster", col("cluster").cast("long")))
       .reduce(_ unionByName _)
+      // bucket-aligned write: one hash exchange lands each cluster in
+      // one task → ≤nCentroids files, not tasks×clusters tiny ones
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(new File(tmp, vname).getPath)
     val live = new File(stateDir, "lists")
