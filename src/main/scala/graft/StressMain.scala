@@ -907,6 +907,78 @@ object StressMain {
         println(s"[stress] zorder rowgroups $tag zorder $zo/$zn vs custkey-sort $so/$sn")
       }
     }
+    // Streaming IVF at 1M vectors (round-12): per-batch append cost,
+    // then the serve path across the three layouts — 10 append dirs
+    // (row-filtered union), the compacted partitionBy(cluster)
+    // generation (probe partition-pruned to ~|q|*nProbe of nCentroids
+    // lists), and the probed-cluster count printed for the pruning
+    // fraction.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_SIVFC")) {
+      import org.apache.spark.sql.functions._
+      val corpus = spark.read.parquet(ensureAnn1m(spark))
+      val state = "/tmp/stress_sivfc/state"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/stress_sivfc"))
+      val kc = 256
+      for (b <- 0 until 10) {
+        val lo = b * 100000L; val hi = lo + 100000L
+        time(f"sivfc batch $b%02d (100k)")({
+          streaming.StreamingIvf.appendBatch(spark, state,
+            corpus.filter(col("vec_id") >= lo && col("vec_id") < hi), kc, b.toLong)
+          100000L
+        })
+      }
+      val queries = corpus.filter(col("vec_id") < 8)
+      val cents = streaming.StreamingIvf.readCentroids(spark, state).get
+      val probed = operators.Similarity.probedClusters(cents, queries, nProbe = 4)
+      println(s"[stress] sivfc probed clusters ${probed.size}/$kc")
+      for (r <- 1 to 2)
+        time(s"sivfc probe 10-dir r$r")(
+          streaming.StreamingIvf.probe(spark, state, queries, k = 10, nProbe = 4).count())
+      time("sivfc compact 1M")({ streaming.StreamingIvf.compact(spark, state); 1L })
+      for (r <- 1 to 2)
+        time(s"sivfc probe compacted r$r")(
+          streaming.StreamingIvf.probe(spark, state, queries, k = 10, nProbe = 4).count())
+    }
+    // Incremental BM25 index at 1M docs (round-12): the scale claim
+    // the operator's header makes — per-batch cost follows the BATCH,
+    // never the index — measured: 10 equal 100k-doc batches folded in
+    // sequence (flat per-batch wall = the claim holds; creeping wall
+    // = a hidden rescan), then the serve path before and after
+    // compact() (10 append dirs vs 1 partitioned generation), against
+    // the one-shot full rebuild as the amortization anchor.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_BM25INC")) {
+      import org.apache.spark.sql.functions._
+      ensure1mCorpus(spark)
+      val docs = Tables.documents(spark, "/tmp/stress1m")
+        .select(col("doc_id"), col("text"))
+      val base = "/tmp/stress_bm25inc"
+      def fresh(tag: String): String = {
+        val d = new java.io.File(base, tag)
+        org.apache.commons.io.FileUtils.deleteQuietly(d)
+        d.getPath
+      }
+      val terms = Seq("spark", "vector", "customer")
+      val inc = fresh("inc")
+      for (b <- 0 until 10) {
+        val lo = b * 100000L; val hi = lo + 100000L
+        time(f"bm25inc batch $b%02d (100k)")({
+          operators.Bm25Index.appendBatch(spark, inc,
+            docs.filter(col("doc_id") >= lo && col("doc_id") < hi), b.toLong)
+          100000L
+        })
+      }
+      time("bm25inc retrieve 10-dir")(
+        operators.Bm25Index.retrieve(spark, inc, terms).count())
+      time("bm25inc compact")({ operators.Bm25Index.compact(spark, inc); 1L })
+      time("bm25inc retrieve compacted")(
+        operators.Bm25Index.retrieve(spark, inc, terms).count())
+      val full = fresh("full")
+      time("bm25inc full rebuild 1M")({
+        operators.Bm25Index.appendBatch(spark, full, docs, 0L); 1000000L
+      })
+      time("bm25inc retrieve rebuilt")(
+        operators.Bm25Index.retrieve(spark, full, terms).count())
+    }
     // q_rag_incremental cost profile (round-12): the bench's slowest
     // query — two in-query Bm25Index batches + one served retrieve.
     // Used to verify the bucket-aligned repartition-before-partitionBy
