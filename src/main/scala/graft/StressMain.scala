@@ -875,7 +875,10 @@ object StressMain {
           .write.mode("overwrite").parquet(sdir)
         n
       })
-      def rgStats(dir: String, column: String): Seq[(Long, Long)] = {
+      // BOTH columns' (min, max) from ONE footer pass per file — a
+      // positional zip of two separate listings would pair stats
+      // across files on any FS whose listing order is not stable.
+      def rgStats(dir: String): Seq[((Long, Long), (Long, Long))] = {
         val conf = spark.sparkContext.hadoopConfiguration
         val p = new org.apache.hadoop.fs.Path(dir)
         val fs = p.getFileSystem(conf)
@@ -884,16 +887,19 @@ object StressMain {
             val r = org.apache.parquet.hadoop.ParquetFileReader.open(
               org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
             try r.getFooter.getBlocks.asScala.map { b =>
-              val st = b.getColumns.asScala
-                .find(_.getPath.toDotString == column).get.getStatistics
-              (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-                st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+              def mm(column: String): (Long, Long) = {
+                val st = b.getColumns.asScala
+                  .find(_.getPath.toDotString == column).get.getStatistics
+                (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                  st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+              }
+              (mm("o_custkey"), mm("day"))
             }.toSeq
             finally r.close()
           }
       }
       def overlaps(dir: String, cust: (Long, Long), day: (Long, Long)): (Int, Int) = {
-        val s = rgStats(dir, "o_custkey").zip(rgStats(dir, "day"))
+        val s = rgStats(dir)
         (s.count { case ((cMin, cMax), (dMin, dMax)) =>
           cMax >= cust._1 && cMin <= cust._2 && dMax >= day._1 && dMin <= day._2
         }, s.size)

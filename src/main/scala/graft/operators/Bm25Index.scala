@@ -1,15 +1,13 @@
 package graft.operators
 
-import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, StandardCopyOption}
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.functions.TextFunctions._
+import graft.util.StateFs
 
 /** Incremental BM25 retrieval index — the `incrementalPairs` /
   * [[graft.streaming.StreamingIvf]] analogue for ranked retrieval:
@@ -127,21 +125,25 @@ object Bm25Index {
 
   // ---- stored state ----
 
-  private def mergedDir(stateDir: String) = new File(stateDir, "merged")
-
-  private def committed(d: File): Boolean = new File(d, "_SUCCESS").exists()
+  // All state I/O goes through the Hadoop FileSystem API
+  // (graft.util.StateFs) so a stateDir on file:// and hdfs:// behave
+  // identically — java.io.File would silently confine the index to
+  // the driver's local disk (review r12).
+  private def mergedDir(stateDir: String) = new Path(stateDir, "merged")
 
   /** The committed merged version name, or None before the first
     * fully-committed batch. A version is served only if the pointer
     * names it AND both its frames finished writing. */
-  private def currentVersion(stateDir: String): Option[String] = {
-    val cur = new File(mergedDir(stateDir), "CURRENT")
-    if (!cur.exists()) None
+  private def currentVersion(spark: SparkSession, stateDir: String): Option[String] = {
+    val md = mergedDir(stateDir)
+    val fs = StateFs.fs(spark, md)
+    val cur = new Path(md, "CURRENT")
+    if (!fs.exists(cur)) None
     else {
-      val v = new String(Files.readAllBytes(cur.toPath),
-        StandardCharsets.UTF_8).trim
-      val d = new File(mergedDir(stateDir), v)
-      if (committed(new File(d, "df")) && committed(new File(d, "stats")))
+      val v = StateFs.readString(fs, cur)
+      val d = new Path(md, v)
+      if (StateFs.committed(fs, new Path(d, "df")) &&
+          StateFs.committed(fs, new Path(d, "stats")))
         Some(v)
       else None
     }
@@ -149,48 +151,66 @@ object Bm25Index {
 
   /** `(df, stats)` of the current committed generation. */
   def readMerged(spark: SparkSession, stateDir: String): Option[(DataFrame, DataFrame)] =
-    currentVersion(stateDir).map { v =>
-      val d = new File(mergedDir(stateDir), v)
-      (spark.read.parquet(new File(d, "df").getPath),
-        spark.read.parquet(new File(d, "stats").getPath))
+    currentVersion(spark, stateDir).map { v =>
+      val d = new Path(mergedDir(stateDir), v)
+      (spark.read.parquet(new Path(d, "df").toString),
+        spark.read.parquet(new Path(d, "stats").toString))
     }
 
   /** Append dirs visible at the committed frontier: `v<bid>` with
     * `_SUCCESS`, bid <= the merged state's last_batch (dirs from a
     * half-committed batch exist but are NOT served). */
-  private def visibleAppendDirs(stateDir: String, sub: String,
-      lastBatch: Long): Seq[String] = {
+  private def visibleAppendDirs(spark: SparkSession, stateDir: String,
+      sub: String, lastBatch: Long): Seq[String] = {
     val frontier = f"v$lastBatch%020d"
-    Option(new File(stateDir, sub).listFiles()).getOrElse(Array.empty).toSeq
-      .filter(d => d.isDirectory && d.getName.startsWith("v") &&
-        d.getName <= frontier && committed(d))
-      .sortBy(_.getName).map(_.getPath)
+    val dir = new Path(stateDir, sub)
+    StateFs.committedVDirs(StateFs.fs(spark, dir), dir)
+      .filter(_.getName <= frontier).map(_.toString)
   }
 
   /** The full served state `(postings, dl, df, stats)` after every
     * committed batch, or None before the first. */
   def readState(spark: SparkSession, stateDir: String)
       : Option[(DataFrame, DataFrame, DataFrame, DataFrame)] = {
-    healCompaction(stateDir)
+    healReaderAll(spark, stateDir)
     readMerged(spark, stateDir).map { case (dfreq, stats) =>
-      val last = stats.select("last_batch").head().getLong(0)
+      val st = stats.select("last_batch", "n_docs").head()
+      val last = st.getLong(0)
       // one read per version dir, each rooted at its own basePath so
       // the tkb= partition layout resolves; the union is append-only
       // file metadata, and a tkb filter pushes through it into every
-      // arm's partition pruning. Zero visible dirs (external GC, or a
-      // compaction race) degrades to a correctly-typed empty frame —
-      // the StreamingIvf.readIndex empty-lists discipline — instead
-      // of reduce() throwing on the empty Seq (ADVICE r11).
-      val pDirs = visibleAppendDirs(stateDir, "postings", last)
+      // arm's partition pruning. Zero visible dirs is EMPTY only when
+      // the merged stats agree nothing is indexed; dirs gone while
+      // n_docs > 0 is data loss (external GC of the append dirs) and
+      // fails with the remedy instead of serving silently-empty
+      // results indistinguishable from "no matches" (review r12;
+      // supersedes the ADVICE-r11 silent empty-frame fallback).
+      def familyDirs(sub: String): Seq[String] = {
+        val dirs = visibleAppendDirs(spark, stateDir, sub, last)
+        require(dirs.nonEmpty || st.getLong(1) == 0L,
+          s"BM25 state inconsistent: merged stats claim n_docs=${st.getLong(1)} " +
+            s"but no committed $sub/v* dirs are visible under $stateDir — " +
+            "append dirs were removed externally; restore them or rebuild " +
+            "the index from the raw documents")
+        dirs
+      }
+      // dhb back-compat: dl generations written before the doc-hash
+      // bucketing carry no dhb column — synthesize it (row-level, no
+      // partition pruning on those dirs; compact() migrates them to
+      // the bucketed layout).
+      val pDirs = familyDirs("postings")
       val postings =
         if (pDirs.isEmpty) emptyPostings(spark)
         else pDirs.map(d => spark.read.option("basePath", d).parquet(d))
           .reduce(_ unionByName _)
-      val dlDirs = visibleAppendDirs(stateDir, "dl", last)
+      val dlDirs = familyDirs("dl")
       val dl =
         if (dlDirs.isEmpty) emptyDl(spark)
-        else dlDirs.map(d => spark.read.option("basePath", d).parquet(d))
-          .reduce(_ unionByName _)
+        else dlDirs.map { d =>
+          val f = spark.read.option("basePath", d).parquet(d)
+          if (f.columns.contains("dhb")) f
+          else f.withColumn("dhb", pmod(xxhash64(col("doc_id")), lit(DhBuckets)))
+        }.reduce(_ unionByName _)
       (postings, dl, dfreq, stats)
     }
   }
@@ -213,7 +233,7 @@ object Bm25Index {
     * or empty batch). */
   def appendBatch(spark: SparkSession, stateDir: String, docs: DataFrame,
       batchId: Long): Boolean = {
-    healCompaction(stateDir)
+    healWriterAll(spark, stateDir)
     val cur = readMerged(spark, stateDir)
     val last = cur.map(_._2.select("last_batch").head().getLong(0))
     if (last.exists(_ >= batchId)) return false // replay
@@ -246,10 +266,10 @@ object Bm25Index {
         // wants at any scale.
         postings.repartition(col("tkb"))
           .write.mode("overwrite").partitionBy("tkb")
-          .parquet(new File(new File(stateDir, "postings"), vname).getPath)
+          .parquet(new Path(new Path(stateDir, "postings"), vname).toString)
         dl.repartition(col("dhb"))
           .write.mode("overwrite").partitionBy("dhb")
-          .parquet(new File(new File(stateDir, "dl"), vname).getPath)
+          .parquet(new Path(new Path(stateDir, "dl"), vname).toString)
         val bDf = postings.groupBy("token").agg(count(lit(1)).as("df"))
         val bStats = dl.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("t_tok"))
@@ -275,55 +295,32 @@ object Bm25Index {
     * lineage from the generation being collected. */
   private def commitMerged(spark: SparkSession, stateDir: String,
       vname: String, dfreq: DataFrame, stats: DataFrame): Unit = {
-    val d = new File(mergedDir(stateDir), vname)
-    dfreq.coalesce(1).write.mode("overwrite").parquet(new File(d, "df").getPath)
-    stats.coalesce(1).write.mode("overwrite").parquet(new File(d, "stats").getPath)
-    val tmp = new File(mergedDir(stateDir), "CURRENT.tmp").toPath
-    Files.write(tmp, vname.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, new File(mergedDir(stateDir), "CURRENT").toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    Option(mergedDir(stateDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v") && f.getName != vname)
-      .foreach(deleteRec)
+    val md = mergedDir(stateDir)
+    val d = new Path(md, vname)
+    dfreq.coalesce(1).write.mode("overwrite").parquet(new Path(d, "df").toString)
+    stats.coalesce(1).write.mode("overwrite").parquet(new Path(d, "stats").toString)
+    StateFs.writePointer(spark, md, vname)
+    val fs = StateFs.fs(spark, md)
+    StateFs.committedVDirs(fs, md).filter(_.getName != vname)
+      .foreach(StateFs.deleteRec(fs, _))
   }
 
-  private def deleteRec(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-    f.delete(); ()
-  }
-
-  /** Heal the compaction swap's crash windows before touching state:
-    * a live family dir missing with its `.bak` present means the swap
-    * died between its two renames — restore the backup; a `.bak` next
-    * to a live dir means the swap completed but cleanup didn't —
-    * drop it; any `.tmp` is an unfinished compaction write — drop it.
-    * Every caller that lists or writes the family dirs runs this
-    * first, so a crashed [[compact]] can never be half-seen (and an
-    * [[appendBatch]] landing after a mid-swap crash cannot recreate
-    * the live dir and trick cleanup into deleting the backup). */
-  private def healCompaction(stateDir: String): Unit =
+  /** Crash-window repair, split by caller role (graft.util.StateFs):
+    * readers only restore a mid-swap-crashed family so its data is
+    * visible; writers additionally drop stale `.bak`/orphan `.tmp`
+    * dirs. Readers running the full destructive heal could delete a
+    * live compaction's `.tmp` out from under it (review r12). */
+  private def healReaderAll(spark: SparkSession, stateDir: String): Unit =
     for (sub <- Seq("postings", "dl")) {
-      val live = new File(stateDir, sub)
-      val bak = new File(stateDir, sub + ".bak")
-      val tmp = new File(stateDir, sub + ".tmp")
-      if (!live.exists() && bak.exists()) { bak.renameTo(live); () }
-      else if (bak.exists()) deleteRec(bak)
-      if (tmp.exists()) deleteRec(tmp)
+      val live = new Path(stateDir, sub)
+      StateFs.healReader(StateFs.fs(spark, live), live)
     }
 
-  /** Rename-aside swap (the [[graft.sink.Compactor]] discipline): the
-    * live dir moves to `.bak`, the rewrite moves in, the backup dies.
-    * A crash at any point leaves a state [[healCompaction]] restores. */
-  private def swapIn(live: File, tmp: File): Unit = {
-    val bak = new File(live.getParentFile, live.getName + ".bak")
-    deleteRec(bak)
-    if (!live.renameTo(bak)) sys.error(s"compact: cannot move $live aside")
-    if (!tmp.renameTo(live)) {
-      bak.renameTo(live)
-      sys.error(s"compact: swap failed for $live; original restored")
+  private def healWriterAll(spark: SparkSession, stateDir: String): Unit =
+    for (sub <- Seq("postings", "dl")) {
+      val live = new Path(stateDir, sub)
+      StateFs.healWriter(StateFs.fs(spark, live), live)
     }
-    deleteRec(bak)
-  }
 
   /** Background compaction — the coalesce the scaladoc above promised:
     * rewrite the visible postings/dl append dirs into ONE generation
@@ -341,31 +338,38 @@ object Bm25Index {
     * rename-aside windows being healable and `_SUCCESS`-gated.
     * Returns true iff a rewrite happened (false = nothing to merge). */
   def compact(spark: SparkSession, stateDir: String): Boolean = {
-    healCompaction(stateDir)
+    healWriterAll(spark, stateDir)
     val cur = readMerged(spark, stateDir)
     if (cur.isEmpty) return false
     val last = cur.get._2.select("last_batch").head().getLong(0)
     val vname = f"v$last%020d"
-    val pDirs = visibleAppendDirs(stateDir, "postings", last)
-    val dlDirs = visibleAppendDirs(stateDir, "dl", last)
+    val pDirs = visibleAppendDirs(spark, stateDir, "postings", last)
+    val dlDirs = visibleAppendDirs(spark, stateDir, "dl", last)
     if (pDirs.size <= 1 && dlDirs.size <= 1) return false
-    val pTmp = new File(stateDir, "postings.tmp")
-    val dlTmp = new File(stateDir, "dl.tmp")
     if (pDirs.nonEmpty) {
+      val live = new Path(stateDir, "postings")
+      val pTmp = StateFs.tmpOf(live)
       pDirs.map(d => spark.read.option("basePath", d).parquet(d))
         .reduce(_ unionByName _)
         .repartition(col("tkb")) // bucket-aligned: ≤64 files, not tasks×64
         .write.mode("overwrite").partitionBy("tkb")
-        .parquet(new File(pTmp, vname).getPath)
-      swapIn(new File(stateDir, "postings"), pTmp)
+        .parquet(new Path(pTmp, vname).toString)
+      StateFs.swapIn(StateFs.fs(spark, live), live, pTmp)
     }
     if (dlDirs.nonEmpty) {
-      dlDirs.map(d => spark.read.option("basePath", d).parquet(d))
+      val live = new Path(stateDir, "dl")
+      val dlTmp = StateFs.tmpOf(live)
+      dlDirs.map { d =>
+          val f = spark.read.option("basePath", d).parquet(d)
+          // migrate pre-dhb generations into the bucketed layout
+          if (f.columns.contains("dhb")) f
+          else f.withColumn("dhb", pmod(xxhash64(col("doc_id")), lit(DhBuckets)))
+        }
         .reduce(_ unionByName _)
         .repartition(col("dhb"))
         .write.mode("overwrite").partitionBy("dhb")
-        .parquet(new File(dlTmp, vname).getPath)
-      swapIn(new File(stateDir, "dl"), dlTmp)
+        .parquet(new Path(dlTmp, vname).toString)
+      StateFs.swapIn(StateFs.fs(spark, live), live, dlTmp)
     }
     true
   }

@@ -294,9 +294,18 @@ object TextQueries {
     val (candJ, setsBase) =
       if (sparse) {
         val candCk = cand.localCheckpoint(true)
+        // The estimate bounds candidate DOCS, not PAIRS — a sparse
+        // doc set can still hold a large pair set (hot shingles), and
+        // an unconditional broadcast() hint bypasses the size guard.
+        // The frame is already materialized, so the count is free:
+        // hint only when the pair set is genuinely broadcast-sized
+        // (4M pairs ≈ 64 MB of (long,long) rows); past that, leave
+        // the join strategy to Spark.
+        val candB =
+          if (candCk.count() <= 4000000L) broadcast(candCk) else candCk
         val candIds = candCk.select(col("doc_a").as("doc_id"))
           .union(candCk.select(col("doc_b").as("doc_id"))).distinct()
-        (broadcast(candCk), rows.join(candIds, Seq("doc_id"), "left_semi"))
+        (candB, rows.join(candIds, Seq("doc_id"), "left_semi"))
       } else (cand, rows)
     val sets = setsBase
       .groupBy("doc_id")

@@ -1,12 +1,12 @@
 package graft.streaming
 
-import java.io.File
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.Similarity
+import graft.util.StateFs
 
 /** Streaming IVF index maintenance — [[Similarity.ivfAppend]] wired
   * into a `foreachBatch` stream: arriving vector batches append to a
@@ -55,22 +55,29 @@ import graft.operators.Similarity
   */
 object StreamingIvf {
 
-  private def committedListDirs(stateDir: String): Seq[File] = {
-    healCompaction(stateDir)
-    val lists = new File(stateDir, "lists")
-    Option(lists.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(d => d.isDirectory && d.getName.startsWith("v") &&
-        new File(d, "_SUCCESS").exists())
-      .sortBy(_.getName)
+  private def listsDir(stateDir: String) = new Path(stateDir, "lists")
+
+  /** Committed list dirs AFTER the read-side crash repair — state
+    * I/O through the Hadoop FileSystem API (graft.util.StateFs), so
+    * file:// and hdfs:// state dirs behave identically; the repair is
+    * the READER strength only (restore a mid-swap-crashed `lists`
+    * from its `.bak`) — writers run the full heal (review r12: a
+    * reader must not delete an in-flight compaction's `.tmp`). */
+  private def committedListDirs(spark: SparkSession, stateDir: String): Seq[Path] = {
+    val lists = listsDir(stateDir)
+    val fs = StateFs.fs(spark, lists)
+    StateFs.healReader(fs, lists)
+    StateFs.committedVDirs(fs, lists)
   }
 
-  private def centroidsDir(stateDir: String) = new File(stateDir, "centroids")
+  private def centroidsDir(stateDir: String) = new Path(stateDir, "centroids")
 
   /** The frozen coarse quantizer, or None before the first committed
     * batch. */
   def readCentroids(spark: SparkSession, stateDir: String): Option[DataFrame] = {
     val d = centroidsDir(stateDir)
-    if (new File(d, "_SUCCESS").exists()) Some(spark.read.parquet(d.getPath))
+    if (StateFs.committed(StateFs.fs(spark, d), d))
+      Some(spark.read.parquet(d.toString))
     else None
   }
 
@@ -79,7 +86,7 @@ object StreamingIvf {
     * list directories are read — partial writes are invisible. */
   def readIndex(spark: SparkSession, stateDir: String): Option[(DataFrame, DataFrame)] =
     readCentroids(spark, stateDir).map { cents =>
-      val dirs = committedListDirs(stateDir)
+      val dirs = committedListDirs(spark, stateDir)
       val assigned =
         if (dirs.isEmpty)
           // centroids committed but no lists yet (crash window between
@@ -94,7 +101,7 @@ object StreamingIvf {
           // it back to the Long the data column carries), fresh
           // append dirs hold it as a data column — one multi-path
           // read would refuse the mixed layout
-          .map(d => spark.read.option("basePath", d.getPath).parquet(d.getPath)
+          .map(d => spark.read.option("basePath", d.toString).parquet(d.toString)
             .withColumn("cluster", col("cluster").cast("long")))
           .reduce(_ unionByName _)
       (cents, assigned)
@@ -107,20 +114,22 @@ object StreamingIvf {
   def appendBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
       nCentroids: Int, batchId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
-    healCompaction(stateDir)
-    val listDir = new File(new File(stateDir, "lists"), f"v$batchId%020d")
-    if (new File(listDir, "_SUCCESS").exists()) return false // replay
+    val lists = listsDir(stateDir)
+    val fs = StateFs.fs(spark, lists)
+    StateFs.healWriter(fs, lists)
+    val listDir = new Path(lists, f"v$batchId%020d")
+    if (StateFs.committed(fs, listDir)) return false // replay
     if (batch.isEmpty) return false
     val cents = readCentroids(spark, stateDir).getOrElse {
       // Deterministic seed from THIS batch (smallest ids), then freeze.
       // A crash after this write replays the same batch → the same
       // centroids are simply read back, not re-derived — idempotent.
       val (c, _) = Similarity.ivfIndex(batch, nCentroids, idCol, vecCol)
-      c.coalesce(1).write.mode("overwrite").parquet(centroidsDir(stateDir).getPath)
-      spark.read.parquet(centroidsDir(stateDir).getPath)
+      c.coalesce(1).write.mode("overwrite").parquet(centroidsDir(stateDir).toString)
+      spark.read.parquet(centroidsDir(stateDir).toString)
     }
     Similarity.ivfAssign(cents, batch, idCol, vecCol)
-      .write.mode("overwrite").parquet(listDir.getPath)
+      .write.mode("overwrite").parquet(listDir.toString)
     true
   }
 
@@ -135,48 +144,28 @@ object StreamingIvf {
     * [[graft.operators.Bm25Index.compact]]). The swap is the same
     * heal-able rename-aside: a crash leaves either the old tree, the
     * old tree plus a dead `.tmp`, or the new tree plus a dead `.bak`
-    * — [[healCompaction]] resolves all three on the next touch.
+    * — readers restore the missing-live case on the next touch
+    * ([[graft.util.StateFs.healReader]]) and writers clean the rest
+    * ([[graft.util.StateFs.healWriter]]).
     * Returns true iff a rewrite happened. */
   def compact(spark: SparkSession, stateDir: String): Boolean = {
-    healCompaction(stateDir)
-    val dirs = committedListDirs(stateDir)
+    val live = listsDir(stateDir)
+    val fs = StateFs.fs(spark, live)
+    StateFs.healWriter(fs, live)
+    val dirs = StateFs.committedVDirs(fs, live)
     if (dirs.size <= 1) return false
     val vname = dirs.map(_.getName).max
-    val tmp = new File(stateDir, "lists.tmp")
-    dirs.map(d => spark.read.option("basePath", d.getPath).parquet(d.getPath)
+    val tmp = StateFs.tmpOf(live)
+    dirs.map(d => spark.read.option("basePath", d.toString).parquet(d.toString)
         .withColumn("cluster", col("cluster").cast("long")))
       .reduce(_ unionByName _)
       // bucket-aligned write: one hash exchange lands each cluster in
       // one task → ≤nCentroids files, not tasks×clusters tiny ones
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
-      .parquet(new File(tmp, vname).getPath)
-    val live = new File(stateDir, "lists")
-    val bak = new File(stateDir, "lists.bak")
-    deleteRec(bak)
-    if (!live.renameTo(bak)) sys.error(s"compact: cannot move $live aside")
-    if (!tmp.renameTo(live)) {
-      bak.renameTo(live)
-      sys.error(s"compact: swap failed for $live; original restored")
-    }
-    deleteRec(bak)
+      .parquet(new Path(tmp, vname).toString)
+    StateFs.swapIn(fs, live, tmp)
     true
-  }
-
-  /** Resolve a crashed [[compact]] before listing or writing state —
-    * the [[graft.operators.Bm25Index]] heal contract. */
-  private def healCompaction(stateDir: String): Unit = {
-    val live = new File(stateDir, "lists")
-    val bak = new File(stateDir, "lists.bak")
-    val tmp = new File(stateDir, "lists.tmp")
-    if (!live.exists() && bak.exists()) { bak.renameTo(live); () }
-    else if (bak.exists()) deleteRec(bak)
-    if (tmp.exists()) deleteRec(tmp)
-  }
-
-  private def deleteRec(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-    f.delete(); ()
   }
 
   /** Wire the appender into a stream. `vecs` must carry

@@ -1,0 +1,119 @@
+package graft.util
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop-FileSystem primitives for the stored-state index operators
+  * ([[graft.operators.Bm25Index]], [[graft.streaming.StreamingIvf]]):
+  * version-dir listing, `_SUCCESS` commit checks, the CURRENT pointer,
+  * and the rename-aside compaction swap with its crash-window heal —
+  * factored here so the swap/heal logic exists ONCE (it previously
+  * lived per-operator on `java.io.File`, which silently confines the
+  * "100 TB" state dirs to the driver's local disk; through the Hadoop
+  * API the same code serves `file://` and `hdfs://` alike — the
+  * [[graft.sink.Compactor]] discipline. On an object store, renames
+  * are copies and not atomic: pair the state layout with a manifest
+  * pointer instead, as the Compactor scaladoc already prescribes).
+  *
+  * Heal has two strengths, split by CALLER ROLE (a review-r12 fix —
+  * readers formerly ran the full destructive heal, so a concurrent
+  * reader could delete the `.tmp` out from under an in-flight
+  * compaction write or un-stage its swap):
+  *
+  *  - [[healReader]] — restore `live` from `live.bak` ONLY when live
+  *    is missing (the one repair a read needs to see data after a
+  *    mid-swap crash). Never deletes anything: a stale `.bak` or an
+  *    in-progress `.tmp` belongs to the writer.
+  *  - [[healWriter]] — the full repair at writer entry: restore, then
+  *    drop stale `.bak` and orphan `.tmp`.
+  *
+  * Residual race, documented rather than hidden: if a reader's
+  * restore fires INSIDE an in-flight swap's two-rename window, the
+  * swap's second rename fails and [[swapIn]] aborts loudly with the
+  * original generation intact — harmless but wasted work, which is
+  * why compaction belongs in the no-reader maintenance slot the
+  * operator scaladocs prescribe; the heal exists for CRASHED swaps,
+  * not as concurrency control. */
+object StateFs {
+
+  def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def committed(fs: FileSystem, d: Path): Boolean =
+    fs.exists(new Path(d, "_SUCCESS"))
+
+  /** Committed `v*`-named child directories of `dir`, name-sorted. */
+  def committedVDirs(fs: FileSystem, dir: Path): Seq[Path] = {
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v") &&
+        committed(fs, s.getPath))
+      .map(_.getPath).sortBy(_.getName)
+  }
+
+  def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      StandardCharsets.UTF_8).trim
+    finally in.close()
+  }
+
+  /** Atomically (re)point `dir/CURRENT` at `value`: write
+    * `CURRENT.tmp`, then rename OVER the pointer — atomic on HDFS and
+    * the local fs via `FileContext` (plain `FileSystem.rename` cannot
+    * overwrite). */
+  def writePointer(spark: SparkSession, dir: Path, value: String): Unit = {
+    val f = fs(spark, dir)
+    val tmp = new Path(dir, "CURRENT.tmp")
+    val out = f.create(tmp, true)
+    try out.write(value.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    FileContext.getFileContext(dir.toUri, f.getConf)
+      .rename(tmp, new Path(dir, "CURRENT"), Options.Rename.OVERWRITE)
+  }
+
+  def deleteRec(fs: FileSystem, p: Path): Unit = {
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
+  private def bakOf(live: Path) =
+    new Path(live.getParent, live.getName + ".bak")
+  def tmpOf(live: Path): Path =
+    new Path(live.getParent, live.getName + ".tmp")
+
+  /** Rename-aside swap: `live` → `.bak`, `tmp` → `live`, drop `.bak`.
+    * A crash at any point leaves a state the heals repair. */
+  def swapIn(fs: FileSystem, live: Path, tmp: Path): Unit = {
+    val bak = bakOf(live)
+    deleteRec(fs, bak)
+    if (!fs.rename(live, bak)) sys.error(s"compact: cannot move $live aside")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(bak, live)
+      sys.error(s"compact: swap failed for $live; original restored")
+    }
+    deleteRec(fs, bak)
+  }
+
+  /** Read-side repair: restore a mid-swap-crashed family so the data
+    * is visible again. Touches nothing else. */
+  def healReader(fs: FileSystem, live: Path): Unit = {
+    val bak = bakOf(live)
+    if (!fs.exists(live) && fs.exists(bak)) {
+      if (!fs.rename(bak, live))
+        sys.error(s"heal: cannot restore $live from $bak — " +
+          "state is intact under the .bak; resolve the blocking path manually")
+    }
+  }
+
+  /** Writer-entry repair: [[healReader]] plus dropping a stale `.bak`
+    * (completed swap whose cleanup crashed) and any orphan `.tmp`
+    * (unfinished compaction write). */
+  def healWriter(fs: FileSystem, live: Path): Unit = {
+    healReader(fs, live)
+    if (fs.exists(live)) deleteRec(fs, bakOf(live))
+    deleteRec(fs, tmpOf(live))
+  }
+}

@@ -149,13 +149,14 @@ class Bm25IndexSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq === full)
   }
 
-  test("compact crash windows heal: mid-swap, stale backup, orphan tmp") {
+  test("compact crash windows heal: mid-swap by readers, stale bak/tmp by writers only") {
     val state = Fixtures.tempDir("bm25-cheal").resolve("state").toString
     Bm25Index.appendBatch(spark, state, docs.filter(bucket < 50), 0L)
     Bm25Index.appendBatch(spark, state, docs.filter(bucket >= 50), 1L)
     val want = Bm25Index.retrieve(spark, state, Seq("spark", "vector"))
       .collect().map(_.toString).toSeq
-    // crash between the swap's two renames: live gone, backup present
+    // crash between the swap's two renames: live gone, backup present —
+    // the ONE repair a reader performs (it must, to see data at all)
     val live = new File(state, "postings")
     val bak = new File(state, "postings.bak")
     assert(live.renameTo(bak))
@@ -168,9 +169,18 @@ class Bm25IndexSpec extends SparkTestBase {
     // crash mid-rewrite: an orphaned tmp tree
     val orphan = new File(new File(state, "postings.tmp"), "vjunk")
     assert(orphan.mkdirs())
+    // a READ leaves both alone (deleting the tmp would race an
+    // in-flight compaction on another session — review r12) and still
+    // serves the committed generation
     assert(Bm25Index.retrieve(spark, state, Seq("spark", "vector"))
       .collect().map(_.toString).toSeq === want)
+    assert(staleBak.exists() && new File(state, "postings.tmp").exists(),
+      "a reader must not delete writer-owned .bak/.tmp dirs")
+    // the next WRITER entry cleans both
+    assert(Bm25Index.compact(spark, state))
     assert(!staleBak.exists() && !new File(state, "postings.tmp").exists())
+    assert(Bm25Index.retrieve(spark, state, Seq("spark", "vector"))
+      .collect().map(_.toString).toSeq === want)
   }
 
   test("zero-token batch: rejected before it can brick the partitioned layout") {
@@ -209,7 +219,7 @@ class Bm25IndexSpec extends SparkTestBase {
       CorpusQueries.ragRetrieve(spark, sfDir).collect().map(_.toString).toSeq)
   }
 
-  test("externally GC'd append dirs degrade to empty frames, not a crash") {
+  test("externally GC'd append dirs fail loudly, not as silently-empty results") {
     val state = Fixtures.tempDir("bm25-gc").resolve("state").toString
     Bm25Index.appendBatch(spark, state, docs.filter(bucket < 50), 0L)
     def nuke(sub: String): Unit = {
@@ -220,9 +230,54 @@ class Bm25IndexSpec extends SparkTestBase {
       rec(new File(state, sub))
     }
     nuke("postings"); nuke("dl")
-    val (p, d, _, st) = Bm25Index.readState(spark, state).get
-    assert(p.count() === 0L && d.count() === 0L)
-    assert(st.select("last_batch").head().getLong(0) === 0L)
-    assert(Bm25Index.retrieve(spark, state, Seq("spark")).count() === 0L)
+    // merged stats still claim indexed docs but the append dirs are
+    // gone: that is data loss, and serving 0 rows for every query
+    // (indistinguishable from "no matches") would hide it — the read
+    // must fail with the inconsistency named (review r12; supersedes
+    // the r11 silent empty-frame fallback, which remains only for the
+    // consistent n_docs == 0 state)
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.readState(spark, state)
+    }
+    assert(e.getMessage.contains("n_docs") &&
+      e.getMessage.contains("removed externally"))
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25Index.retrieve(spark, state, Seq("spark")).count()
+    }
+    assert(e2.getMessage.contains("rebuild"))
+  }
+
+  test("pre-dhb dl generations read via back-compat and compact() migrates them") {
+    val state = Fixtures.tempDir("bm25-predhb").resolve("state").toString
+    Bm25Index.appendBatch(spark, state, docs.filter(bucket < 50), 0L)
+    Bm25Index.appendBatch(spark, state, docs.filter(bucket >= 50), 1L)
+    val want = Bm25Index.retrieve(spark, state, Seq("spark", "vector", "customer"))
+      .collect().map(_.toString).toSeq
+    // rewrite both dl generations the way the pre-r12 layout wrote
+    // them: unpartitioned, no dhb column
+    for (v <- Seq(0L, 1L)) {
+      val d = new File(new File(state, "dl"), f"v$v%020d").getPath
+      val old = spark.read.parquet(d)
+        .select("doc_id", "chunk_id", "start", "len", "dl")
+        .localCheckpoint(true)
+      def rec(f: File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+        f.delete(); ()
+      }
+      rec(new File(d))
+      old.write.mode("overwrite").parquet(d)
+    }
+    // reads synthesize dhb (no partition pruning on these dirs, but
+    // results identical — a stored index from the previous layout is
+    // NOT bricked by the upgrade)
+    assert(Bm25Index.retrieve(spark, state, Seq("spark", "vector", "customer"))
+      .collect().map(_.toString).toSeq === want)
+    // compaction migrates to the bucketed layout
+    assert(Bm25Index.compact(spark, state))
+    val gen = new File(new File(state, "dl"), f"v${1L}%020d")
+    assert(gen.listFiles().exists(_.getName.startsWith("dhb=")),
+      "compact must rewrite pre-dhb dl into the bucketed layout")
+    assert(Bm25Index.retrieve(spark, state, Seq("spark", "vector", "customer"))
+      .collect().map(_.toString).toSeq === want)
   }
 }

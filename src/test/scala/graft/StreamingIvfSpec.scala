@@ -135,16 +135,24 @@ class StreamingIvfSpec extends SparkTestBase {
     val queries = corpus.filter($"vec_id" >= 1000)
     val probed = StreamingIvf.probe(spark, state, queries, k = 1, nProbe = 8)
       .collect().map(_.toString).sorted.toSeq
-    // crash windows: mid-swap (live gone, bak present) and orphan tmp
+    // crash windows: mid-swap (live gone, bak present) and orphan tmp.
+    // A READ restores the missing live dir (it must, to see data) but
+    // leaves the writer-owned tmp alone — a reader deleting it would
+    // race an in-flight compaction on another session (review r12)
     val live = new File(state, "lists")
     val bak = new File(state, "lists.bak")
     assert(live.renameTo(bak))
     new File(state, "lists.tmp/vjunk").mkdirs()
     assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) === before)
-    assert(live.exists() && !bak.exists() && !new File(state, "lists.tmp").exists())
+    assert(live.exists() && !bak.exists())
+    assert(new File(state, "lists.tmp").exists(),
+      "a reader must not delete the writer-owned .tmp")
+    // the next WRITER entry (appendBatch) cleans the orphan tmp, and
     // appends continue on top of the compacted generation
     assert(StreamingIvf.appendBatch(spark, state,
       corpus.filter($"vec_id" >= 1000), 8, 3L))
+    assert(!new File(state, "lists.tmp").exists(),
+      "writer entry must clean the orphan tmp")
     assert(listDirs().size === 2)
     assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) ===
       clusterMap(Similarity.ivfAssign(

@@ -54,10 +54,14 @@ class ZorderLayoutSpec extends SparkTestBase {
     assert(got == Map(0L -> 1L, 12L -> 1499L, 1L -> 600L))
   }
 
-  /** Per-row-group (min, max) of an INT64 column across every parquet
-    * file under `dir` — read from the REAL file footers, the exact
-    * metadata a parquet scan's row-group skipping consults. */
-  private def rowGroupStats(dir: String, column: String): Seq[(Long, Long)] = {
+  /** Per-row-group ((min, max), (min, max)) of TWO INT64 columns
+    * across every parquet file under `dir` — read from the REAL file
+    * footers, the exact metadata a parquet scan's row-group skipping
+    * consults, both columns from ONE footer pass per file (a
+    * positional zip of two listings would pair stats across files on
+    * any FS whose listing order is not stable). */
+  private def rowGroupStats(dir: String, colA: String,
+      colB: String): Seq[((Long, Long), (Long, Long))] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
@@ -66,10 +70,13 @@ class ZorderLayoutSpec extends SparkTestBase {
     files.flatMap { f =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try r.getFooter.getBlocks.asScala.map { b =>
-        val st = b.getColumns.asScala
-          .find(_.getPath.toDotString == column).get.getStatistics
-        (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-          st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        def mm(column: String): (Long, Long) = {
+          val st = b.getColumns.asScala
+            .find(_.getPath.toDotString == column).get.getStatistics
+          (st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        }
+        (mm(colA), mm(colB))
       }.toSeq
       finally r.close()
     }
@@ -104,8 +111,7 @@ class ZorderLayoutSpec extends SparkTestBase {
     def keyset(df: DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(keyset(spark.read.parquet(zdir)) === keyset(orders))
-    def stats(dir: String) =
-      rowGroupStats(dir, "o_custkey").zip(rowGroupStats(dir, "day"))
+    def stats(dir: String) = rowGroupStats(dir, "o_custkey", "day")
     val zStats = stats(zdir)
     val sStats = stats(sdir)
     assert(zStats.size >= nFiles && sStats.size >= nFiles)
