@@ -300,9 +300,13 @@ object Bm25Index {
     dfreq.coalesce(1).write.mode("overwrite").parquet(new Path(d, "df").toString)
     stats.coalesce(1).write.mode("overwrite").parquet(new Path(d, "stats").toString)
     StateFs.writePointer(spark, md, vname)
+    // GC every generation the pointer left behind, committed or
+    // partial (a crashed earlier commit's half-written dir included)
     val fs = StateFs.fs(spark, md)
-    StateFs.committedVDirs(fs, md).filter(_.getName != vname)
-      .foreach(StateFs.deleteRec(fs, _))
+    fs.listStatus(md).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v") &&
+        s.getPath.getName != vname)
+      .foreach(s => StateFs.deleteRec(fs, s.getPath))
   }
 
   /** Crash-window repair, split by caller role (graft.util.StateFs):

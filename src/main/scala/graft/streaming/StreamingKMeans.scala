@@ -45,44 +45,43 @@ object StreamingKMeans {
     * finished its parquet write (`_SUCCESS`) and won the pointer swap
     * is ever served; partially-written versions are invisible. */
   def readState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
-    val cur = new java.io.File(stateDir, "CURRENT")
-    if (!cur.exists()) None
+    // state I/O through the Hadoop FileSystem API (graft.util.StateFs)
+    // so file:// and hdfs:// state dirs behave identically — the
+    // Bm25Index/StreamingIvf discipline (review r12)
+    val base = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = graft.util.StateFs.fs(spark, base)
+    val cur = new org.apache.hadoop.fs.Path(base, "CURRENT")
+    if (!fs.exists(cur)) None
     else {
-      val v = new String(java.nio.file.Files.readAllBytes(cur.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      val d = new java.io.File(stateDir, v)
-      if (new java.io.File(d, "_SUCCESS").exists())
-        Some(spark.read.parquet(d.getPath))
+      val v = graft.util.StateFs.readString(fs, cur)
+      val d = new org.apache.hadoop.fs.Path(base, v)
+      if (graft.util.StateFs.committed(fs, d))
+        Some(spark.read.parquet(d.toString))
       else None
     }
   }
 
   /** Commit `next` as the state after `batchId`: write the k-row frame
     * to `stateDir/v<batchId>`, atomically swap `CURRENT` onto it
-    * (write-temp + ATOMIC_MOVE rename — POSIX-atomic on one
-    * filesystem), then GC versions the pointer no longer references.
+    * (write-temp + rename-over via `StateFs.writePointer` — atomic on
+    * HDFS and the local fs), then GC every version directory the
+    * pointer no longer references, committed or partial.
     * Crash windows: before the swap → old pointer + old version stay
     * intact; during GC → orphan directories only, re-collected on the
     * next commit. Replay of a batch id rewrites the same version dir
     * (overwrite) and re-swaps — idempotent. */
   def commitState(next: DataFrame, stateDir: String, batchId: Long): Unit = {
+    val spark = next.sparkSession
     val vname = f"v$batchId%020d"
+    val base = new org.apache.hadoop.fs.Path(stateDir)
     next.coalesce(1).write.mode("overwrite")
-      .parquet(new java.io.File(stateDir, vname).getPath)
-    val tmp = new java.io.File(stateDir, "CURRENT.tmp").toPath
-    java.nio.file.Files.write(tmp,
-      vname.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, new java.io.File(stateDir, "CURRENT").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v") && f.getName != vname)
-      .foreach(deleteRec)
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
-    f.delete(); ()
+      .parquet(new org.apache.hadoop.fs.Path(base, vname).toString)
+    graft.util.StateFs.writePointer(spark, base, vname)
+    val fs = graft.util.StateFs.fs(spark, base)
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v") &&
+        s.getPath.getName != vname)
+      .foreach(s => graft.util.StateFs.deleteRec(fs, s.getPath))
   }
 
   /** Serve the current model: `(c_id, centroid)` with the elementwise
