@@ -174,45 +174,68 @@ object Bm25Index {
       : Option[(DataFrame, DataFrame, DataFrame, DataFrame)] = {
     healReaderAll(spark, stateDir)
     readMerged(spark, stateDir).map { case (dfreq, stats) =>
-      val st = stats.select("last_batch", "n_docs").head()
-      val last = st.getLong(0)
-      // one read per version dir, each rooted at its own basePath so
-      // the tkb= partition layout resolves; the union is append-only
-      // file metadata, and a tkb filter pushes through it into every
-      // arm's partition pruning. Zero visible dirs is EMPTY only when
-      // the merged stats agree nothing is indexed; dirs gone while
-      // n_docs > 0 is data loss (external GC of the append dirs) and
-      // fails with the remedy instead of serving silently-empty
-      // results indistinguishable from "no matches" (review r12;
-      // supersedes the ADVICE-r11 silent empty-frame fallback).
-      def familyDirs(sub: String): Seq[String] = {
-        val dirs = visibleAppendDirs(spark, stateDir, sub, last)
-        require(dirs.nonEmpty || st.getLong(1) == 0L,
-          s"BM25 state inconsistent: merged stats claim n_docs=${st.getLong(1)} " +
-            s"but no committed $sub/v* dirs are visible under $stateDir — " +
-            "append dirs were removed externally; restore them or rebuild " +
-            "the index from the raw documents")
-        dirs
+      val st = stats.head()
+      val nDocs = st.getLong(st.fieldIndex("n_docs"))
+      // Serve exactly the MANIFEST the committing writer recorded
+      // (stats carries the visible dir names per family): a manifest
+      // dir that is gone — external GC/retention of SOME append dirs —
+      // is PARTIAL data loss, and the listing-based read would
+      // silently serve half the corpus with full-corpus df/N/T
+      // (wrong rankings, indistinguishable from "no matches" for the
+      // lost docs). Each manifest entry must be present and
+      // committed, else the read fails naming what is missing
+      // (review r12 — the earlier all-dirs-gone check caught only
+      // TOTAL loss). Pre-manifest generations (no dir columns in
+      // stats) fall back to the frontier listing + total-loss check.
+      def familyDirs(sub: String, manifestCol: String): Seq[String] = {
+        val sdir = new Path(stateDir, sub)
+        if (stats.columns.contains(manifestCol)) {
+          val names = st.getSeq[String](st.fieldIndex(manifestCol))
+          val fs = StateFs.fs(spark, sdir)
+          val missing = names.filterNot(n =>
+            StateFs.committed(fs, new Path(sdir, n)))
+          require(missing.isEmpty,
+            s"BM25 state inconsistent: merged stats expect $sub dirs " +
+              s"[${names.mkString(", ")}] but [${missing.mkString(", ")}] " +
+              s"are missing under $stateDir — append dirs were removed " +
+              "externally; restore them or rebuild the index from the " +
+              "raw documents")
+          names.map(n => new Path(sdir, n).toString)
+        } else {
+          val last = st.getLong(st.fieldIndex("last_batch"))
+          val dirs = visibleAppendDirs(spark, stateDir, sub, last)
+          require(dirs.nonEmpty || nDocs == 0L,
+            s"BM25 state inconsistent: merged stats claim n_docs=$nDocs " +
+              s"but no committed $sub/v* dirs are visible under $stateDir — " +
+              "append dirs were removed externally; restore them or rebuild " +
+              "the index from the raw documents")
+          dirs
+        }
       }
-      // dhb back-compat: dl generations written before the doc-hash
-      // bucketing carry no dhb column — synthesize it (row-level, no
-      // partition pruning on those dirs; compact() migrates them to
-      // the bucketed layout).
-      val pDirs = familyDirs("postings")
+      val pDirs = familyDirs("postings", "p_dirs")
       val postings =
         if (pDirs.isEmpty) emptyPostings(spark)
         else pDirs.map(d => spark.read.option("basePath", d).parquet(d))
           .reduce(_ unionByName _)
-      val dlDirs = familyDirs("dl")
+      val dlDirs = familyDirs("dl", "dl_dirs")
       val dl =
         if (dlDirs.isEmpty) emptyDl(spark)
-        else dlDirs.map { d =>
-          val f = spark.read.option("basePath", d).parquet(d)
-          if (f.columns.contains("dhb")) f
-          else f.withColumn("dhb", pmod(xxhash64(col("doc_id")), lit(DhBuckets)))
-        }.reduce(_ unionByName _)
+        else dlDirs.map(readDlDir(spark, _)).reduce(_ unionByName _)
       (postings, dl, dfreq, stats)
     }
+  }
+
+  /** One dl version dir, `dhb` back-compat applied: generations
+    * written before the doc-hash bucketing carry no dhb column —
+    * synthesize it with the SAME expression the write path uses
+    * (row-level, no partition pruning on those dirs; [[compact]]
+    * migrates them to the bucketed layout). The single definition
+    * shared by [[readState]] and [[compact]] keeps the synthesized
+    * hash bit-identical to the written one. */
+  private def readDlDir(spark: SparkSession, d: String): DataFrame = {
+    val f = spark.read.option("basePath", d).parquet(d)
+    if (f.columns.contains("dhb")) f
+    else f.withColumn("dhb", pmod(xxhash64(col("doc_id")), lit(DhBuckets)))
   }
 
   private def emptyPostings(spark: SparkSession): DataFrame = {
@@ -282,12 +305,30 @@ object Bm25Index {
                 .agg(sum(col("n_docs")).as("n_docs"),
                   sum(col("t_tok")).as("t_tok")))
         }
+        // the manifest of served append dirs per family rides in the
+        // stats row: readers serve EXACTLY these names, so partial
+        // external loss is detected, not silently half-served
+        val pNames = typedLit(appendDirNames(spark, stateDir, "postings", batchId))
+        val dlNames = typedLit(appendDirNames(spark, stateDir, "dl", batchId))
         commitMerged(spark, stateDir, vname,
           nDf.localCheckpoint(true),
-          nStats.withColumn("last_batch", lit(batchId)).localCheckpoint(true))
+          nStats.withColumn("last_batch", lit(batchId))
+            .withColumn("p_dirs", pNames)
+            .withColumn("dl_dirs", dlNames)
+            .localCheckpoint(true))
         true
       } finally { dl.unpersist(); () }
     } finally { postings.unpersist(); () }
+  }
+
+  /** Committed `v*` dir NAMES of one family at the given frontier —
+    * what the commit records as the serving manifest. */
+  private def appendDirNames(spark: SparkSession, stateDir: String,
+      sub: String, lastBatch: Long): Seq[String] = {
+    val frontier = f"v$lastBatch%020d"
+    val dir = new Path(stateDir, sub)
+    StateFs.committedVDirs(StateFs.fs(spark, dir), dir)
+      .map(_.getName).filter(_ <= frontier)
   }
 
   /** Write-new-version + atomic pointer swap + GC (the
@@ -302,11 +343,7 @@ object Bm25Index {
     StateFs.writePointer(spark, md, vname)
     // GC every generation the pointer left behind, committed or
     // partial (a crashed earlier commit's half-written dir included)
-    val fs = StateFs.fs(spark, md)
-    fs.listStatus(md).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v") &&
-        s.getPath.getName != vname)
-      .foreach(s => StateFs.deleteRec(fs, s.getPath))
+    StateFs.gcVersions(StateFs.fs(spark, md), md, vname)
   }
 
   /** Crash-window repair, split by caller role (graft.util.StateFs):
@@ -345,36 +382,64 @@ object Bm25Index {
     healWriterAll(spark, stateDir)
     val cur = readMerged(spark, stateDir)
     if (cur.isEmpty) return false
-    val last = cur.get._2.select("last_batch").head().getLong(0)
+    val (dfreq0, stats0) = cur.get
+    val st = stats0.head()
+    val last = st.getLong(st.fieldIndex("last_batch"))
     val vname = f"v$last%020d"
-    val pDirs = visibleAppendDirs(spark, stateDir, "postings", last)
-    val dlDirs = visibleAppendDirs(spark, stateDir, "dl", last)
-    if (pDirs.size <= 1 && dlDirs.size <= 1) return false
-    if (pDirs.nonEmpty) {
+    // compact what is SERVED: the manifest when present, else the
+    // legacy frontier listing (compacting also upgrades such a state
+    // to a manifest-carrying one)
+    def servedNames(colName: String, sub: String): Seq[String] =
+      if (stats0.columns.contains(colName))
+        st.getSeq[String](st.fieldIndex(colName))
+      else appendDirNames(spark, stateDir, sub, last)
+    val pNames = servedNames("p_dirs", "postings")
+    val dlNames = servedNames("dl_dirs", "dl")
+    val pPaths = pNames.map(n => new Path(new Path(stateDir, "postings"), n).toString)
+    val dlPaths = dlNames.map(n => new Path(new Path(stateDir, "dl"), n).toString)
+    // a SINGLE pre-dhb dl generation still needs the bucketed rewrite
+    // (review r12: the dir-count guard alone left such a state
+    // permanently unmigrated and its dl scans permanently unpruned)
+    val dlNeedsMigration = dlPaths.exists(d =>
+      !spark.read.option("basePath", d).parquet(d).columns.contains("dhb"))
+    val doP = pPaths.size > 1
+    val doDl = dlPaths.size > 1 || dlNeedsMigration
+    if (!doP && !doDl) return false
+    if (doP) {
       val live = new Path(stateDir, "postings")
       val pTmp = StateFs.tmpOf(live)
-      pDirs.map(d => spark.read.option("basePath", d).parquet(d))
+      pPaths.map(d => spark.read.option("basePath", d).parquet(d))
         .reduce(_ unionByName _)
         .repartition(col("tkb")) // bucket-aligned: ≤64 files, not tasks×64
         .write.mode("overwrite").partitionBy("tkb")
         .parquet(new Path(pTmp, vname).toString)
       StateFs.swapIn(StateFs.fs(spark, live), live, pTmp)
     }
-    if (dlDirs.nonEmpty) {
+    if (doDl) {
       val live = new Path(stateDir, "dl")
       val dlTmp = StateFs.tmpOf(live)
-      dlDirs.map { d =>
-          val f = spark.read.option("basePath", d).parquet(d)
-          // migrate pre-dhb generations into the bucketed layout
-          if (f.columns.contains("dhb")) f
-          else f.withColumn("dhb", pmod(xxhash64(col("doc_id")), lit(DhBuckets)))
-        }
+      dlPaths.map(readDlDir(spark, _))
         .reduce(_ unionByName _)
         .repartition(col("dhb"))
         .write.mode("overwrite").partitionBy("dhb")
         .parquet(new Path(dlTmp, vname).toString)
       StateFs.swapIn(StateFs.fs(spark, live), live, dlTmp)
     }
+    // Re-commit the merged generation so the manifest names the
+    // compacted layout — without this every manifest-based read after
+    // a compaction would fail its own consistency check against the
+    // swapped-away dir names. Statistics are unchanged; the "c"
+    // suffix keeps the generation name unique (appends always advance
+    // the frontier, so a second compaction at this frontier is the
+    // no-op above).
+    val newP = if (doP) Seq(vname) else pNames
+    val newDl = if (doDl) Seq(vname) else dlNames
+    commitMerged(spark, stateDir, vname + "c",
+      dfreq0.localCheckpoint(true),
+      stats0.drop("p_dirs", "dl_dirs")
+        .withColumn("p_dirs", typedLit(newP))
+        .withColumn("dl_dirs", typedLit(newDl))
+        .localCheckpoint(true))
     true
   }
 

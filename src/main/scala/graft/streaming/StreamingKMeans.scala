@@ -77,11 +77,8 @@ object StreamingKMeans {
     next.coalesce(1).write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(base, vname).toString)
     graft.util.StateFs.writePointer(spark, base, vname)
-    val fs = graft.util.StateFs.fs(spark, base)
-    fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v") &&
-        s.getPath.getName != vname)
-      .foreach(s => graft.util.StateFs.deleteRec(fs, s.getPath))
+    graft.util.StateFs.gcVersions(
+      graft.util.StateFs.fs(spark, base), base, vname)
   }
 
   /** Serve the current model: `(c_id, centroid)` with the elementwise

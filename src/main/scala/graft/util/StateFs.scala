@@ -31,11 +31,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Residual race, documented rather than hidden: if a reader's
   * restore fires INSIDE an in-flight swap's two-rename window, the
-  * swap's second rename fails and [[swapIn]] aborts loudly with the
-  * original generation intact — harmless but wasted work, which is
-  * why compaction belongs in the no-reader maintenance slot the
-  * operator scaladocs prescribe; the heal exists for CRASHED swaps,
-  * not as concurrency control. */
+  * swap aborts loudly with the original generation intact — harmless
+  * but wasted work, which is why compaction belongs in the no-reader
+  * maintenance slot the operator scaladocs prescribe; the heal
+  * exists for CRASHED swaps, not as concurrency control. Guarding
+  * that abort takes care on Hadoop: `FileSystem.rename(src, dst)`
+  * with an existing destination DIRECTORY does not fail — it NESTS
+  * src inside dst (verified against hadoop-client 3.4.2), where
+  * `java.io.File.renameTo` failed loudly. Both [[swapIn]] and
+  * [[healReader]] therefore re-check for the nested path after their
+  * rename and un-nest + abort (swap) or un-nest + accept the other
+  * side's win (heal) instead of leaving silent garbage. */
 object StateFs {
 
   def fs(spark: SparkSession, p: Path): FileSystem =
@@ -85,28 +91,64 @@ object StateFs {
     new Path(live.getParent, live.getName + ".tmp")
 
   /** Rename-aside swap: `live` → `.bak`, `tmp` → `live`, drop `.bak`.
-    * A crash at any point leaves a state the heals repair. */
+    * A crash at any point leaves a state the heals repair. If a
+    * concurrent reader's [[healReader]] restores the backup inside
+    * the two-rename window, the swap discards its rewrite and aborts
+    * loudly with the original generation intact (see the nesting
+    * caveat in the object scaladoc — the existence re-checks below
+    * are what turn the would-be silent nesting into that abort). */
   def swapIn(fs: FileSystem, live: Path, tmp: Path): Unit = {
     val bak = bakOf(live)
     deleteRec(fs, bak)
     if (!fs.rename(live, bak)) sys.error(s"compact: cannot move $live aside")
+    def abortRestored(): Nothing = {
+      deleteRec(fs, tmp)
+      sys.error(s"compact: $live was restored by a concurrent reader heal " +
+        "mid-swap; original generation intact, rewrite discarded — rerun " +
+        "compaction in the no-reader maintenance slot")
+    }
+    // live reappearing here = a reader heal raced us (bak -> live)
+    if (fs.exists(live)) abortRestored()
     if (!fs.rename(tmp, live)) {
       fs.rename(bak, live)
       sys.error(s"compact: swap failed for $live; original restored")
     }
+    // TOCTOU window of the check above: the reader's restore landed
+    // between it and our rename, so our rename NESTED tmp inside the
+    // restored old generation instead of installing it — un-nest and
+    // abort the same way
+    val nested = new Path(live, tmp.getName)
+    if (fs.exists(nested)) { fs.rename(nested, tmp); abortRestored() }
     deleteRec(fs, bak)
   }
 
   /** Read-side repair: restore a mid-swap-crashed family so the data
-    * is visible again. Touches nothing else. */
+    * is visible again. Touches nothing else. If an in-flight swap's
+    * second rename lands between our existence check and our rename,
+    * the restore NESTS the backup inside the newly-installed live
+    * tree (the Hadoop rename caveat above) — detected and un-nested,
+    * accepting the writer's generation as the winner. */
   def healReader(fs: FileSystem, live: Path): Unit = {
     val bak = bakOf(live)
     if (!fs.exists(live) && fs.exists(bak)) {
       if (!fs.rename(bak, live))
         sys.error(s"heal: cannot restore $live from $bak — " +
           "state is intact under the .bak; resolve the blocking path manually")
+      val nested = new Path(live, bak.getName)
+      if (fs.exists(nested)) { fs.rename(nested, bak); () }
     }
   }
+
+  /** Delete every `v*`-named generation under `dir` except `keep` —
+    * committed or partial (a crashed commit's half-written dir
+    * included). The post-pointer-swap GC shared by the versioned
+    * state stores. */
+  def gcVersions(fs: FileSystem, dir: Path, keep: String): Unit =
+    if (fs.exists(dir))
+      fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v") &&
+          s.getPath.getName != keep)
+        .foreach(s => deleteRec(fs, s.getPath))
 
   /** Writer-entry repair: [[healReader]] plus dropping a stale `.bak`
     * (completed swap whose cleanup crashed) and any orphan `.tmp`

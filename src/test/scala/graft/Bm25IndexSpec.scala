@@ -227,19 +227,27 @@ class Bm25IndexSpec extends SparkTestBase {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
         f.delete(); ()
       }
-      rec(new File(state, sub))
+      val t = new File(sub)
+      rec(if (t.isAbsolute) t else new File(state, sub))
     }
+    // PARTIAL loss first: merged manifest expects both batches'
+    // dirs; deleting only batch 0's postings dir must fail naming the
+    // missing dir — the listing-based check caught only TOTAL loss
+    // and would have served half the corpus against full-corpus
+    // df/N/T (review r12)
+    Bm25Index.appendBatch(spark, state, docs.filter(bucket >= 50), 1L)
+    nuke(new File(state, "postings") + f"/v${0L}%020d")
+    val ePartial = intercept[IllegalArgumentException] {
+      Bm25Index.readState(spark, state)
+    }
+    assert(ePartial.getMessage.contains(f"v${0L}%020d") &&
+      ePartial.getMessage.contains("removed externally"))
+    // TOTAL loss: same contract
     nuke("postings"); nuke("dl")
-    // merged stats still claim indexed docs but the append dirs are
-    // gone: that is data loss, and serving 0 rows for every query
-    // (indistinguishable from "no matches") would hide it — the read
-    // must fail with the inconsistency named (review r12; supersedes
-    // the r11 silent empty-frame fallback, which remains only for the
-    // consistent n_docs == 0 state)
     val e = intercept[IllegalArgumentException] {
       Bm25Index.readState(spark, state)
     }
-    assert(e.getMessage.contains("n_docs") &&
+    assert(e.getMessage.contains("missing") &&
       e.getMessage.contains("removed externally"))
     val e2 = intercept[IllegalArgumentException] {
       Bm25Index.retrieve(spark, state, Seq("spark")).count()
