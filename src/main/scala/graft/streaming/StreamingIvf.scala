@@ -52,6 +52,17 @@ import graft.util.StateFs
   * after a compaction stay unpartitioned (per-batch dirs are small;
   * the NEXT compaction folds them into the layout) and take the
   * same filter as a row predicate.
+  *
+  * Known limitation (documented, deliberate): unlike
+  * [[graft.operators.Bm25Index]], whose merged stats row carries a
+  * manifest of served append dirs, this index has no committed
+  * global statistic to check the list dirs against — externally
+  * deleted committed `lists/v*` dirs are served as a silently
+  * smaller corpus. Detecting that would need a manifest commit per
+  * batch (a pointer swap on every append, defeating the append-only
+  * cheapness); a deployment needing the guarantee should pair the
+  * state dir with external retention controls, or adopt the
+  * Bm25-style manifest at the cost of the per-append pointer swap.
   */
 object StreamingIvf {
 
