@@ -175,53 +175,79 @@ object Bm25Index {
     healReaderAll(spark, stateDir)
     readMerged(spark, stateDir).map { case (dfreq, stats) =>
       val st = stats.head()
-      val nDocs = st.getLong(st.fieldIndex("n_docs"))
       // Serve exactly the MANIFEST the committing writer recorded
-      // (stats carries the visible dir names per family): a manifest
-      // dir that is gone — external GC/retention of SOME append dirs —
-      // is PARTIAL data loss, and the listing-based read would
-      // silently serve half the corpus with full-corpus df/N/T
-      // (wrong rankings, indistinguishable from "no matches" for the
-      // lost docs). Each manifest entry must be present and
-      // committed, else the read fails naming what is missing
-      // (review r12 — the earlier all-dirs-gone check caught only
-      // TOTAL loss). Pre-manifest generations (no dir columns in
-      // stats) fall back to the frontier listing + total-loss check.
-      def familyDirs(sub: String, manifestCol: String): Seq[String] = {
-        val sdir = new Path(stateDir, sub)
-        if (stats.columns.contains(manifestCol)) {
-          val names = st.getSeq[String](st.fieldIndex(manifestCol))
-          val fs = StateFs.fs(spark, sdir)
-          val missing = names.filterNot(n =>
-            StateFs.committed(fs, new Path(sdir, n)))
-          require(missing.isEmpty,
-            s"BM25 state inconsistent: merged stats expect $sub dirs " +
-              s"[${names.mkString(", ")}] but [${missing.mkString(", ")}] " +
-              s"are missing under $stateDir — append dirs were removed " +
-              "externally; restore them or rebuild the index from the " +
-              "raw documents")
-          names.map(n => new Path(sdir, n).toString)
-        } else {
-          val last = st.getLong(st.fieldIndex("last_batch"))
-          val dirs = visibleAppendDirs(spark, stateDir, sub, last)
-          require(dirs.nonEmpty || nDocs == 0L,
-            s"BM25 state inconsistent: merged stats claim n_docs=$nDocs " +
-              s"but no committed $sub/v* dirs are visible under $stateDir — " +
-              "append dirs were removed externally; restore them or rebuild " +
-              "the index from the raw documents")
-          dirs
-        }
-      }
-      val pDirs = familyDirs("postings", "p_dirs")
+      // (resolveFamily — crash-interrupted compactions are repaired
+      // in place, genuine external loss fails loudly).
+      val pDirs = resolveFamily(spark, stateDir, "postings", "p_dirs",
+        st, stats.columns)._1
+        .map(n => new Path(new Path(stateDir, "postings"), n).toString)
       val postings =
         if (pDirs.isEmpty) emptyPostings(spark)
         else pDirs.map(d => spark.read.option("basePath", d).parquet(d))
           .reduce(_ unionByName _)
-      val dlDirs = familyDirs("dl", "dl_dirs")
+      val dlDirs = resolveFamily(spark, stateDir, "dl", "dl_dirs",
+        st, stats.columns)._1
+        .map(n => new Path(new Path(stateDir, "dl"), n).toString)
       val dl =
         if (dlDirs.isEmpty) emptyDl(spark)
         else dlDirs.map(readDlDir(spark, _)).reduce(_ unionByName _)
       (postings, dl, dfreq, stats)
+    }
+  }
+
+  /** Resolve one family's served dir NAMES against the committed
+    * manifest in the stats row. A manifest entry that is gone —
+    * external GC/retention of SOME append dirs — is PARTIAL data
+    * loss: the listing-based read would silently serve half the
+    * corpus with full-corpus df/N/T (wrong rankings,
+    * indistinguishable from "no matches" for the lost docs), so
+    * missing entries fail loudly naming what is missing — EXCEPT when
+    * every missing name appears in the folded-dirs `_COMPACTED`
+    * marker of the committed frontier generation: that is a
+    * crash-interrupted [[compact]] (swap done, manifest re-commit
+    * lost), the frontier generation holds the union of the folded
+    * dirs, and it is served in their place (ADVICE r12 — the
+    * swap-then-commit window previously wedged the index with all
+    * data present). Returns (names, stale); stale=true means the
+    * manifest pre-dates the compacted layout — [[compact]] re-commits
+    * it to complete the interrupted run. Pre-manifest generations (no
+    * dir columns in stats) fall back to the frontier listing with the
+    * total-loss check only. */
+  private def resolveFamily(spark: SparkSession, stateDir: String,
+      sub: String, manifestCol: String, st: org.apache.spark.sql.Row,
+      statsCols: Seq[String]): (Seq[String], Boolean) = {
+    val sdir = new Path(stateDir, sub)
+    val last = st.getLong(st.fieldIndex("last_batch"))
+    if (statsCols.contains(manifestCol)) {
+      val names = st.getSeq[String](st.fieldIndex(manifestCol))
+      val fs = StateFs.fs(spark, sdir)
+      val missing = names.filterNot(n =>
+        StateFs.committed(fs, new Path(sdir, n)))
+      if (missing.isEmpty) (names, false)
+      else {
+        val vname = f"v$last%020d"
+        val gen = new Path(sdir, vname)
+        val folded =
+          if (StateFs.committed(fs, gen))
+            StateFs.readFolded(fs, gen).getOrElse(Seq.empty)
+          else Seq.empty
+        require(missing.forall(folded.contains),
+          s"BM25 state inconsistent: merged stats expect $sub dirs " +
+            s"[${names.mkString(", ")}] but [${missing.mkString(", ")}] " +
+            s"are missing under $stateDir — append dirs were removed " +
+            "externally; restore them or rebuild the index from the " +
+            "raw documents")
+        ((names.filterNot(folded.contains) :+ vname).distinct, true)
+      }
+    } else {
+      val nDocs = st.getLong(st.fieldIndex("n_docs"))
+      val dirs = visibleAppendDirs(spark, stateDir, sub, last)
+      require(dirs.nonEmpty || nDocs == 0L,
+        s"BM25 state inconsistent: merged stats claim n_docs=$nDocs " +
+          s"but no committed $sub/v* dirs are visible under $stateDir — " +
+          "append dirs were removed externally; restore them or rebuild " +
+          "the index from the raw documents")
+      (dirs.map(d => new Path(d).getName), false)
     }
   }
 
@@ -364,20 +390,36 @@ object Bm25Index {
     }
 
   /** Background compaction — the coalesce the scaladoc above promised:
-    * rewrite the visible postings/dl append dirs into ONE generation
+    * rewrite the served postings/dl append dirs into ONE generation
     * each (named at the committed frontier, so readers' `<= frontier`
     * rule picks it up and later appends sort after it). Served content
     * is IDENTICAL before and after (spec-pinned); the postings rewrite
     * keeps the `tkb` partition layout, and each family swaps
-    * independently — a crash between the two swaps leaves one family
-    * compacted and the other not, which readers cannot distinguish
-    * from content (union semantics). The merged `df`/`stats`
-    * generation is untouched: it is already one frame. Run this when
-    * no writer is active (single-writer discipline, as with every
-    * file-layout compactor); concurrent READERS on another session
-    * see either generation, never half of one, thanks to the
-    * rename-aside windows being healable and `_SUCCESS`-gated.
-    * Returns true iff a rewrite happened (false = nothing to merge). */
+    * independently. The merged `df`/`stats` generation is untouched:
+    * it is already one frame. Run this when no writer is active
+    * (single-writer discipline, as with every file-layout compactor);
+    * concurrent READERS on another session see either generation,
+    * never half of one, thanks to the rename-aside windows being
+    * healable and `_SUCCESS`-gated.
+    *
+    * Crash contract (reworked per ADVICE r12 — the old flow's
+    * `swapIn` destroyed the old generations BEFORE the manifest
+    * re-commit, so a crash in between left the committed manifest
+    * naming dirs that no longer existed and the index wedged): each
+    * swap now keeps its `.bak` ([[graft.util.StateFs.swapInKeepBak]])
+    * and the compacted generation carries a `_COMPACTED` marker
+    * listing the dir names it folded; old generations are dropped
+    * only AFTER the manifest re-commit lands. A crash anywhere leaves
+    * a servable state: before any swap → old layout; between a swap
+    * and the manifest commit → [[resolveFamily]] detects the folded
+    * names and serves the compacted generation in their place, and
+    * the next [[compact]] completes the interrupted manifest
+    * re-commit; after the commit → at worst a stale `.bak` the next
+    * writer heal drops.
+    *
+    * Returns true iff it changed state — a rewrite, or the
+    * manifest-completion of a crash-interrupted earlier run (false =
+    * nothing to merge). */
   def compact(spark: SparkSession, stateDir: String): Boolean = {
     healWriterAll(spark, stateDir)
     val cur = readMerged(spark, stateDir)
@@ -386,15 +428,14 @@ object Bm25Index {
     val st = stats0.head()
     val last = st.getLong(st.fieldIndex("last_batch"))
     val vname = f"v$last%020d"
-    // compact what is SERVED: the manifest when present, else the
-    // legacy frontier listing (compacting also upgrades such a state
-    // to a manifest-carrying one)
-    def servedNames(colName: String, sub: String): Seq[String] =
-      if (stats0.columns.contains(colName))
-        st.getSeq[String](st.fieldIndex(colName))
-      else appendDirNames(spark, stateDir, sub, last)
-    val pNames = servedNames("p_dirs", "postings")
-    val dlNames = servedNames("dl_dirs", "dl")
+    // compact what is SERVED (resolveFamily: the manifest when
+    // present — crash-fallback applied — else the legacy frontier
+    // listing; compacting also upgrades such a state to a
+    // manifest-carrying one)
+    val (pNames, pStale) =
+      resolveFamily(spark, stateDir, "postings", "p_dirs", st, stats0.columns)
+    val (dlNames, dlStale) =
+      resolveFamily(spark, stateDir, "dl", "dl_dirs", st, stats0.columns)
     val pPaths = pNames.map(n => new Path(new Path(stateDir, "postings"), n).toString)
     val dlPaths = dlNames.map(n => new Path(new Path(stateDir, "dl"), n).toString)
     // a SINGLE pre-dhb dl generation still needs the bucketed rewrite
@@ -404,34 +445,40 @@ object Bm25Index {
       !spark.read.option("basePath", d).parquet(d).columns.contains("dhb"))
     val doP = pPaths.size > 1
     val doDl = dlPaths.size > 1 || dlNeedsMigration
-    if (!doP && !doDl) return false
+    // nothing to rewrite AND the manifest already names the served
+    // layout → true no-op; a stale manifest alone still needs the
+    // completion commit below
+    if (!doP && !doDl && !pStale && !dlStale) return false
     if (doP) {
       val live = new Path(stateDir, "postings")
+      val pfs = StateFs.fs(spark, live)
       val pTmp = StateFs.tmpOf(live)
       pPaths.map(d => spark.read.option("basePath", d).parquet(d))
         .reduce(_ unionByName _)
         .repartition(col("tkb")) // bucket-aligned: ≤64 files, not tasks×64
         .write.mode("overwrite").partitionBy("tkb")
         .parquet(new Path(pTmp, vname).toString)
-      StateFs.swapIn(StateFs.fs(spark, live), live, pTmp)
+      StateFs.writeFolded(pfs, new Path(pTmp, vname), pNames)
+      StateFs.swapInKeepBak(pfs, live, pTmp)
     }
     if (doDl) {
       val live = new Path(stateDir, "dl")
+      val dfs = StateFs.fs(spark, live)
       val dlTmp = StateFs.tmpOf(live)
       dlPaths.map(readDlDir(spark, _))
         .reduce(_ unionByName _)
         .repartition(col("dhb"))
         .write.mode("overwrite").partitionBy("dhb")
         .parquet(new Path(dlTmp, vname).toString)
-      StateFs.swapIn(StateFs.fs(spark, live), live, dlTmp)
+      StateFs.writeFolded(dfs, new Path(dlTmp, vname), dlNames)
+      StateFs.swapInKeepBak(dfs, live, dlTmp)
     }
     // Re-commit the merged generation so the manifest names the
     // compacted layout — without this every manifest-based read after
-    // a compaction would fail its own consistency check against the
-    // swapped-away dir names. Statistics are unchanged; the "c"
-    // suffix keeps the generation name unique (appends always advance
-    // the frontier, so a second compaction at this frontier is the
-    // no-op above).
+    // a compaction would take the crash-fallback path. Statistics are
+    // unchanged; the "c" suffix keeps the generation name unique
+    // (appends always advance the frontier, so a second compaction at
+    // this frontier is the no-op above).
     val newP = if (doP) Seq(vname) else pNames
     val newDl = if (doDl) Seq(vname) else dlNames
     commitMerged(spark, stateDir, vname + "c",
@@ -440,6 +487,12 @@ object Bm25Index {
         .withColumn("p_dirs", typedLit(newP))
         .withColumn("dl_dirs", typedLit(newDl))
         .localCheckpoint(true))
+    // only now is it safe to discard the swapped-away generations:
+    // the committed manifest no longer names them
+    for (sub <- Seq("postings", "dl")) {
+      val live = new Path(stateDir, sub)
+      StateFs.dropBak(StateFs.fs(spark, live), live)
+    }
     true
   }
 

@@ -66,19 +66,22 @@ object StateFs {
     finally in.close()
   }
 
-  /** Atomically (re)point `dir/CURRENT` at `value`: write
-    * `CURRENT.tmp`, then rename OVER the pointer — atomic on HDFS and
-    * the local fs via `FileContext` (plain `FileSystem.rename` cannot
-    * overwrite). */
-  def writePointer(spark: SparkSession, dir: Path, value: String): Unit = {
-    val f = fs(spark, dir)
-    val tmp = new Path(dir, "CURRENT.tmp")
+  /** Atomically (re)write a small text file: write `<name>.tmp`, then
+    * rename OVER the target — atomic on HDFS and the local fs via
+    * `FileContext` (plain `FileSystem.rename` cannot overwrite). */
+  def writeFileAtomic(spark: SparkSession, target: Path, value: String): Unit = {
+    val f = fs(spark, target)
+    val tmp = new Path(target.getParent, target.getName + ".tmp")
     val out = f.create(tmp, true)
     try out.write(value.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    FileContext.getFileContext(dir.toUri, f.getConf)
-      .rename(tmp, new Path(dir, "CURRENT"), Options.Rename.OVERWRITE)
+    FileContext.getFileContext(target.toUri, f.getConf)
+      .rename(tmp, target, Options.Rename.OVERWRITE)
   }
+
+  /** Atomically (re)point `dir/CURRENT` at `value`. */
+  def writePointer(spark: SparkSession, dir: Path, value: String): Unit =
+    writeFileAtomic(spark, new Path(dir, "CURRENT"), value)
 
   def deleteRec(fs: FileSystem, p: Path): Unit = {
     if (fs.exists(p)) fs.delete(p, true)
@@ -91,13 +94,30 @@ object StateFs {
     new Path(live.getParent, live.getName + ".tmp")
 
   /** Rename-aside swap: `live` → `.bak`, `tmp` → `live`, drop `.bak`.
-    * A crash at any point leaves a state the heals repair. If a
-    * concurrent reader's [[healReader]] restores the backup inside
-    * the two-rename window, the swap discards its rewrite and aborts
-    * loudly with the original generation intact (see the nesting
-    * caveat in the object scaladoc — the existence re-checks below
-    * are what turn the would-be silent nesting into that abort). */
+    * A crash at any point leaves a state the heals repair — PROVIDED
+    * no external metadata names the swapped-away content: the
+    * terminal `.bak` delete permanently discards the old generations,
+    * so a caller whose committed manifest still references them (the
+    * [[graft.operators.Bm25Index]] shape) must instead use
+    * [[swapInKeepBak]], re-commit its metadata, and only then call
+    * [[dropBak]] (review r12 — swapIn-then-commit left a crash window
+    * where the manifest named dirs the swap had already destroyed).
+    * If a concurrent reader's [[healReader]] restores the backup
+    * inside the two-rename window, the swap discards its rewrite and
+    * aborts loudly with the original generation intact (see the
+    * nesting caveat in the object scaladoc — the existence re-checks
+    * below are what turn the would-be silent nesting into that
+    * abort). */
   def swapIn(fs: FileSystem, live: Path, tmp: Path): Unit = {
+    swapInKeepBak(fs, live, tmp)
+    dropBak(fs, live)
+  }
+
+  /** [[swapIn]] without the terminal `.bak` delete — for callers
+    * whose external metadata (a served-dir manifest) still names the
+    * old generations: swap, re-commit the metadata, then [[dropBak]].
+    * Until the drop, the old generations survive under `.bak`. */
+  def swapInKeepBak(fs: FileSystem, live: Path, tmp: Path): Unit = {
     val bak = bakOf(live)
     deleteRec(fs, bak)
     if (!fs.rename(live, bak)) sys.error(s"compact: cannot move $live aside")
@@ -119,7 +139,37 @@ object StateFs {
     // abort the same way
     val nested = new Path(live, tmp.getName)
     if (fs.exists(nested)) { fs.rename(nested, tmp); abortRestored() }
-    deleteRec(fs, bak)
+  }
+
+  /** The explicit old-generation drop completing a [[swapInKeepBak]]
+    * — call only AFTER any metadata naming the old generations has
+    * been re-committed. */
+  def dropBak(fs: FileSystem, live: Path): Unit =
+    deleteRec(fs, bakOf(live))
+
+  // ---- crash-interrupted-compaction marker ----
+
+  /** Record, INSIDE a compacted generation directory, the names of
+    * the directories it folded — written while the generation is
+    * still under `.tmp`, so the marker becomes visible atomically
+    * with the swap. Underscore-prefixed: parquet readers ignore it,
+    * like `_SUCCESS`. A reader whose committed manifest names
+    * directories that no longer exist can then distinguish a
+    * crash-interrupted compaction (every missing name appears in a
+    * committed generation's folded list → serve that generation, it
+    * holds the union) from genuine external data loss (fail loudly). */
+  def writeFolded(fs: FileSystem, genDir: Path, folded: Seq[String]): Unit = {
+    val out = fs.create(new Path(genDir, "_COMPACTED"), true)
+    try out.write(folded.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The folded-dir names of a compacted generation, or None for a
+    * plain append generation. */
+  def readFolded(fs: FileSystem, genDir: Path): Option[Seq[String]] = {
+    val m = new Path(genDir, "_COMPACTED")
+    if (!fs.exists(m)) None
+    else Some(readString(fs, m).split("\n").toSeq.filter(_.nonEmpty))
   }
 
   /** Read-side repair: restore a mid-swap-crashed family so the data
@@ -152,7 +202,12 @@ object StateFs {
 
   /** Writer-entry repair: [[healReader]] plus dropping a stale `.bak`
     * (completed swap whose cleanup crashed) and any orphan `.tmp`
-    * (unfinished compaction write). */
+    * (unfinished compaction write). For a manifest-carrying caller a
+    * stale `.bak` can also be a [[swapInKeepBak]] whose metadata
+    * re-commit crashed; dropping it is still safe because the
+    * installed live generation holds the union of the old ones and
+    * carries their names in its [[writeFolded]] marker — the reader
+    * fallback serves from it. */
   def healWriter(fs: FileSystem, live: Path): Unit = {
     healReader(fs, live)
     if (fs.exists(live)) deleteRec(fs, bakOf(live))

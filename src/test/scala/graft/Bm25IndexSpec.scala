@@ -183,6 +183,69 @@ class Bm25IndexSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq === want)
   }
 
+  test("crash between compact's swap and its manifest re-commit: served, then completed") {
+    // ADVICE r12 (high): the old flow destroyed the pre-compaction
+    // generations inside the swap BEFORE the manifest re-commit — a
+    // crash in between left the committed manifest naming dirs that no
+    // longer existed, every read failed the consistency check, and
+    // re-running compact threw on the missing paths: wedged with all
+    // data present. Now the compacted generation carries a _COMPACTED
+    // marker of the folded names; readers serve it in place of the
+    // missing manifest entries and the next compact() completes the
+    // interrupted manifest commit.
+    val state = Fixtures.tempDir("bm25-cwedge").resolve("state").toString
+    val terms = Seq("spark", "vector", "customer")
+    for (i <- 0 until 3)
+      assert(Bm25Index.appendBatch(spark, state,
+        docs.filter(bucket >= i * 25 && bucket < (i + 1) * 25), i.toLong))
+    val want = Bm25Index.retrieve(spark, state, terms)
+      .collect().map(_.toString).toSeq
+    val nPost = Bm25Index.readState(spark, state).get._1.count()
+    // snapshot merged/, compact, then restore the snapshot — exactly
+    // the on-disk state of a crash after both family swaps (and the
+    // bak cleanup) but before commitMerged rewrote the manifest
+    def rec(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+      f.delete(); ()
+    }
+    def copy(src: File, dst: File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).getOrElse(Array.empty)
+          .foreach(c => copy(c, new File(dst, c.getName)))
+      } else {
+        java.nio.file.Files.copy(src.toPath, dst.toPath); ()
+      }
+    val merged = new File(state, "merged")
+    val saved = new File(state, "merged_saved")
+    copy(merged, saved)
+    assert(Bm25Index.compact(spark, state))
+    rec(merged)
+    assert(saved.renameTo(merged))
+    // the compacted generation carries the folded-dirs marker
+    val gen = new File(new File(state, "postings"), f"v${2L}%020d")
+    assert(new File(gen, "_COMPACTED").exists())
+    // reads serve the FULL corpus through the fallback, not a failure
+    // and not a silently smaller index
+    val (pC, _, _, _) = Bm25Index.readState(spark, state).get
+    assert(pC.count() === nPost, "fallback must serve the whole corpus")
+    assert(Bm25Index.retrieve(spark, state, terms)
+      .collect().map(_.toString).toSeq === want)
+    // re-running compact completes the interrupted manifest commit
+    // (true = state changed) instead of throwing on missing paths
+    assert(Bm25Index.compact(spark, state))
+    assert(!Bm25Index.compact(spark, state), "second run is the no-op")
+    assert(Bm25Index.retrieve(spark, state, terms)
+      .collect().map(_.toString).toSeq === want)
+    // genuine external loss of the compacted generation stays LOUD
+    rec(gen)
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.readState(spark, state)
+    }
+    assert(e.getMessage.contains(f"v${2L}%020d") &&
+      e.getMessage.contains("removed externally"))
+  }
+
   test("zero-token batch: rejected before it can brick the partitioned layout") {
     import spark.implicits._
     val state = Fixtures.tempDir("bm25-zero").resolve("state").toString
