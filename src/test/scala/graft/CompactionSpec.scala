@@ -56,6 +56,36 @@ class CompactionSpec extends SparkTestBase {
       assert(hi1 <= lo2, s"file ranges overlap: $ranges")
   }
 
+  test("crash windows: mid-swap, stale .bak, orphan .tmp all heal at the next compact") {
+    // VERDICT r12 #2: Compactor previously hand-rolled the two-rename
+    // swap — a crash between rename-aside and rename-in left NO live
+    // directory and no repair path. Now it rides StateFs: healWriter
+    // at every compact entry restores/cleans each window.
+    import java.io.File
+    val dir = Fixtures.tempDir("compactcrash").resolve("t").toString
+    (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(40).write.parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+
+    // window 1 — between rename-aside and rename-in: live is GONE,
+    // the data survives only under .bak (the exact state the old code
+    // could not recover from)
+    val live = new File(dir)
+    val bak = new File(dir + ".bak")
+    assert(live.renameTo(bak) && !live.exists())
+    assert(Compactor.compact(spark, dir, targetRowsPerFile = 20) === 2)
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq === before)
+    assert(!bak.exists())
+
+    // window 2 — completed swap whose .bak cleanup crashed, plus an
+    // orphan .tmp from an unfinished rewrite: both dropped, live wins
+    new File(dir + ".bak/junk").mkdirs()
+    new File(dir + ".tmp/junk").mkdirs()
+    assert(Compactor.compact(spark, dir, targetRowsPerFile = 40) === 1)
+    assert(!new File(dir + ".bak").exists() && !new File(dir + ".tmp").exists())
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq === before)
+  }
+
   test("schema evolution: mergeSchema unions batch schemas") {
     val dir = Fixtures.tempDir("evolve").resolve("t").toString
     Seq((1L, "a")).toDF("id", "v").write.parquet(dir + "/b1")
