@@ -53,16 +53,20 @@ import graft.util.StateFs
   * the NEXT compaction folds them into the layout) and take the
   * same filter as a row predicate.
   *
-  * Known limitation (documented, deliberate): unlike
-  * [[graft.operators.Bm25Index]], whose merged stats row carries a
-  * manifest of served append dirs, this index has no committed
-  * global statistic to check the list dirs against — externally
-  * deleted committed `lists/v*` dirs are served as a silently
-  * smaller corpus. Detecting that would need a manifest commit per
-  * batch (a pointer swap on every append, defeating the append-only
-  * cheapness); a deployment needing the guarantee should pair the
-  * state dir with external retention controls, or adopt the
-  * Bm25-style manifest at the cost of the per-append pointer swap.
+  * Loss detection (r13, the Bm25 manifest idea at zero extra
+  * commits): [[compact]] writes a `lists/MANIFEST` file naming the
+  * compacted generation INSIDE the `.tmp` tree, so it becomes
+  * visible atomically with the compaction swap — reads then fail
+  * loudly if the manifest-named generation is gone (external
+  * GC/retention of the compacted corpus would otherwise serve a
+  * silently smaller index). The guarantee covers the COMPACTED mass
+  * only: post-compaction append dirs stay honor-system until the
+  * next compaction folds them, because guarding each would need a
+  * manifest commit per batch (a pointer swap on every append,
+  * defeating the append-only cheapness). A deployment needing the
+  * per-append guarantee should pair the state dir with external
+  * retention controls — or use [[graft.operators.Bm25Index]], whose
+  * per-append merged-stats commit carries the full dir manifest.
   */
 object StreamingIvf {
 
@@ -78,7 +82,23 @@ object StreamingIvf {
     val lists = listsDir(stateDir)
     val fs = StateFs.fs(spark, lists)
     StateFs.healReader(fs, lists)
-    StateFs.committedVDirs(fs, lists)
+    val dirs = StateFs.committedVDirs(fs, lists)
+    // Compaction manifest (header scaladoc): the named generation
+    // holds the whole pre-compaction corpus — if it is gone (or lost
+    // its _SUCCESS), serving the remaining dirs would be a silently
+    // smaller index with no error anywhere. Fail loudly instead,
+    // naming what is missing. Appends after the last compaction are
+    // not manifest-covered (deliberate — see header).
+    val manifest = new Path(lists, "MANIFEST")
+    if (fs.exists(manifest)) {
+      val gen = StateFs.readString(fs, manifest)
+      require(dirs.exists(_.getName == gen),
+        s"IVF state inconsistent: the compaction manifest under $lists " +
+          s"names generation $gen but no committed directory of that " +
+          "name exists — the compacted corpus was removed externally; " +
+          "restore it or rebuild the index from the raw vectors")
+    }
+    dirs
   }
 
   private def centroidsDir(stateDir: String) = new Path(stateDir, "centroids")
@@ -158,6 +178,17 @@ object StreamingIvf {
     * — readers restore the missing-live case on the next touch
     * ([[graft.util.StateFs.healReader]]) and writers clean the rest
     * ([[graft.util.StateFs.healWriter]]).
+    *
+    * The swap also installs the loss-detection manifest (header
+    * scaladoc): `MANIFEST` naming the compacted generation, plus the
+    * generation's folded-dirs `_COMPACTED` marker
+    * ([[graft.util.StateFs.writeFolded]], diagnostic), are written
+    * into the `.tmp` tree BEFORE the swap — they become visible
+    * atomically with it, so there is no window where the manifest
+    * names a generation that does not exist (the trap ADVICE r12
+    * found in the Bm25 swap-then-commit ordering cannot arise here:
+    * this index's metadata lives inside the swapped tree, not in a
+    * separately-committed stats row).
     * Returns true iff a rewrite happened. */
   def compact(spark: SparkSession, stateDir: String): Boolean = {
     val live = listsDir(stateDir)
@@ -175,6 +206,8 @@ object StreamingIvf {
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(new Path(tmp, vname).toString)
+    StateFs.writeFolded(fs, new Path(tmp, vname), dirs.map(_.getName))
+    StateFs.writeFileAtomic(spark, new Path(tmp, "MANIFEST"), vname)
     StateFs.swapIn(fs, live, tmp)
     true
   }

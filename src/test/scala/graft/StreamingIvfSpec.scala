@@ -120,7 +120,9 @@ class StreamingIvfSpec extends SparkTestBase {
       assert(StreamingIvf.appendBatch(spark, state,
         corpus.filter($"vec_id" >= lo && $"vec_id" < hi), 8, bid))
     val before = clusterMap(StreamingIvf.readIndex(spark, state).get._2)
-    def listDirs() = new File(state, "lists").list().sorted.toSeq
+    // v* generations only: compaction also installs the MANIFEST file
+    def listDirs() = new File(state, "lists").list()
+      .filter(_.startsWith("v")).sorted.toSeq
     assert(listDirs().size === 3)
     assert(StreamingIvf.compact(spark, state))
     // one dir, named at the max committed batch id (replay safety: the
@@ -160,6 +162,60 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(probed.nonEmpty) // the compacted-state probe above returned rows
   }
 
+  test("compaction manifest: deleted compacted generation fails loudly; fresh appends stay honor-system") {
+    // VERDICT r12 #1: mirror Bm25IndexSpec's partial-loss test. The
+    // compaction swap installs lists/MANIFEST naming the compacted
+    // generation; external loss of that generation must fail reads
+    // loudly (it held the whole pre-compaction corpus), while loss of
+    // a post-compaction append dir stays the documented honor-system
+    // residual until the next compaction folds it under the manifest.
+    val base = Fixtures.tempDir("sivf-loss")
+    val state = base.resolve("state").toString
+    // batches 0-2 cover the 200 base vectors only — the 5 planted ids
+    // (1000+) arrive as the post-compaction batch 3 below
+    for ((lo, hi, bid) <- Seq((0L, 60L, 0L), (60L, 130L, 1L), (130L, 1000L, 2L)))
+      assert(StreamingIvf.appendBatch(spark, state,
+        corpus.filter($"vec_id" >= lo && $"vec_id" < hi), 8, bid))
+    assert(StreamingIvf.compact(spark, state))
+    val lists = new File(state, "lists")
+    def manifest(): String =
+      java.nio.file.Files.readString(new File(lists, "MANIFEST").toPath).trim
+    assert(manifest() === f"v${2L}%020d")
+    assert(new File(new File(lists, f"v${2L}%020d"), "_COMPACTED").exists())
+    def rec(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+      f.delete(); ()
+    }
+    // honor-system boundary, pinned: a fresh append dir deleted
+    // externally is served as a silently smaller corpus — no error
+    // (the header scaladoc's documented residual; guarding it would
+    // cost a manifest commit per append)
+    assert(StreamingIvf.appendBatch(spark, state,
+      corpus.filter($"vec_id" >= 1000), 8, 3L))
+    val full = clusterMap(StreamingIvf.readIndex(spark, state).get._2)
+    rec(new File(lists, f"v${3L}%020d"))
+    val smaller = clusterMap(StreamingIvf.readIndex(spark, state).get._2)
+    assert(smaller.size < full.size, "append loss is (documentedly) silent")
+    // the dir is gone, so the re-delivered batch id applies again...
+    assert(StreamingIvf.appendBatch(spark, state,
+      corpus.filter($"vec_id" >= 1000), 8, 3L))
+    // ...and the next compaction folds it UNDER the manifest
+    assert(StreamingIvf.compact(spark, state))
+    assert(manifest() === f"v${3L}%020d")
+    assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) === full)
+    // manifest-covered loss is LOUD, naming the missing generation
+    rec(new File(lists, f"v${3L}%020d"))
+    val e = intercept[IllegalArgumentException] {
+      StreamingIvf.readIndex(spark, state)
+    }
+    assert(e.getMessage.contains(f"v${3L}%020d") &&
+      e.getMessage.contains("removed externally"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingIvf.probe(spark, state, corpus.filter($"vec_id" >= 1000), k = 1)
+    }
+    assert(e2.getMessage.contains("removed externally"))
+  }
+
   test("compacted layout is cluster-partitioned and probe reads are partition-pruned to probed lists") {
     val base = Fixtures.tempDir("sivf-prune")
     val state = base.resolve("state").toString
@@ -173,7 +229,9 @@ class StreamingIvfSpec extends SparkTestBase {
       .collect().map(_.toString).sorted.toSeq
     assert(StreamingIvf.compact(spark, state))
     // physical layout: the compacted generation is partitionBy(cluster)
-    val gen = new File(state, "lists").listFiles().head
+    // (v* dirs only — the swap also installed the MANIFEST file)
+    val gen = new File(state, "lists").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).head
     assert(gen.listFiles().exists(_.getName.startsWith("cluster=")),
       s"compacted dir is not cluster-partitioned: ${gen.listFiles().toSeq}")
     // the probe plan carries a cluster partition filter — non-probed
