@@ -129,10 +129,13 @@ object IvfPq {
     *     duplicates — carry no scale information and are excluded).
     *     Sample sparsity inflates this estimate (the true nearest
     *     neighbor may not be sampled), which `alpha` absorbs;
-    *  3. per grid kc (ascending): fit the coarse quantizer ON THE
+    *  3. walk the grid kcs ASCENDING: fit the coarse quantizer ON THE
     *     SAMPLE (Lloyd in quantized space; kc capped at the sample
     *     size), assign the eval sample, and take the median residual
-    *     norm-squared — the scale PQ would have to encode;
+    *     norm-squared — the scale PQ would have to encode — STOPPING
+    *     at the first kc that passes the criterion below (the walk is
+    *     lazy: grid points past the winner are never fitted, and the
+    *     diagnostics frame covers fitted points only);
     *  4. pick the SMALLEST kc whose median residual d2 <=
     *     alpha x neighbor d2 (under-resolution is what kills ADC
     *     recall, and probe cost RISES with cell size, so the
@@ -203,7 +206,18 @@ object IvfPq {
       "duplicates a fit vector — the corpus has no neighbor scale to " +
       "calibrate against; dedup first or pass kc explicitly to build()")
     val nnD2 = nnRow.getDouble(0)
-    val fitted = grid.sorted.map { kc =>
+    // LAZY grid walk (VERDICT r12 #3): ascending kc, STOP at the first
+    // one whose held-out median residual passes — the selection rule
+    // picks the smallest sufficient kc anyway, so fitting the rest of
+    // the grid buys nothing but (grid size − 1) sample-Lloyd
+    // crossjoins on corpora whose winner is small. Worst case (no kc
+    // passes) is unchanged: every grid point fits and the maximum
+    // wins. Diagnostics cover FITTED points only — an absent grid
+    // tail in the diag frame is the walk's savings made visible.
+    val fitted = scala.collection.mutable.ListBuffer.empty[(Int, DataFrame, Double)]
+    val gridIt = grid.sorted.iterator
+    while (gridIt.hasNext && !fitted.lastOption.exists(_._3 <= alpha * nnD2)) {
+      val kc = gridIt.next()
       val kcap = math.min(kc.toLong, fitCount).toInt
       val cents =
         if (coarseRounds == 0) fit.filter(col("vec_id") < kcap)
@@ -214,10 +228,10 @@ object IvfPq {
       val medRes = residuals(s, eval, cents)
         .select(dotLong(s, col("rv"), col("rv")).as("r2"))
         .agg(expr("percentile(r2, 0.5)")).head().getDouble(0)
-      (kc, cents, medRes)
+      fitted += ((kc, cents, medRes))
     }
     val chosen = fitted.find(_._3 <= alpha * nnD2).getOrElse(fitted.last)
-    val diag = s.createDataFrame(fitted.map { case (kc, _, r) =>
+    val diag = s.createDataFrame(fitted.toSeq.map { case (kc, _, r) =>
       (kc, r, nnD2, r / nnD2, kc == chosen._1)
     }).toDF("kc", "med_res_d2", "nn_d2", "ratio", "chosen")
     (chosen._1, chosen._2, diag)

@@ -193,6 +193,10 @@ class IvfPqSpec extends SparkTestBase {
     // must skip them, not "almost qualify"
     assert(d.filter(_._1 < 8).forall(_._2 > 1000.0))
     assert(d.collect { case (k, _, true) => k }.toSeq == Seq(8))
+    // lazy walk (VERDICT r12 #3): the winner is 8, so 16 must never be
+    // fitted — the diag frame holds exactly the prefix of the grid
+    assert(d.map(_._1).toSeq == Seq(2, 4, 8),
+      s"grid points past the winner were fitted: ${d.map(_._1).toSeq}")
     // end-to-end: the SAMPLE-fitted centroids feed buildWith, and
     // probe+rerank over the full corpus recovers the brute-force
     // top-1 for every centroid query (own-cluster cells are probed
