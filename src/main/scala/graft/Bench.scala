@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every SparkEntry query on
@@ -40,10 +42,13 @@ object Bench {
             SparkEntry.queries(sentinel)(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
           }.min
-        } catch { case _: Throwable => -1.0 }
+        // NonFatal, not Throwable (ADVICE r12): an OOM/fatal JVM error
+        // must abort the bench, not let it keep timing in a corrupted
+        // JVM and emit garbage numbers as if nothing happened
+        } catch { case NonFatal(_) => -1.0 }
       }
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count() catch { case NonFatal(_) => () }
     }
     // Three timed passes, per-query minimum: a single pass is at the
     // mercy of transient co-tenant load / GC pauses on the bench host
@@ -58,7 +63,7 @@ object Bench {
     def timedRun(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => Double.PositiveInfinity }
+      catch { case NonFatal(_) => Double.PositiveInfinity }
     }
     def timedPass(): Map[String, Double] =
       SparkEntry.queries.map { case (name, _) => name -> timedRun(name) }

@@ -238,6 +238,11 @@ object TextQueries {
       .filter(col("rk") <= col("sz") - expr("(7*sz+9) div 10") + 1)
       .select(col("doc_id"), col("sh"), col("sz"))
       .persist()
+    // the try opens HERE, right after the persists (ADVICE r12): the
+    // regime estimate and the sparse-path checkpoint below run Spark
+    // jobs, and an exception in them must not leak the two cached
+    // frames for the session's lifetime
+    try {
     val cand = pfx.as("a").join(pfx.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") * 10 >= col("b.sz") * 7 &&
@@ -310,20 +315,19 @@ object TextQueries {
     val sets = setsBase
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("sh"))).as("shs"))
-    try {
-      candJ
-        .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
-        .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
-        .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("sz_a", size(col("sh_a")))
-        .withColumn("sz_b", size(col("sh_b")))
-        .filter(col("n_common") * 10 >= (col("sz_a") + col("sz_b") - col("n_common")) * 7)
-        .select(col("doc_a"), col("doc_b"),
-          col("n_common").cast(LongType).as("n_common"),
-          (col("n_common").cast(DoubleType) /
-            (col("sz_a") + col("sz_b") - col("n_common")).cast(DoubleType)).as("jaccard"))
-        .localCheckpoint(true)
-        .orderBy("doc_a", "doc_b")
+    candJ
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("sz_a", size(col("sh_a")))
+      .withColumn("sz_b", size(col("sh_b")))
+      .filter(col("n_common") * 10 >= (col("sz_a") + col("sz_b") - col("n_common")) * 7)
+      .select(col("doc_a"), col("doc_b"),
+        col("n_common").cast(LongType).as("n_common"),
+        (col("n_common").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast(DoubleType)).as("jaccard"))
+      .localCheckpoint(true)
+      .orderBy("doc_a", "doc_b")
     } finally { pfx.unpersist(); rows.unpersist(); () }
   }
 
