@@ -820,6 +820,14 @@ object StressMain {
           f"med_res=${r.getDouble(1)}%.3e nn=${r.getDouble(2)}%.3e " +
           f"ratio=${r.getDouble(3)}%.3f chosen=${r.getBoolean(4)}")
       }
+      // selection-only short-circuit (r13, re-measuring the lazy grid
+      // walk): the build+probe half is unchanged code — skip its ~30
+      // min when only the selection-cost row is being refreshed.
+      // Exits the harness entirely; run this knob solo.
+      if (sys.env.contains("SPARK_GRAFT_STRESS_AUTOKC_SEL")) {
+        corpus.unpersist(); qs.unpersist()
+        spark.stop(); return
+      }
       val cents = picked._2.localCheckpoint(true)
       var built: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = null
@@ -984,6 +992,64 @@ object StressMain {
       })
       time("bm25inc retrieve rebuilt")(
         operators.Bm25Index.retrieve(spark, full, terms).count())
+    }
+    // Drain/compact alternation e2e (round-13, VERDICT r12 #6): the
+    // 24/7-deployment shape the scaladocs prescribe — an AvailableNow
+    // drain per arriving 100k slice, a compaction every third drain —
+    // run through the REAL stream machinery for BOTH stored-state
+    // indexes at 1M, recording per-drain fold cost (flat = the
+    // per-batch-cost claim survives interleaved compactions: a
+    // compaction that secretly re-tokenized/re-assigned the corpus
+    // would show as a post-compact drain ramp) and the serve latency
+    // after every compact (stepwise improvement as dirs fold).
+    if (sys.env.contains("SPARK_GRAFT_STRESS_ALTERNATE")) {
+      import org.apache.spark.sql.functions._
+      ensure1mCorpus(spark)
+      val docs1m = Tables.documents(spark, "/tmp/stress1m")
+        .select(col("doc_id"), col("text"))
+      val vecs1m = spark.read.parquet(ensureAnn1m(spark))
+      val base = "/tmp/stress_alt"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val terms = Seq("spark", "vector", "customer")
+      val qs = vecs1m.filter(col("vec_id") < 8)
+      for (b <- 0 until 10) {
+        val lo = b * 100000L; val hi = lo + 100000L
+        docs1m.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(4).write.mode("append").parquet(s"$base/bm/src")
+        time(f"alt bm25 drain $b%02d (100k)")({
+          streaming.StreamingBm25.fit(spark,
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+              .parquet(s"$base/bm/src"),
+            s"$base/bm/state", s"$base/bm/ckpt").awaitTermination()
+          100000L
+        })
+        vecs1m.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(4).write.mode("append").parquet(s"$base/iv/src")
+        time(f"alt ivf drain $b%02d (100k)")({
+          streaming.StreamingIvf.fit(spark,
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+              .parquet(s"$base/iv/src"),
+            s"$base/iv/state", s"$base/iv/ckpt", nCentroids = 256)
+            .awaitTermination()
+          100000L
+        })
+        if (b % 3 == 2) { // after drains 2, 5, 8 — the 3 compactions
+          time(f"alt bm25 compact after drain $b%02d")({
+            operators.Bm25Index.compact(spark, s"$base/bm/state"); 1L })
+          time(f"alt bm25 serve post-compact $b%02d")(
+            streaming.StreamingBm25.retrieve(spark, s"$base/bm/state", terms).count())
+          time(f"alt ivf compact after drain $b%02d")({
+            streaming.StreamingIvf.compact(spark, s"$base/iv/state"); 1L })
+          time(f"alt ivf serve post-compact $b%02d")(
+            streaming.StreamingIvf.probe(spark, s"$base/iv/state", qs,
+              k = 10, nProbe = 4).count())
+        }
+      }
+      time("alt bm25 serve final (1 compacted + 1 append dir)")(
+        streaming.StreamingBm25.retrieve(spark, s"$base/bm/state", terms).count())
+      time("alt ivf serve final (1 compacted + 1 append dir)")(
+        streaming.StreamingIvf.probe(spark, s"$base/iv/state", qs,
+          k = 10, nProbe = 4).count())
     }
     // q_rag_incremental cost profile (round-12): the bench's slowest
     // query — two in-query Bm25Index batches + one served retrieve.
