@@ -36,9 +36,14 @@ import org.apache.spark.sql.SparkSession
   * maintenance slot the operator scaladocs prescribe; the heal
   * exists for CRASHED swaps, not as concurrency control. Guarding
   * that abort takes care on Hadoop: `FileSystem.rename(src, dst)`
-  * with an existing destination DIRECTORY does not fail — it NESTS
-  * src inside dst (verified against hadoop-client 3.4.2), where
-  * `java.io.File.renameTo` failed loudly. Both [[swapIn]] and
+  * with an existing destination DIRECTORY does not fail — a
+  * NON-EMPTY dst NESTS src inside it, an empty dst is silently
+  * REPLACED, POSIX-style (both pinned empirically in StateFsSpec
+  * against this build's hadoop 3.4.2 local fs; `java.io.File
+  * .renameTo` failed loudly on the non-empty case). The race
+  * destinations that matter — a reader-restored live generation, an
+  * installed rewrite — are always non-empty, so nesting is the case
+  * the guards handle. Both [[swapIn]] and
   * [[healReader]] therefore re-check for the nested path after their
   * rename and un-nest + abort (swap) or un-nest + accept the other
   * side's win (heal) instead of leaving silent garbage. */

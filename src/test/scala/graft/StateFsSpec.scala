@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+
+import graft.util.StateFs
+
+/** Direct unit coverage of the shared swap/heal primitives — until now
+  * they were exercised only THROUGH the operators (Bm25IndexSpec /
+  * StreamingIvfSpec / CompactionSpec crash windows). Two things only a
+  * direct spec can pin:
+  *
+  *  1. the Hadoop behavior the race guards are BUILT ON:
+  *     `FileSystem.rename(src, existingDstDir)` NESTS src inside dst
+  *     instead of failing (verified against hadoop-client 3.4.2 when
+  *     the guards were written — if a Hadoop upgrade ever changes
+  *     this, the guards' un-nest re-checks become dead code and the
+  *     abort contract silently shifts; this spec makes that upgrade
+  *     fail loudly here instead);
+  *  2. each primitive's contract in isolation, so an operator-spec
+  *     failure can be bisected to "operator logic" vs "swap/heal
+  *     machinery".
+  */
+class StateFsSpec extends SparkTestBase {
+
+  private def fsFor(p: Path) = StateFs.fs(spark, p)
+
+  private def mk(p: Path): Path = {
+    val fs = fsFor(p)
+    fs.mkdirs(p); p
+  }
+
+  private def touch(dir: Path, name: String, content: String = ""): Unit = {
+    val fs = fsFor(dir)
+    val out = fs.create(new Path(dir, name), true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  test("ASSUMPTION PIN: Hadoop rename into an existing NON-EMPTY directory NESTS instead of failing") {
+    val base = new Path(Fixtures.tempDir("statefs-nest").toString)
+    val fs = fsFor(base)
+    val src = mk(new Path(base, "src")); touch(src, "f", "x")
+    val dst = mk(new Path(base, "dst")); touch(dst, "g", "y")
+    // java.io.File.renameTo fails here with ENOTEMPTY; Hadoop
+    // "succeeds" by nesting — the exact trap swapIn/healReader re-check
+    // for after their renames. The realistic race destinations (a
+    // restored live generation, an installed rewrite) are always
+    // non-empty, so this is the case the guards protect.
+    assert(fs.rename(src, dst), "rename into existing non-empty dir was " +
+      "refused — Hadoop semantics changed; revisit the un-nest guards in StateFs")
+    assert(!fs.exists(src))
+    assert(fs.exists(new Path(dst, "src/f")), "src was not nested inside dst")
+    assert(fs.exists(new Path(dst, "g")), "dst's own content was lost")
+  }
+
+  test("ASSUMPTION PIN: Hadoop rename onto an existing EMPTY directory REPLACES it") {
+    val base = new Path(Fixtures.tempDir("statefs-replace").toString)
+    val fs = fsFor(base)
+    val src = mk(new Path(base, "src")); touch(src, "f", "x")
+    mk(new Path(base, "dst"))
+    // POSIX rename(2) over an empty directory succeeds by replacing it
+    // — so the nesting guard sees nothing for an empty-dir destination
+    // and the rename quietly does the right thing (installs src's
+    // contents at dst). Pinned so the two regimes' boundary is explicit.
+    assert(fs.rename(new Path(base, "src"), new Path(base, "dst")))
+    assert(fs.exists(new Path(base, "dst/f")) &&
+      !fs.exists(new Path(base, "dst/src")))
+  }
+
+  test("swapIn installs tmp as live and drops the backup") {
+    val base = new Path(Fixtures.tempDir("statefs-swap").toString)
+    val fs = fsFor(base)
+    val live = mk(new Path(base, "t")); touch(live, "old")
+    val tmp = mk(StateFs.tmpOf(live)); touch(tmp, "new")
+    StateFs.swapIn(fs, live, tmp)
+    assert(fs.exists(new Path(live, "new")) && !fs.exists(new Path(live, "old")))
+    assert(!fs.exists(tmp) && !fs.exists(new Path(base, "t.bak")))
+  }
+
+  test("swapInKeepBak leaves the old generation under .bak until dropBak") {
+    val base = new Path(Fixtures.tempDir("statefs-keepbak").toString)
+    val fs = fsFor(base)
+    val live = mk(new Path(base, "t")); touch(live, "old")
+    val tmp = mk(StateFs.tmpOf(live)); touch(tmp, "new")
+    StateFs.swapInKeepBak(fs, live, tmp)
+    val bak = new Path(base, "t.bak")
+    assert(fs.exists(new Path(live, "new")))
+    assert(fs.exists(new Path(bak, "old")),
+      "the pre-swap generation must survive until the caller's metadata commit")
+    StateFs.dropBak(fs, live)
+    assert(!fs.exists(bak))
+  }
+
+  test("healReader restores a mid-swap crash from .bak and touches nothing else") {
+    val base = new Path(Fixtures.tempDir("statefs-healr").toString)
+    val fs = fsFor(base)
+    // crash state: live gone, data under .bak, an in-flight .tmp present
+    val bak = mk(new Path(base, "t.bak")); touch(bak, "data")
+    val tmp = mk(new Path(base, "t.tmp")); touch(tmp, "half")
+    val live = new Path(base, "t")
+    StateFs.healReader(fs, live)
+    assert(fs.exists(new Path(live, "data")) && !fs.exists(bak))
+    assert(fs.exists(new Path(tmp, "half")),
+      "a reader heal must never delete the writer-owned .tmp")
+    // idempotent / no-op when live exists: a later .bak belongs to the writer
+    val bak2 = mk(new Path(base, "t.bak")); touch(bak2, "stale")
+    StateFs.healReader(fs, live)
+    assert(fs.exists(new Path(bak2, "stale")),
+      "a reader heal must never delete a stale .bak when live exists")
+  }
+
+  test("healWriter restores, then drops stale .bak and orphan .tmp") {
+    val base = new Path(Fixtures.tempDir("statefs-healw").toString)
+    val fs = fsFor(base)
+    val bak = mk(new Path(base, "t.bak")); touch(bak, "data")
+    val tmp = mk(new Path(base, "t.tmp")); touch(tmp, "half")
+    val live = new Path(base, "t")
+    StateFs.healWriter(fs, live)
+    assert(fs.exists(new Path(live, "data")))
+    assert(!fs.exists(bak) && !fs.exists(tmp))
+  }
+
+  test("committedVDirs: only _SUCCESS-committed v* child dirs, name-sorted") {
+    val base = new Path(Fixtures.tempDir("statefs-vdirs").toString)
+    val fs = fsFor(base)
+    val v1 = mk(new Path(base, "v00000000000000000001")); touch(v1, "_SUCCESS")
+    val v0 = mk(new Path(base, "v00000000000000000000")); touch(v0, "_SUCCESS")
+    mk(new Path(base, "v00000000000000000002")) // uncommitted: no _SUCCESS
+    mk(new Path(base, "other"))                 // non-v dir
+    touch(base, "MANIFEST", "v00000000000000000001") // plain file ignored
+    assert(StateFs.committedVDirs(fs, base).map(_.getName) ===
+      Seq("v00000000000000000000", "v00000000000000000001"))
+    assert(StateFs.committedVDirs(fs, new Path(base, "absent")).isEmpty)
+  }
+
+  test("writeFolded/readFolded roundtrip; plain generations read as None") {
+    val base = new Path(Fixtures.tempDir("statefs-folded").toString)
+    val fs = fsFor(base)
+    val gen = mk(new Path(base, "v0"))
+    StateFs.writeFolded(fs, gen, Seq("a", "b", "c"))
+    assert(StateFs.readFolded(fs, gen) === Some(Seq("a", "b", "c")))
+    assert(StateFs.readFolded(fs, mk(new Path(base, "v1"))) === None)
+  }
+
+  test("writeFileAtomic overwrites an existing target in place") {
+    val base = new Path(Fixtures.tempDir("statefs-atomic").toString)
+    val fs = fsFor(base)
+    mk(base)
+    val target = new Path(base, "CURRENT")
+    StateFs.writeFileAtomic(spark, target, "v1")
+    assert(StateFs.readString(fs, target) === "v1")
+    StateFs.writeFileAtomic(spark, target, "v2") // plain rename cannot overwrite
+    assert(StateFs.readString(fs, target) === "v2")
+    assert(!fs.exists(new Path(base, "CURRENT.tmp")))
+  }
+
+  test("gcVersions deletes every v* generation except keep, committed or partial") {
+    val base = new Path(Fixtures.tempDir("statefs-gc").toString)
+    val fs = fsFor(base)
+    val keep = mk(new Path(base, "v2")); touch(keep, "_SUCCESS")
+    val old = mk(new Path(base, "v1")); touch(old, "_SUCCESS")
+    mk(new Path(base, "v0")) // crashed half-commit, no _SUCCESS
+    val other = mk(new Path(base, "other")); touch(other, "f")
+    StateFs.gcVersions(fs, base, "v2")
+    assert(fs.exists(keep) && !fs.exists(old) && !fs.exists(new Path(base, "v0")))
+    assert(fs.exists(new Path(other, "f")), "gc must not touch non-v dirs")
+  }
+}
