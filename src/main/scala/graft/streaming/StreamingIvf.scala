@@ -194,7 +194,13 @@ object StreamingIvf {
     val live = listsDir(stateDir)
     val fs = StateFs.fs(spark, live)
     StateFs.healWriter(fs, live)
-    val dirs = StateFs.committedVDirs(fs, live)
+    // the manifest-CHECKED listing, not the raw one: if the compacted
+    // generation was lost externally, folding the survivors here would
+    // rewrite the manifest around the hole — silently "healing" the
+    // index into a smaller corpus and erasing the loss evidence the
+    // manifest exists to preserve. Compaction must fail as loudly as
+    // the reads do.
+    val dirs = committedListDirs(spark, stateDir)
     if (dirs.size <= 1) return false
     val vname = dirs.map(_.getName).max
     val tmp = StateFs.tmpOf(live)

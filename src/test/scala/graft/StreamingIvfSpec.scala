@@ -214,6 +214,17 @@ class StreamingIvfSpec extends SparkTestBase {
       StreamingIvf.probe(spark, state, corpus.filter($"vec_id" >= 1000), k = 1)
     }
     assert(e2.getMessage.contains("removed externally"))
+    // ...and compaction fails the same way: appending fresh data and
+    // compacting over the hole would fold only the survivors and
+    // REWRITE the manifest around the loss, erasing the evidence —
+    // compact must refuse as loudly as the reads do
+    assert(StreamingIvf.appendBatch(spark, state,
+      corpus.filter($"vec_id" >= 1000), 8, 4L))
+    val e3 = intercept[IllegalArgumentException] {
+      StreamingIvf.compact(spark, state)
+    }
+    assert(e3.getMessage.contains(f"v${3L}%020d") &&
+      e3.getMessage.contains("removed externally"))
   }
 
   test("compacted layout is cluster-partitioned and probe reads are partition-pruned to probed lists") {
