@@ -24,13 +24,24 @@ import graft.util.StateFs
   * orphan `.tmp` — a crash at ANY point now leaves a state the next
   * compact (or any StateFs-aware touch) repairs. Plain table READERS
   * (`spark.read.parquet`) do not heal; a deployment compacting live
-  * tables should read through a path that calls
-  * [[graft.util.StateFs.healReader]], or schedule compaction in a
-  * no-reader maintenance slot as the StateFs scaladoc prescribes.
+  * tables should read through [[read]] (the one-line healReader-aware
+  * path), or schedule compaction in a no-reader maintenance slot as
+  * the StateFs scaladoc prescribes.
   * Note renames are atomic on HDFS/local fs; on an object store, pair
   * this with a version-pointer (manifest) layout instead.
   */
 object Compactor {
+
+  /** The healReader-aware read path for compacted tables: restore a
+    * mid-swap-crashed table from its `.bak` first (the one repair a
+    * read needs — never deletes anything writer-owned), then read.
+    * Use this instead of a bare `spark.read.parquet` for any table
+    * [[compact]] maintains outside a no-reader maintenance slot. */
+  def read(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val live = new Path(dir)
+    StateFs.healReader(StateFs.fs(spark, live), live)
+    spark.read.parquet(dir)
+  }
 
   /** Data-file count, recursing into partition directories. */
   def fileCount(spark: SparkSession, dir: String): Int = {

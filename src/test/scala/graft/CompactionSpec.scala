@@ -84,6 +84,17 @@ class CompactionSpec extends SparkTestBase {
     assert(Compactor.compact(spark, dir, targetRowsPerFile = 40) === 1)
     assert(!new File(dir + ".bak").exists() && !new File(dir + ".tmp").exists())
     assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq === before)
+
+    // reader path on the mid-swap crash state: Compactor.read heals
+    // (bak -> live) and returns the rows where a bare
+    // spark.read.parquet would throw path-not-found; the writer-owned
+    // .tmp is left alone
+    assert(live.renameTo(bak) && !live.exists())
+    new File(dir + ".tmp/junk2").mkdirs()
+    assert(Compactor.read(spark, dir).collect().map(_.toString).sorted.toSeq === before)
+    assert(new File(dir + ".tmp/junk2").exists(),
+      "a reader must not delete the writer-owned .tmp")
+    assert(!bak.exists())
   }
 
   test("schema evolution: mergeSchema unions batch schemas") {
