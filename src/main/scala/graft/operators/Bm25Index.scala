@@ -284,7 +284,22 @@ object Bm25Index {
       batchId: Long): Boolean = {
     healWriterAll(spark, stateDir)
     val cur = readMerged(spark, stateDir)
-    val last = cur.map(_._2.select("last_batch").head().getLong(0))
+    // Loud-loss gate (review r13): the commit below derives the NEW
+    // manifest from the on-disk listing — without this check, an
+    // append after external loss of a manifest-named dir would bake
+    // the hole into a fresh manifest whose full-corpus stats (df,
+    // n_docs, t_tok) still include the lost docs: every later read
+    // passes the manifest check and silently serves wrong rankings,
+    // the exact failure the manifest exists to make loud. Same rule
+    // and crash-interrupted-compaction fallback as the read path, so
+    // appends still complete an interrupted compaction's manifest.
+    val curRow = cur.map { case (_, s) => (s.head(), s.columns.toSeq) }
+    curRow.foreach { case (st, cols) =>
+      resolveFamily(spark, stateDir, "postings", "p_dirs", st, cols)
+      resolveFamily(spark, stateDir, "dl", "dl_dirs", st, cols)
+    }
+    val last = curRow.map { case (st, _) =>
+      st.getLong(st.fieldIndex("last_batch")) }
     if (last.exists(_ >= batchId)) return false // replay
     if (docs.isEmpty) return false
     val vname = f"v$batchId%020d"

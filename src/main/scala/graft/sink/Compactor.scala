@@ -18,15 +18,26 @@ import graft.util.StateFs
   * [[graft.util.StateFs.swapIn]] rename-aside (VERDICT r12 #2 — this
   * object previously hand-rolled the two renames, so a crash between
   * them left NO live directory and nothing healed it, and it lacked
-  * the Hadoop rename-nesting race guard): every `compact` entry runs
-  * [[graft.util.StateFs.healWriter]] first, which restores a
-  * mid-swap-crashed table from its `.bak` and drops a stale `.bak` or
-  * orphan `.tmp` — a crash at ANY point now leaves a state the next
-  * compact (or any StateFs-aware touch) repairs. Plain table READERS
-  * (`spark.read.parquet`) do not heal; a deployment compacting live
-  * tables should read through [[read]] (the one-line healReader-aware
-  * path), or schedule compaction in a no-reader maintenance slot as
-  * the StateFs scaladoc prescribes.
+  * the Hadoop rename-nesting race guard): every `compact` entry first
+  * restores a mid-swap-crashed table from its `.bak`
+  * ([[graft.util.StateFs.healReader]]) and drops a completed swap's
+  * stale `.bak` and any orphan `.tmp` — a crash at ANY point leaves a
+  * state the next compact repairs, PROVIDED no out-of-band writer
+  * touched the directory in between. That proviso is enforced, not
+  * assumed (review r13): unlike the index state dirs, a compacted
+  * TABLE has other writers (the daily ingest job), and one landing
+  * inside the crash window recreates the live dir so the entry heal
+  * cannot tell "completed swap, crashed cleanup" (drop the `.bak`)
+  * from "mid-swap crash, live since recreated by an append" (the
+  * `.bak` IS the table — dropping it destroys history). The rewrite
+  * therefore carries a `_COMPACTOR_GEN` marker: live-with-marker plus
+  * `.bak` is the former (safe cleanup); live-WITHOUT-marker plus
+  * `.bak` fails loudly for manual reconciliation instead of deleting
+  * the only full copy. Plain table READERS (`spark.read.parquet`) do
+  * not heal; a deployment compacting live tables should read through
+  * [[read]] (the one-line healReader-aware path), or schedule
+  * compaction in a no-reader maintenance slot as the StateFs scaladoc
+  * prescribes.
   * Note renames are atomic on HDFS/local fs; on an object store, pair
   * this with a version-pointer (manifest) layout instead.
   */
@@ -62,11 +73,35 @@ object Compactor {
     * directories into plain files and break the layout (and any
     * later dynamic-partition merge into it). Returns the new file
     * count. */
+  /** Marker a compaction rewrite carries (underscore-prefixed: parquet
+    * readers ignore it): its presence in the live dir proves live is a
+    * compactor output, which is what disambiguates the crash windows
+    * (header scaladoc). Appends into an existing live dir leave it in
+    * place; an out-of-band overwrite/recreate does not carry it. */
+  private val GenMarker = "_COMPACTOR_GEN"
+
+  /** Entry repair — [[graft.util.StateFs.healWriter]] with the
+    * out-of-band-writer guard in front of the `.bak` drop. */
+  private def healEntry(fs: org.apache.hadoop.fs.FileSystem, live: Path): Unit = {
+    StateFs.healReader(fs, live)
+    val bak = StateFs.bakOf(live)
+    if (fs.exists(live) && fs.exists(bak) &&
+        !fs.exists(new Path(live, GenMarker)))
+      sys.error(s"compact: both $live and $bak exist, and $live is not a " +
+        "compactor rewrite — an out-of-band writer recreated the table " +
+        "inside a crashed swap's repair window, so the .bak holds the only " +
+        "full pre-crash copy. Refusing to delete it: reconcile manually " +
+        "(merge the out-of-band writes into the .bak, restore it as the " +
+        "table, then delete the leftovers) and rerun")
+    if (fs.exists(live)) StateFs.dropBak(fs, live)
+    StateFs.deleteRec(fs, StateFs.tmpOf(live))
+  }
+
   def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long,
       clusterBy: Seq[String] = Nil, partitionBy: Seq[String] = Nil): Int = {
     val live = new Path(dir)
     val fs = StateFs.fs(spark, live)
-    StateFs.healWriter(fs, live)
+    healEntry(fs, live)
     val df = spark.read.parquet(dir)
     require(partitionBy.forall(df.columns.contains),
       s"partitionBy ${partitionBy.mkString(",")} not all present in table")
@@ -83,6 +118,7 @@ object Compactor {
     val writer = arranged.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
+    fs.create(new Path(tmp, GenMarker), true).close()
     StateFs.swapIn(fs, live, tmp)
     fileCount(spark, dir)
   }

@@ -93,7 +93,7 @@ object StateFs {
     ()
   }
 
-  private def bakOf(live: Path) =
+  def bakOf(live: Path): Path =
     new Path(live.getParent, live.getName + ".bak")
   def tmpOf(live: Path): Path =
     new Path(live.getParent, live.getName + ".tmp")

@@ -204,23 +204,11 @@ class Bm25IndexSpec extends SparkTestBase {
     // snapshot merged/, compact, then restore the snapshot — exactly
     // the on-disk state of a crash after both family swaps (and the
     // bak cleanup) but before commitMerged rewrote the manifest
-    def rec(f: File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
-      f.delete(); ()
-    }
-    def copy(src: File, dst: File): Unit =
-      if (src.isDirectory) {
-        dst.mkdirs()
-        Option(src.listFiles()).getOrElse(Array.empty)
-          .foreach(c => copy(c, new File(dst, c.getName)))
-      } else {
-        java.nio.file.Files.copy(src.toPath, dst.toPath); ()
-      }
     val merged = new File(state, "merged")
     val saved = new File(state, "merged_saved")
-    copy(merged, saved)
+    Fixtures.copyRec(merged, saved)
     assert(Bm25Index.compact(spark, state))
-    rec(merged)
+    Fixtures.deleteRec(merged)
     assert(saved.renameTo(merged))
     // the compacted generation carries the folded-dirs marker
     val gen = new File(new File(state, "postings"), f"v${2L}%020d")
@@ -238,12 +226,46 @@ class Bm25IndexSpec extends SparkTestBase {
     assert(Bm25Index.retrieve(spark, state, terms)
       .collect().map(_.toString).toSeq === want)
     // genuine external loss of the compacted generation stays LOUD
-    rec(gen)
+    Fixtures.deleteRec(gen)
     val e = intercept[IllegalArgumentException] {
       Bm25Index.readState(spark, state)
     }
     assert(e.getMessage.contains(f"v${2L}%020d") &&
       e.getMessage.contains("removed externally"))
+  }
+
+  test("append on a crash-interrupted compaction completes the manifest instead of failing") {
+    import spark.implicits._
+    // the r13 loud-loss gate at appendBatch entry must NOT fire on the
+    // legitimate crash state (manifest names folded into the committed
+    // frontier generation) — the append goes through, and its commit
+    // IS the manifest completion the interrupted compaction needed
+    val state = Fixtures.tempDir("bm25-cappend").resolve("state").toString
+    for (i <- 0 until 2)
+      assert(Bm25Index.appendBatch(spark, state,
+        docs.filter(bucket >= i * 50 && bucket < (i + 1) * 50), i.toLong))
+    val nDocs0 = Bm25Index.readState(spark, state).get._4
+      .select("n_docs").head().getLong(0)
+    val merged = new File(state, "merged")
+    val saved = new File(state, "merged_saved")
+    Fixtures.copyRec(merged, saved)
+    assert(Bm25Index.compact(spark, state))
+    Fixtures.deleteRec(merged)
+    assert(saved.renameTo(merged)) // manifest now names the folded dirs
+    val extra = Seq((900001L, "spark vector extra doc"),
+      (900002L, "customer extra doc")).toDF("doc_id", "text")
+    assert(Bm25Index.appendBatch(spark, state, extra, 2L))
+    val st = Bm25Index.readState(spark, state).get._4.head()
+    val pDirs = st.getSeq[String](st.fieldIndex("p_dirs"))
+    assert(pDirs.contains(f"v${1L}%020d") && !pDirs.contains(f"v${0L}%020d"),
+      s"the new manifest must name the compacted generation, got $pDirs")
+    assert(st.getLong(st.fieldIndex("n_docs")) === nDocs0 + 2)
+    assert(Bm25Index.retrieve(spark, state,
+      Seq("spark", "vector", "customer")).count() > 0)
+    // and the state compacts cleanly from there
+    assert(Bm25Index.compact(spark, state))
+    assert(Bm25Index.retrieve(spark, state,
+      Seq("spark", "vector", "customer")).count() > 0)
   }
 
   test("zero-token batch: rejected before it can brick the partitioned layout") {
@@ -286,12 +308,8 @@ class Bm25IndexSpec extends SparkTestBase {
     val state = Fixtures.tempDir("bm25-gc").resolve("state").toString
     Bm25Index.appendBatch(spark, state, docs.filter(bucket < 50), 0L)
     def nuke(sub: String): Unit = {
-      def rec(f: File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
-        f.delete(); ()
-      }
       val t = new File(sub)
-      rec(if (t.isAbsolute) t else new File(state, sub))
+      Fixtures.deleteRec(if (t.isAbsolute) t else new File(state, sub))
     }
     // PARTIAL loss first: merged manifest expects both batches'
     // dirs; deleting only batch 0's postings dir must fail naming the
@@ -305,6 +323,16 @@ class Bm25IndexSpec extends SparkTestBase {
     }
     assert(ePartial.getMessage.contains(f"v${0L}%020d") &&
       ePartial.getMessage.contains("removed externally"))
+    // the APPEND path must fail the same way (review r13): its commit
+    // rebuilds the manifest from the on-disk listing, so an append
+    // here would bake the hole into a fresh manifest whose stats
+    // still count the lost docs — wrong rankings forever after, with
+    // every later read passing the manifest check
+    val eAppend = intercept[IllegalArgumentException] {
+      Bm25Index.appendBatch(spark, state, docs.filter(bucket < 10), 2L)
+    }
+    assert(eAppend.getMessage.contains(f"v${0L}%020d") &&
+      eAppend.getMessage.contains("removed externally"))
     // TOTAL loss: same contract
     nuke("postings"); nuke("dl")
     val e = intercept[IllegalArgumentException] {
@@ -331,11 +359,7 @@ class Bm25IndexSpec extends SparkTestBase {
       val old = spark.read.parquet(d)
         .select("doc_id", "chunk_id", "start", "len", "dl")
         .localCheckpoint(true)
-      def rec(f: File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
-        f.delete(); ()
-      }
-      rec(new File(d))
+      Fixtures.deleteRec(new File(d))
       old.write.mode("overwrite").parquet(d)
     }
     // reads synthesize dhb (no partition pruning on these dirs, but

@@ -95,6 +95,19 @@ class CompactionSpec extends SparkTestBase {
     assert(new File(dir + ".tmp/junk2").exists(),
       "a reader must not delete the writer-owned .tmp")
     assert(!bak.exists())
+
+    // window 3 — mid-swap crash, then an OUT-OF-BAND writer (a plain
+    // ingest job) recreates live before any repair runs: live and .bak
+    // now BOTH exist and live is not a compactor rewrite (no marker) —
+    // the entry heal must refuse to drop the .bak, which holds the
+    // only full pre-crash copy, instead of silently deleting history
+    assert(live.renameTo(bak) && !live.exists())
+    Seq((999L, "out-of-band")).toDF("id", "v").write.parquet(dir)
+    val e = intercept[RuntimeException] {
+      Compactor.compact(spark, dir, targetRowsPerFile = 40)
+    }
+    assert(e.getMessage.contains("out-of-band"))
+    assert(bak.exists(), "the .bak (full pre-crash table) must survive")
   }
 
   test("schema evolution: mergeSchema unions batch schemas") {

@@ -42,4 +42,15 @@ object Fixtures {
 
   def tempDir(tag: String): Path =
     Files.createTempDirectory(s"graft-$tag-")
+
+  /** Recursive delete / copy for crash-state fabrication — commons-io
+    * (already on the Spark classpath) instead of the hand-rolled tree
+    * walks that had been copy-pasted per spec (review r13). */
+  def deleteRec(f: java.io.File): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(f)
+    ()
+  }
+
+  def copyRec(src: java.io.File, dst: java.io.File): Unit =
+    org.apache.commons.io.FileUtils.copyDirectory(src, dst)
 }

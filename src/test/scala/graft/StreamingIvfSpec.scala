@@ -182,10 +182,6 @@ class StreamingIvfSpec extends SparkTestBase {
       java.nio.file.Files.readString(new File(lists, "MANIFEST").toPath).trim
     assert(manifest() === f"v${2L}%020d")
     assert(new File(new File(lists, f"v${2L}%020d"), "_COMPACTED").exists())
-    def rec(f: File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
-      f.delete(); ()
-    }
     // honor-system boundary, pinned: a fresh append dir deleted
     // externally is served as a silently smaller corpus — no error
     // (the header scaladoc's documented residual; guarding it would
@@ -193,7 +189,7 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(StreamingIvf.appendBatch(spark, state,
       corpus.filter($"vec_id" >= 1000), 8, 3L))
     val full = clusterMap(StreamingIvf.readIndex(spark, state).get._2)
-    rec(new File(lists, f"v${3L}%020d"))
+    Fixtures.deleteRec(new File(lists, f"v${3L}%020d"))
     val smaller = clusterMap(StreamingIvf.readIndex(spark, state).get._2)
     assert(smaller.size < full.size, "append loss is (documentedly) silent")
     // the dir is gone, so the re-delivered batch id applies again...
@@ -204,7 +200,7 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(manifest() === f"v${3L}%020d")
     assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) === full)
     // manifest-covered loss is LOUD, naming the missing generation
-    rec(new File(lists, f"v${3L}%020d"))
+    Fixtures.deleteRec(new File(lists, f"v${3L}%020d"))
     val e = intercept[IllegalArgumentException] {
       StreamingIvf.readIndex(spark, state)
     }
