@@ -173,7 +173,33 @@ object Bm25Index {
   def readState(spark: SparkSession, stateDir: String)
       : Option[(DataFrame, DataFrame, DataFrame, DataFrame)] = {
     healReaderAll(spark, stateDir)
-    readMerged(spark, stateDir).map { case (dfreq, stats) =>
+    val cur = readMerged(spark, stateDir)
+    // Merged-state loss detection (review r13, the read-side twin of
+    // the appendBatch guard): None with committed append dirs present
+    // would read as "no index yet" — total silent amnesia. The one
+    // state that is legitimately None-with-dirs is a single
+    // uncompacted generation (the first-batch crash window, which the
+    // WAL replay completes); several generations, or a compacted one,
+    // imply a merged commit once existed, so its absence is external
+    // loss and fails loudly. The single-uncompacted-dir residual is
+    // indistinguishable from the crash window and stays quiet — the
+    // appendBatch guard still catches it on the next fold unless the
+    // WAL also committed that batch.
+    if (cur.isEmpty) {
+      val gens = Seq("postings", "dl").flatMap { sub =>
+        val d = new Path(stateDir, sub)
+        val f = StateFs.fs(spark, d)
+        StateFs.committedVDirs(f, d).map(p =>
+          (p.getName, f.exists(new Path(p, "_COMPACTED"))))
+      }
+      require(gens.map(_._1).distinct.size <= 1 && !gens.exists(_._2),
+        s"BM25 state inconsistent: no merged stats generation under " +
+          s"$stateDir but committed append dirs " +
+          s"[${gens.map(_._1).distinct.mkString(", ")}] exist — the " +
+          "merged state was removed externally; restore it or rebuild " +
+          "the index from the raw documents")
+    }
+    cur.map { case (dfreq, stats) =>
       val st = stats.head()
       // Serve exactly the MANIFEST the committing writer recorded
       // (resolveFamily — crash-interrupted compactions are repaired
@@ -297,6 +323,26 @@ object Bm25Index {
     curRow.foreach { case (st, cols) =>
       resolveFamily(spark, stateDir, "postings", "p_dirs", st, cols)
       resolveFamily(spark, stateDir, "dl", "dl_dirs", st, cols)
+    }
+    // The inverse loss case (review r13): merged stats gone while
+    // committed append dirs remain. Folding this batch as if the index
+    // were fresh would commit batch-only df/n_docs/t_tok under a
+    // manifest listing ALL surviving dirs — every read then serves the
+    // whole corpus scored against one batch's statistics, silently.
+    // The only committed dirs a fresh merged state may coexist with
+    // are THIS batch's own (the first-batch crash window: appends land
+    // before the stats commit; this very call is its replay).
+    if (cur.isEmpty) {
+      val stray = Seq("postings", "dl").flatMap { sub =>
+        val d = new Path(stateDir, sub)
+        StateFs.committedVDirs(StateFs.fs(spark, d), d).map(_.getName)
+      }.distinct.filterNot(_ == f"v$batchId%020d")
+      require(stray.isEmpty,
+        s"BM25 state inconsistent: no merged stats generation under " +
+          s"$stateDir but committed append dirs [${stray.mkString(", ")}] " +
+          "exist — the merged state was removed externally; restore it " +
+          "or clear the append dirs and rebuild the index from the raw " +
+          "documents")
     }
     val last = curRow.map { case (st, _) =>
       st.getLong(st.fieldIndex("last_batch")) }

@@ -115,8 +115,26 @@ object StreamingIvf {
   /** The served index `(centroids, assigned lists)` after every
     * committed batch, or None before the first. Only `_SUCCESS`-marked
     * list directories are read — partial writes are invisible. */
-  def readIndex(spark: SparkSession, stateDir: String): Option[(DataFrame, DataFrame)] =
-    readCentroids(spark, stateDir).map { cents =>
+  def readIndex(spark: SparkSession, stateDir: String): Option[(DataFrame, DataFrame)] = {
+    val cents0 = readCentroids(spark, stateDir)
+    // Centroid-loss detection (review r13): list dirs are only ever
+    // written AFTER the centroids commit, so committed lists with no
+    // centroids is certain external loss — returning None here would
+    // read as "no index yet" and invite a silent from-scratch rebuild
+    // over live data. appendBatch has the matching guard (it would
+    // otherwise re-seed NEW centroids and assign future appends and
+    // probes against geometry the stored lists were not built with).
+    if (cents0.isEmpty) {
+      val lists = listsDir(stateDir)
+      val dirs = StateFs.committedVDirs(StateFs.fs(spark, lists), lists)
+      require(dirs.isEmpty,
+        s"IVF state inconsistent: committed list dirs " +
+          s"[${dirs.map(_.getName).mkString(", ")}] exist under $lists " +
+          "but the frozen centroids are missing — the centroids were " +
+          "removed externally; restore them or rebuild the index from " +
+          "the raw vectors")
+    }
+    cents0.map { cents =>
       val dirs = committedListDirs(spark, stateDir)
       val assigned =
         if (dirs.isEmpty)
@@ -137,6 +155,7 @@ object StreamingIvf {
           .reduce(_ unionByName _)
       (cents, assigned)
     }
+  }
 
   /** Fold one batch into the index — pure batch logic, callable (and
     * tested) outside any stream. First non-empty batch also seeds and
@@ -152,6 +171,19 @@ object StreamingIvf {
     if (StateFs.committed(fs, listDir)) return false // replay
     if (batch.isEmpty) return false
     val cents = readCentroids(spark, stateDir).getOrElse {
+      // Seeding is only legitimate on a virgin index: lists are written
+      // AFTER the centroids commit (and this batch's own dir was ruled
+      // out by the replay check above), so any committed list dir here
+      // means the centroids were lost externally — re-seeding would
+      // silently assign this and future appends (and probes) against
+      // geometry the stored lists were not built with (review r13).
+      val existing = StateFs.committedVDirs(fs, lists)
+      require(existing.isEmpty,
+        s"IVF state inconsistent: committed list dirs " +
+          s"[${existing.map(_.getName).mkString(", ")}] exist under " +
+          s"$lists but the frozen centroids are missing — the centroids " +
+          "were removed externally; restore them or rebuild the index " +
+          "from the raw vectors")
       // Deterministic seed from THIS batch (smallest ids), then freeze.
       // A crash after this write replays the same batch → the same
       // centroids are simply read back, not re-derived — idempotent.

@@ -268,6 +268,41 @@ class Bm25IndexSpec extends SparkTestBase {
       Seq("spark", "vector", "customer")).count() > 0)
   }
 
+  test("external loss of the merged stats with live append dirs fails loudly, not as a fresh index") {
+    import spark.implicits._
+    // merged/ gone while ≥2 committed append generations remain: a
+    // read returning None ("no index yet") is total silent amnesia,
+    // and the next append would commit BATCH-ONLY df/n_docs/t_tok
+    // under a manifest naming ALL surviving dirs — the whole corpus
+    // scored against one batch's statistics (review r13)
+    val state = Fixtures.tempDir("bm25-mergedloss").resolve("state").toString
+    for (i <- 0 until 2)
+      assert(Bm25Index.appendBatch(spark, state,
+        docs.filter(bucket >= i * 50 && bucket < (i + 1) * 50), i.toLong))
+    Fixtures.deleteRec(new File(state, "merged"))
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.readState(spark, state)
+    }
+    assert(e.getMessage.contains("merged state was removed externally"))
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25Index.appendBatch(spark, state,
+        Seq((900001L, "spark extra")).toDF("doc_id", "text"), 2L)
+    }
+    assert(e2.getMessage.contains("merged state was removed externally"))
+    // boundary, pinned: a SINGLE uncompacted generation without merged
+    // stats is indistinguishable from the legitimate first-batch crash
+    // window (appends land before the stats commit) — reads stay
+    // quiet (None) and the replay of THAT batch id is allowed through
+    val state2 = Fixtures.tempDir("bm25-mergedloss1").resolve("state").toString
+    val b0 = docs.filter(bucket < 50)
+    assert(Bm25Index.appendBatch(spark, state2, b0, 0L))
+    Fixtures.deleteRec(new File(state2, "merged"))
+    assert(Bm25Index.readState(spark, state2).isEmpty)
+    assert(Bm25Index.appendBatch(spark, state2, b0, 0L)) // replay completes
+    assert(Bm25Index.readState(spark, state2).get._4
+      .select("last_batch").head().getLong(0) === 0L)
+  }
+
   test("zero-token batch: rejected before it can brick the partitioned layout") {
     import spark.implicits._
     val state = Fixtures.tempDir("bm25-zero").resolve("state").toString

@@ -223,6 +223,34 @@ class StreamingIvfSpec extends SparkTestBase {
       e3.getMessage.contains("removed externally"))
   }
 
+  test("external loss of the frozen centroids fails loudly instead of re-seeding") {
+    // lists are only written after the centroids commit, so committed
+    // lists + missing centroids is certain external loss; the read
+    // returning None ("no index yet") or appendBatch quietly seeding
+    // NEW centroids would assign future appends and probes against
+    // geometry the stored lists were not built with (review r13)
+    val base = Fixtures.tempDir("sivf-centloss")
+    val state = base.resolve("state").toString
+    for ((lo, hi, bid) <- Seq((0L, 100L, 0L), (100L, 2000L, 1L)))
+      assert(StreamingIvf.appendBatch(spark, state,
+        corpus.filter($"vec_id" >= lo && $"vec_id" < hi), 8, bid))
+    Fixtures.deleteRec(new File(state, "centroids"))
+    val e = intercept[IllegalArgumentException] {
+      StreamingIvf.readIndex(spark, state)
+    }
+    assert(e.getMessage.contains("centroids are missing") &&
+      e.getMessage.contains("removed externally"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingIvf.appendBatch(spark, state,
+        corpus.filter($"vec_id" >= 1000), 8, 2L)
+    }
+    assert(e2.getMessage.contains("centroids are missing"))
+    val e3 = intercept[IllegalArgumentException] {
+      StreamingIvf.probe(spark, state, corpus.filter($"vec_id" >= 1000), k = 1)
+    }
+    assert(e3.getMessage.contains("centroids are missing"))
+  }
+
   test("compacted layout is cluster-partitioned and probe reads are partition-pruned to probed lists") {
     val base = Fixtures.tempDir("sivf-prune")
     val state = base.resolve("state").toString
