@@ -331,18 +331,27 @@ object Bm25Index {
     // whole corpus scored against one batch's statistics, silently.
     // The only committed dirs a fresh merged state may coexist with
     // are THIS batch's own (the first-batch crash window: appends land
-    // before the stats commit; this very call is its replay).
+    // before the stats commit; this very call is its replay) — and
+    // even a same-name dir is NOT excused when it carries _COMPACTED
+    // (review r13 second pass): a compacted generation implies a
+    // merged commit once existed, and it is named at the frontier
+    // batch id, exactly the id the WAL can re-deliver — without the
+    // marker check, that replay's overwrite would replace the
+    // compacted union of ALL batches with this batch alone.
     if (cur.isEmpty) {
       val stray = Seq("postings", "dl").flatMap { sub =>
         val d = new Path(stateDir, sub)
-        StateFs.committedVDirs(StateFs.fs(spark, d), d).map(_.getName)
-      }.distinct.filterNot(_ == f"v$batchId%020d")
+        val f = StateFs.fs(spark, d)
+        StateFs.committedVDirs(f, d).map(p =>
+          (p.getName, f.exists(new Path(p, "_COMPACTED"))))
+      }.distinct.filter { case (n, compacted) =>
+        compacted || n != f"v$batchId%020d" }
       require(stray.isEmpty,
         s"BM25 state inconsistent: no merged stats generation under " +
-          s"$stateDir but committed append dirs [${stray.mkString(", ")}] " +
-          "exist — the merged state was removed externally; restore it " +
-          "or clear the append dirs and rebuild the index from the raw " +
-          "documents")
+          s"$stateDir but committed append dirs " +
+          s"[${stray.map(_._1).mkString(", ")}] exist — the merged " +
+          "state was removed externally; restore it or clear the " +
+          "append dirs and rebuild the index from the raw documents")
     }
     val last = curRow.map { case (st, _) =>
       st.getLong(st.fieldIndex("last_batch")) }

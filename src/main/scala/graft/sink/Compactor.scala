@@ -66,13 +66,6 @@ object Compactor {
     n
   }
 
-  /** Rewrite `dir` into ~targetRowsPerFile-row files; `clusterBy`
-    * sorts within partitions for stats-based pruning; `partitionBy`
-    * MUST name the table's Hive partition columns when the directory
-    * is partitioned — a flat rewrite would collapse `col=value/`
-    * directories into plain files and break the layout (and any
-    * later dynamic-partition merge into it). Returns the new file
-    * count. */
   /** Marker a compaction rewrite carries (underscore-prefixed: parquet
     * readers ignore it): its presence in the live dir proves live is a
     * compactor output, which is what disambiguates the crash windows
@@ -81,22 +74,41 @@ object Compactor {
   private val GenMarker = "_COMPACTOR_GEN"
 
   /** Entry repair — [[graft.util.StateFs.healWriter]] with the
-    * out-of-band-writer guard in front of the `.bak` drop. */
+    * out-of-band-writer guard in front of the `.bak` drop. The guard
+    * cannot DIAGNOSE, only refuse: live-without-marker + `.bak` is
+    * either (a) an out-of-band writer recreating the table inside a
+    * crashed swap's repair window — the `.bak` holds the only full
+    * pre-crash copy — or (b) a genuinely stale `.bak` next to a live
+    * dir that merely lost (or, pre-marker builds, never had) its
+    * marker, e.g. an out-of-band `mode("overwrite")` after a completed
+    * swap, or a crashed swap of the marker-less previous build. Both
+    * states need a human to look at the two directories' contents;
+    * deleting the `.bak` unprompted in state (a) destroys history, so
+    * refusing loudly with the decision procedure is the only safe
+    * move. */
   private def healEntry(fs: org.apache.hadoop.fs.FileSystem, live: Path): Unit = {
     StateFs.healReader(fs, live)
-    val bak = StateFs.bakOf(live)
-    if (fs.exists(live) && fs.exists(bak) &&
+    if (fs.exists(live) && fs.exists(StateFs.bakOf(live)) &&
         !fs.exists(new Path(live, GenMarker)))
-      sys.error(s"compact: both $live and $bak exist, and $live is not a " +
-        "compactor rewrite — an out-of-band writer recreated the table " +
-        "inside a crashed swap's repair window, so the .bak holds the only " +
-        "full pre-crash copy. Refusing to delete it: reconcile manually " +
-        "(merge the out-of-band writes into the .bak, restore it as the " +
-        "table, then delete the leftovers) and rerun")
-    if (fs.exists(live)) StateFs.dropBak(fs, live)
-    StateFs.deleteRec(fs, StateFs.tmpOf(live))
+      sys.error(s"compact: both $live and ${StateFs.bakOf(live)} exist, and " +
+        s"$live is not a compactor rewrite (no marker). Either an " +
+        "out-of-band writer recreated the table inside a crashed swap's " +
+        "repair window (the .bak then holds the only full pre-crash copy) " +
+        "or the .bak is stale next to a table that lost its marker. " +
+        "Refusing to guess: compare the two directories — if live is the " +
+        "complete table, delete the .bak and rerun; if live is missing " +
+        "history, merge it into the .bak, restore that as the table, then " +
+        "rerun")
+    StateFs.healWriter(fs, live)
   }
 
+  /** Rewrite `dir` into ~targetRowsPerFile-row files; `clusterBy`
+    * sorts within partitions for stats-based pruning; `partitionBy`
+    * MUST name the table's Hive partition columns when the directory
+    * is partitioned — a flat rewrite would collapse `col=value/`
+    * directories into plain files and break the layout (and any
+    * later dynamic-partition merge into it). Returns the new file
+    * count. */
   def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long,
       clusterBy: Seq[String] = Nil, partitionBy: Seq[String] = Nil): Int = {
     val live = new Path(dir)

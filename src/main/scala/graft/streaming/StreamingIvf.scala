@@ -126,7 +126,13 @@ object StreamingIvf {
     // probes against geometry the stored lists were not built with).
     if (cents0.isEmpty) {
       val lists = listsDir(stateDir)
-      val dirs = StateFs.committedVDirs(StateFs.fs(spark, lists), lists)
+      val fs = StateFs.fs(spark, lists)
+      // heal BEFORE listing (review r13 second pass): a mid-swap crash
+      // leaves the committed lists under lists.bak — an unhealed
+      // listing would come back empty and this guard would silently
+      // pass, answering None for an index whose lists exist
+      StateFs.healReader(fs, lists)
+      val dirs = StateFs.committedVDirs(fs, lists)
       require(dirs.isEmpty,
         s"IVF state inconsistent: committed list dirs " +
           s"[${dirs.map(_.getName).mkString(", ")}] exist under $lists " +

@@ -301,6 +301,29 @@ class Bm25IndexSpec extends SparkTestBase {
     assert(Bm25Index.appendBatch(spark, state2, b0, 0L)) // replay completes
     assert(Bm25Index.readState(spark, state2).get._4
       .select("last_batch").head().getLong(0) === 0L)
+    // ...but a COMPACTED generation is not excused even under its own
+    // batch id (review r13 second pass): it is named at the frontier —
+    // the one id the WAL can re-deliver — and carries the union of ALL
+    // batches; letting the replay through would overwrite that union
+    // with the frontier batch alone and commit batch-only stats
+    val state3 = Fixtures.tempDir("bm25-mergedloss2").resolve("state").toString
+    for (i <- 0 until 2)
+      assert(Bm25Index.appendBatch(spark, state3,
+        docs.filter(bucket >= i * 50 && bucket < (i + 1) * 50), i.toLong))
+    assert(Bm25Index.compact(spark, state3))
+    Fixtures.deleteRec(new File(state3, "merged"))
+    val e3 = intercept[IllegalArgumentException] {
+      Bm25Index.appendBatch(spark, state3,
+        docs.filter(bucket >= 50), 1L) // the frontier id, replayed
+    }
+    assert(e3.getMessage.contains("merged state was removed externally") &&
+      e3.getMessage.contains(f"v${1L}%020d"))
+    // the read-side twin already catches this state (compacted ⇒ a
+    // merged commit once existed)
+    val e4 = intercept[IllegalArgumentException] {
+      Bm25Index.readState(spark, state3)
+    }
+    assert(e4.getMessage.contains("merged state was removed externally"))
   }
 
   test("zero-token batch: rejected before it can brick the partitioned layout") {

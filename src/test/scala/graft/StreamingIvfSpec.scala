@@ -249,6 +249,17 @@ class StreamingIvfSpec extends SparkTestBase {
       StreamingIvf.probe(spark, state, corpus.filter($"vec_id" >= 1000), k = 1)
     }
     assert(e3.getMessage.contains("centroids are missing"))
+    // heal-before-list (review r13 second pass): with lists ALSO in
+    // the mid-swap crash state, the committed dirs hide under .bak —
+    // an unhealed listing would come back empty and the guard would
+    // silently answer None for an index whose lists exist
+    val lists = new File(state, "lists")
+    assert(lists.renameTo(new File(state, "lists.bak")))
+    val e4 = intercept[IllegalArgumentException] {
+      StreamingIvf.readIndex(spark, state)
+    }
+    assert(e4.getMessage.contains("centroids are missing"))
+    assert(lists.exists(), "the guard must have healed the lists dir back")
   }
 
   test("compacted layout is cluster-partitioned and probe reads are partition-pruned to probed lists") {
