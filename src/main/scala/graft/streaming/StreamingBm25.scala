@@ -27,6 +27,16 @@ import graft.operators.Bm25Index
   * completes; spec-pinned in Bm25IndexSpec and re-proven through the
   * real stream machinery in StreamingBm25Spec's restart test).
   *
+  * The checkpoint and the state dir live and die TOGETHER — the
+  * replay frontier makes a mismatch in EITHER direction silently
+  * wrong, not loudly broken: a recreated checkpoint against a kept
+  * state dir restarts batch ids at 0 and re-lists every source file,
+  * so the frontier no-ops those re-delivered ids — including any NEW
+  * files swept into them, which are then never folded; a kept
+  * checkpoint against a deleted state dir re-delivers nothing (the
+  * WAL says every batch committed) and serves an empty index forever.
+  * Reset both or neither.
+  *
   * The stream's batches must be doc-disjoint — the [[Bm25Index]]
   * contract, guaranteed by the upstream keyed-upsert/dedup ingest
   * (re-indexing a changed document is a rebuild-class operation).

@@ -67,6 +67,15 @@ import graft.util.StateFs
   * per-append guarantee should pair the state dir with external
   * retention controls — or use [[graft.operators.Bm25Index]], whose
   * per-append merged-stats commit carries the full dir manifest.
+  *
+  * The checkpoint and the state dir live and die TOGETHER (the
+  * [[StreamingBm25]] caveat, same mechanics): a recreated checkpoint
+  * against a kept state dir restarts batch ids at 0 and re-lists
+  * every source file — the committed-dir replay markers no-op those
+  * re-delivered ids, including any NEW files swept into them, which
+  * are then never assigned; a kept checkpoint against a deleted
+  * state dir re-delivers nothing and serves an empty index forever.
+  * Reset both or neither.
   */
 object StreamingIvf {
 
