@@ -79,4 +79,37 @@ class StreamingBm25Spec extends SparkTestBase {
     assert(Bm25Index.compact(spark, state))
     assert(served(state) === servedBefore)
   }
+
+  test("PINNED TRAP: a recreated checkpoint against a kept state dir silently drops new files") {
+    // the header scaladoc's 'reset both or neither' contract, proven
+    // through the real machinery: a fresh checkpoint restarts batch
+    // ids at 0 and re-lists EVERY source file into its first batches;
+    // the replay frontier (last_batch) no-ops those ids — including
+    // the new file swept in with the old ones, which is never folded.
+    // If this test ever starts folding the new docs, the scaladoc's
+    // operational warning is stale — update both together.
+    import spark.implicits._
+    val base = Fixtures.tempDir("sbm25-ckptreset")
+    val data = base.resolve("docs").toString
+    val state = base.resolve("state").toString
+    def drain(ckpt: String): Unit = {
+      val src = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .parquet(data)
+      StreamingBm25.fit(spark, src, state, ckpt).awaitTermination()
+    }
+    docs.filter(bucket < 80).coalesce(1).write.mode("append").parquet(data)
+    drain(base.resolve("ckpt1").toString)
+    val n0 = Bm25Index.readState(spark, state).get._4
+      .select("n_docs").head().getLong(0)
+    // checkpoint "lost", new docs arrive, a FRESH checkpoint drains:
+    // batch 0 re-lists old+new files, the frontier no-ops it
+    Seq((900001L, "spark vector fresh doc"), (900002L, "customer fresh doc"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(data)
+    drain(base.resolve("ckpt2").toString)
+    assert(Bm25Index.readState(spark, state).get._4
+      .select("n_docs").head().getLong(0) === n0,
+      "the re-delivered batch ids were folded — the documented trap no " +
+        "longer reproduces; update the StreamingBm25/StreamingIvf scaladocs")
+  }
 }
