@@ -155,6 +155,62 @@ class StateFsSpec extends SparkTestBase {
     assert(!fs.exists(new Path(base, "CURRENT.tmp")))
   }
 
+  test("randomized crash/heal sequences never lose, roll back, or mix a generation") {
+    // 200 seeded iterations of the swap state machine, each crashing
+    // at a uniformly chosen point inside swapIn's three steps (orphan
+    // tmp / after rename-aside / before the .bak drop / no crash),
+    // followed by the reader heal. Invariants checked EVERY iteration:
+    // the healed live dir exists, holds a COMPLETE single generation
+    // (all three files, one generation id — a mixed dir would mean a
+    // partial swap leaked through), and that generation is exactly the
+    // newest one whose install step ran (crashes before the install
+    // keep the previous generation — never an older one, never a
+    // skipped one). This is the whole-lifecycle composition the
+    // single-window tests above cannot cover: stale .baks and orphan
+    // .tmps from iteration k feed iteration k+1's entry heal.
+    val base = new Path(Fixtures.tempDir("statefs-fuzz").toString)
+    val fs = fsFor(base)
+    val live = new Path(base, "t")
+    def writeGen(dir: Path, g: Int): Unit = {
+      fs.mkdirs(dir)
+      for (i <- 0 until 3) touch(dir, s"f$i", s"$g")
+    }
+    def genOf(dir: Path): Int = {
+      val vals = (0 until 3).map(i =>
+        StateFs.readString(fs, new Path(dir, s"f$i")))
+      assert(vals.distinct.size == 1, s"MIXED generation in $dir: $vals")
+      vals.head.toInt
+    }
+    writeGen(live, 0)
+    var committed = 0
+    val rnd = new scala.util.Random(42)
+    for (g <- 1 to 200) {
+      // writer entry heal (as compact/appendBatch do), then the rewrite
+      StateFs.healWriter(fs, live)
+      val tmp = StateFs.tmpOf(live)
+      writeGen(tmp, g)
+      rnd.nextInt(4) match {
+        case 0 => () // crash before any rename: orphan tmp only
+        case 1 => // crash between rename-aside and rename-in
+          StateFs.deleteRec(fs, StateFs.bakOf(live))
+          assert(fs.rename(live, StateFs.bakOf(live)))
+        case 2 => // crash after the install, before the .bak drop
+          StateFs.deleteRec(fs, StateFs.bakOf(live))
+          assert(fs.rename(live, StateFs.bakOf(live)))
+          assert(fs.rename(tmp, live))
+          committed = g
+        case 3 => // clean swap
+          StateFs.swapIn(fs, live, tmp)
+          committed = g
+      }
+      StateFs.healReader(fs, live)
+      assert(fs.exists(live), s"iteration $g: live missing after reader heal")
+      assert(genOf(live) == committed,
+        s"iteration $g: live serves generation ${genOf(live)}, " +
+          s"expected $committed")
+    }
+  }
+
   test("gcVersions deletes every v* generation except keep, committed or partial") {
     val base = new Path(Fixtures.tempDir("statefs-gc").toString)
     val fs = fsFor(base)
