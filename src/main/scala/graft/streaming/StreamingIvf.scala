@@ -69,13 +69,18 @@ import graft.util.StateFs
   * per-append merged-stats commit carries the full dir manifest.
   *
   * The checkpoint and the state dir live and die TOGETHER (the
-  * [[StreamingBm25]] caveat, same mechanics): a recreated checkpoint
-  * against a kept state dir restarts batch ids at 0 and re-lists
-  * every source file — the committed-dir replay markers no-op those
-  * re-delivered ids, including any NEW files swept into them, which
-  * are then never assigned; a kept checkpoint against a deleted
-  * state dir re-delivers nothing and serves an empty index forever.
-  * Reset both or neither.
+  * [[StreamingBm25]] caveat — but with a WORSE failure mode here,
+  * because this index's replay marker is the per-batch dir itself,
+  * not a monotone frontier): a recreated checkpoint restarts batch
+  * ids at 0 and re-lists every source file. An id whose per-batch
+  * dir still exists is no-oped — silently dropping any NEW files
+  * swept into it — but an id whose dir a compaction folded away is
+  * NOT marked committed anymore, so it re-appends the ENTIRE
+  * re-listed corpus on top of the compacted generation: every
+  * pre-existing vector served twice (spec-pinned in
+  * StreamingIvfSpec). A kept checkpoint against a deleted state dir
+  * re-delivers nothing and serves an empty index forever. Reset
+  * both or neither.
   */
 object StreamingIvf {
 
@@ -134,20 +139,21 @@ object StreamingIvf {
     // otherwise re-seed NEW centroids and assign future appends and
     // probes against geometry the stored lists were not built with).
     if (cents0.isEmpty) {
-      val lists = listsDir(stateDir)
-      val fs = StateFs.fs(spark, lists)
-      // heal BEFORE listing (review r13 second pass): a mid-swap crash
-      // leaves the committed lists under lists.bak — an unhealed
-      // listing would come back empty and this guard would silently
-      // pass, answering None for an index whose lists exist
-      StateFs.healReader(fs, lists)
-      val dirs = StateFs.committedVDirs(fs, lists)
+      // the manifest-checked listing, not a raw one (review r13 third
+      // pass): it heals a mid-swap crash before listing (an unhealed
+      // listing would come back empty for lists hiding under .bak) AND
+      // fails loudly when lists/MANIFEST names a generation that is
+      // gone — so TOTAL loss (centroids plus every list dir removed,
+      // the plain MANIFEST file surviving v*-targeted GC) is loud too,
+      // instead of reading as "no index yet" and inviting a re-seed
+      // that would wedge on the stale manifest later
+      val dirs = committedListDirs(spark, stateDir)
       require(dirs.isEmpty,
         s"IVF state inconsistent: committed list dirs " +
-          s"[${dirs.map(_.getName).mkString(", ")}] exist under $lists " +
-          "but the frozen centroids are missing — the centroids were " +
-          "removed externally; restore them or rebuild the index from " +
-          "the raw vectors")
+          s"[${dirs.map(_.getName).mkString(", ")}] exist under " +
+          s"${listsDir(stateDir)} but the frozen centroids are missing " +
+          "— the centroids were removed externally; restore them or " +
+          "rebuild the index from the raw vectors")
     }
     cents0.map { cents =>
       val dirs = committedListDirs(spark, stateDir)
@@ -192,7 +198,9 @@ object StreamingIvf {
       // means the centroids were lost externally — re-seeding would
       // silently assign this and future appends (and probes) against
       // geometry the stored lists were not built with (review r13).
-      val existing = StateFs.committedVDirs(fs, lists)
+      // Manifest-checked listing (third pass): a surviving MANIFEST
+      // with every list dir gone is total external loss, loud too.
+      val existing = committedListDirs(spark, stateDir)
       require(existing.isEmpty,
         s"IVF state inconsistent: committed list dirs " +
           s"[${existing.map(_.getName).mkString(", ")}] exist under " +

@@ -160,6 +160,20 @@ class StreamingIvfSpec extends SparkTestBase {
       clusterMap(Similarity.ivfAssign(
         StreamingIvf.readCentroids(spark, state).get, corpus)))
     assert(probed.nonEmpty) // the compacted-state probe above returned rows
+    // PINNED TRAP (header scaladoc): an id whose dir the compaction
+    // folded away is no longer marked committed — a recreated
+    // checkpoint's re-delivery of batch 0 re-appends its rows on top
+    // of the compacted generation, serving every one of them TWICE.
+    // If this starts no-oping, the scaladoc's duplication warning is
+    // stale — update both together.
+    def dupIds() = StreamingIvf.readIndex(spark, state).get._2
+      .groupBy("c_id").count().filter($"count" > 1).count()
+    val dupsBefore = dupIds() // batch 3 above re-added the planted ids
+    assert(StreamingIvf.appendBatch(spark, state,
+      corpus.filter($"vec_id" < 60), 8, 0L),
+      "the folded-away id no-oped — the documented trap no longer reproduces")
+    assert(dupIds() === dupsBefore + 60,
+      "expected exactly batch 0's rows to be served twice")
   }
 
   test("compaction manifest: deleted compacted generation fails loudly; fresh appends stay honor-system") {
@@ -221,6 +235,22 @@ class StreamingIvfSpec extends SparkTestBase {
     }
     assert(e3.getMessage.contains(f"v${3L}%020d") &&
       e3.getMessage.contains("removed externally"))
+    // TOTAL loss with the manifest surviving (review r13 third pass):
+    // centroids and every list dir removed, the plain MANIFEST file
+    // missed by v*-targeted GC — must STILL be loud, not "no index
+    // yet" (a silent re-seed here would wedge on the stale manifest
+    // later, blaming the wrong cause)
+    Fixtures.deleteRec(new File(state, "centroids"))
+    Fixtures.deleteRec(new File(lists, f"v${4L}%020d"))
+    val e4 = intercept[IllegalArgumentException] {
+      StreamingIvf.readIndex(spark, state)
+    }
+    assert(e4.getMessage.contains("removed externally"))
+    val e5 = intercept[IllegalArgumentException] {
+      StreamingIvf.appendBatch(spark, state,
+        corpus.filter($"vec_id" >= 1000), 8, 5L)
+    }
+    assert(e5.getMessage.contains("removed externally"))
   }
 
   test("external loss of the frozen centroids fails loudly instead of re-seeding") {
