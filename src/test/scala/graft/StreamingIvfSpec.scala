@@ -97,11 +97,22 @@ class StreamingIvfSpec extends SparkTestBase {
     // replay of a committed batch id: skipped, state unchanged
     assert(!StreamingIvf.appendBatch(spark, state, b1, 8, batchId = 0L))
     assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) === after1)
-    // crash simulation: batch 1's list dir lost its _SUCCESS mid-write
+    // crash simulation: batch 1 died mid-write — no _SUCCESS and (the
+    // log lags the parquet commit) no applog entry either. Deleting
+    // ONLY the _SUCCESS of a committed batch is not that state: it is
+    // external loss of the commit marker, which the r14 append log
+    // detects loudly — pinned first, then the honest crash state.
     val b2 = corpus.filter($"vec_id" >= 100)
     assert(StreamingIvf.appendBatch(spark, state, b2, 8, batchId = 1L))
     val v1 = new File(new File(state, "lists"), f"v${1L}%020d")
     assert(new File(v1, "_SUCCESS").delete())
+    val eMarker = intercept[IllegalArgumentException] {
+      StreamingIvf.readIndex(spark, state)
+    }
+    assert(eMarker.getMessage.contains(f"v${1L}%020d") &&
+      eMarker.getMessage.contains("removed externally"))
+    assert(new File(new File(new File(state, "lists"), "applog"),
+      f"v${1L}%020d").delete()) // now the true mid-write crash state
     // the partial is invisible to readers...
     assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) === after1)
     // ...and the WAL re-delivers batch 1, whose replay completes it
@@ -176,13 +187,14 @@ class StreamingIvfSpec extends SparkTestBase {
       "expected exactly batch 0's rows to be served twice")
   }
 
-  test("compaction manifest: deleted compacted generation fails loudly; fresh appends stay honor-system") {
-    // VERDICT r12 #1: mirror Bm25IndexSpec's partial-loss test. The
+  test("compaction manifest + append log: ANY lost committed generation fails loudly") {
+    // VERDICT r12 #1 (manifest) + VERDICT r13 #1 (append log): the
     // compaction swap installs lists/MANIFEST naming the compacted
-    // generation; external loss of that generation must fail reads
-    // loudly (it held the whole pre-compaction corpus), while loss of
-    // a post-compaction append dir stays the documented honor-system
-    // residual until the next compaction folds it under the manifest.
+    // generation, and every committed append also lands an
+    // applog/v<id> marker — so external loss of EITHER the compacted
+    // corpus or a post-compaction append dir (formerly the documented
+    // honor-system residual) fails reads, appends, and compactions
+    // loudly, naming the missing generation.
     val base = Fixtures.tempDir("sivf-loss")
     val state = base.resolve("state").toString
     // batches 0-2 cover the 200 base vectors only — the 5 planted ids
@@ -196,20 +208,51 @@ class StreamingIvfSpec extends SparkTestBase {
       java.nio.file.Files.readString(new File(lists, "MANIFEST").toPath).trim
     assert(manifest() === f"v${2L}%020d")
     assert(new File(new File(lists, f"v${2L}%020d"), "_COMPACTED").exists())
-    // honor-system boundary, pinned: a fresh append dir deleted
-    // externally is served as a silently smaller corpus — no error
-    // (the header scaladoc's documented residual; guarding it would
-    // cost a manifest commit per append)
+    // compaction consumed the pre-compaction applog entries (the log
+    // lives inside the swapped tree); the folded mass is now
+    // manifest-covered, so stale entries cannot false-alarm
+    assert(!new File(new File(lists, "applog"), f"v${0L}%020d").exists())
+    // a post-compaction append lands its applog marker with the commit
     assert(StreamingIvf.appendBatch(spark, state,
       corpus.filter($"vec_id" >= 1000), 8, 3L))
+    assert(new File(new File(lists, "applog"), f"v${3L}%020d").exists())
     val full = clusterMap(StreamingIvf.readIndex(spark, state).get._2)
-    Fixtures.deleteRec(new File(lists, f"v${3L}%020d"))
-    val smaller = clusterMap(StreamingIvf.readIndex(spark, state).get._2)
-    assert(smaller.size < full.size, "append loss is (documentedly) silent")
-    // the dir is gone, so the re-delivered batch id applies again...
-    assert(StreamingIvf.appendBatch(spark, state,
+    // external loss of the committed append dir (simulated as a move-
+    // aside so the remedy — restore — can be exercised below): LOUD on
+    // read, on the next append (the fail-fast gate: work onto a wedged
+    // index is wasted), and on compaction (folding the survivors would
+    // rewrite the log/manifest around the hole, erasing the evidence)
+    val v3 = new File(lists, f"v${3L}%020d")
+    val aside = new File(base.toFile, "v3-held-hostage")
+    assert(v3.renameTo(aside))
+    val eRead = intercept[IllegalArgumentException] {
+      StreamingIvf.readIndex(spark, state)
+    }
+    assert(eRead.getMessage.contains(f"v${3L}%020d") &&
+      eRead.getMessage.contains("removed externally"))
+    val eApp = intercept[IllegalArgumentException] {
+      StreamingIvf.appendBatch(spark, state,
+        corpus.filter($"vec_id" < 60), 8, 4L)
+    }
+    assert(eApp.getMessage.contains(f"v${3L}%020d"))
+    val eCmp = intercept[IllegalArgumentException] {
+      StreamingIvf.compact(spark, state)
+    }
+    assert(eCmp.getMessage.contains(f"v${3L}%020d"))
+    // the remedy the message names: restore the generation → recovered
+    assert(aside.renameTo(v3))
+    assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) === full)
+    // crash window between a dir's parquet commit and its log entry:
+    // a missing LOG entry alone must NOT alarm (the log lags the
+    // commit — only under-logging is reachable), and the WAL replay
+    // of that id completes the log instead of re-appending
+    val logV3 = new File(new File(lists, "applog"), f"v${3L}%020d")
+    assert(logV3.delete())
+    assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) === full)
+    assert(!StreamingIvf.appendBatch(spark, state,
       corpus.filter($"vec_id" >= 1000), 8, 3L))
-    // ...and the next compaction folds it UNDER the manifest
+    assert(logV3.exists(), "the replay-skip path must complete the log entry")
+    // the next compaction folds the append UNDER the manifest
     assert(StreamingIvf.compact(spark, state))
     assert(manifest() === f"v${3L}%020d")
     assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) === full)
@@ -224,12 +267,19 @@ class StreamingIvfSpec extends SparkTestBase {
       StreamingIvf.probe(spark, state, corpus.filter($"vec_id" >= 1000), k = 1)
     }
     assert(e2.getMessage.contains("removed externally"))
-    // ...and compaction fails the same way: appending fresh data and
-    // compacting over the hole would fold only the survivors and
-    // REWRITE the manifest around the loss, erasing the evidence —
-    // compact must refuse as loudly as the reads do
-    assert(StreamingIvf.appendBatch(spark, state,
-      corpus.filter($"vec_id" >= 1000), 8, 4L))
+    // ...appends fail fast at the same gate (ADVICE r13: work onto a
+    // wedged index is wasted — previously they kept succeeding and
+    // accumulating dirs on an index every read of which fails)...
+    val e2b = intercept[IllegalArgumentException] {
+      StreamingIvf.appendBatch(spark, state,
+        corpus.filter($"vec_id" >= 1000), 8, 4L)
+    }
+    assert(e2b.getMessage.contains(f"v${3L}%020d") &&
+      e2b.getMessage.contains("removed externally"))
+    // ...and compaction fails the same way: compacting over the hole
+    // would fold only the survivors and REWRITE the manifest around
+    // the loss, erasing the evidence — it must refuse as loudly as
+    // the reads do
     val e3 = intercept[IllegalArgumentException] {
       StreamingIvf.compact(spark, state)
     }
@@ -241,7 +291,6 @@ class StreamingIvfSpec extends SparkTestBase {
     // yet" (a silent re-seed here would wedge on the stale manifest
     // later, blaming the wrong cause)
     Fixtures.deleteRec(new File(state, "centroids"))
-    Fixtures.deleteRec(new File(lists, f"v${4L}%020d"))
     val e4 = intercept[IllegalArgumentException] {
       StreamingIvf.readIndex(spark, state)
     }
