@@ -37,7 +37,10 @@ import graft.util.StateFs
   * not heal; a deployment compacting live tables should read through
   * [[read]] (the one-line healReader-aware path), or schedule
   * compaction in a no-reader maintenance slot as the StateFs scaladoc
-  * prescribes.
+  * prescribes. The slot must also be no-WRITER — a mid-compact append
+  * would be dropped by the swap; [[compact]]'s pre-swap listing
+  * re-check turns that violation into a loud abort (its scaladoc has
+  * the full contract).
   * Note renames are atomic on HDFS/local fs; on an object store, pair
   * this with a version-pointer (manifest) layout instead.
   */
@@ -47,10 +50,29 @@ object Compactor {
     * mid-swap-crashed table from its `.bak` first (the one repair a
     * read needs — never deletes anything writer-owned), then read.
     * Use this instead of a bare `spark.read.parquet` for any table
-    * [[compact]] maintains outside a no-reader maintenance slot. */
+    * [[compact]] maintains outside a no-reader maintenance slot.
+    *
+    * Mirrors [[healEntry]]'s out-of-band-recreate guard (ADVICE r13):
+    * in the exact ambiguous state compact() refuses on — live without
+    * the rewrite marker NEXT TO a `.bak`, e.g. an out-of-band writer
+    * recreated the table inside a crashed swap's repair window — the
+    * live table may be partial while the `.bak` holds the only full
+    * copy, so serving it silently would hand out missing history.
+    * Fails loudly with the same decision procedure, deleting nothing
+    * (a reader never cleans writer-owned state). */
   def read(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val live = new Path(dir)
-    StateFs.healReader(StateFs.fs(spark, live), live)
+    val fs = StateFs.fs(spark, live)
+    StateFs.healReader(fs, live)
+    if (fs.exists(live) && fs.exists(StateFs.bakOf(live)) &&
+        !fs.exists(new Path(live, GenMarker)))
+      sys.error(s"read: both $live and ${StateFs.bakOf(live)} exist, and " +
+        s"$live is not a compactor rewrite (no marker) — the live table " +
+        "may be an out-of-band recreate inside a crashed swap's repair " +
+        "window, with the .bak holding the only full copy. Refusing to " +
+        "serve a possibly-partial table: compare the two directories " +
+        "(see Compactor.compact's refusal message for the procedure), " +
+        "reconcile, then reread")
     spark.read.parquet(dir)
   }
 
@@ -86,7 +108,7 @@ object Compactor {
     * deleting the `.bak` unprompted in state (a) destroys history, so
     * refusing loudly with the decision procedure is the only safe
     * move. */
-  private def healEntry(fs: org.apache.hadoop.fs.FileSystem, live: Path): Unit = {
+  private[graft] def healEntry(fs: org.apache.hadoop.fs.FileSystem, live: Path): Unit = {
     StateFs.healReader(fs, live)
     if (fs.exists(live) && fs.exists(StateFs.bakOf(live)) &&
         !fs.exists(new Path(live, GenMarker)))
@@ -102,18 +124,56 @@ object Compactor {
     StateFs.healWriter(fs, live)
   }
 
+  /** Recursive `(path, length)` listing of every file under `dir` —
+    * the optimistic-concurrency snapshot [[compact]] compares. All
+    * files, not just `.parquet`: any new or changed file means a
+    * writer was active in the window. */
+  private def fileSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Set[(String, Long)] = {
+    val it = fs.listFiles(dir, true)
+    val b = Set.newBuilder[(String, Long)]
+    while (it.hasNext) { val f = it.next(); b += ((f.getPath.toString, f.getLen)) }
+    b.result()
+  }
+
   /** Rewrite `dir` into ~targetRowsPerFile-row files; `clusterBy`
     * sorts within partitions for stats-based pruning; `partitionBy`
     * MUST name the table's Hive partition columns when the directory
     * is partitioned — a flat rewrite would collapse `col=value/`
     * directories into plain files and break the layout (and any
     * later dynamic-partition merge into it). Returns the new file
-    * count. */
+    * count.
+    *
+    * NO CONCURRENT WRITERS (review r13 — the reader half of this
+    * contract was documented in the header; the writer half was only
+    * implied): the rewrite reads the table once and the swap REPLACES
+    * the live directory, so a file appended by another job mid-compact
+    * would be silently dropped with it. That is enforced, not assumed:
+    * the live listing is snapshotted at entry and re-checked
+    * immediately before the swap — any difference aborts loudly with
+    * the rewrite discarded and the live table (INCLUDING the
+    * concurrent write) intact. Optimistic concurrency without a
+    * lakehouse: the unguarded window shrinks from the whole rewrite
+    * duration to the instants between the re-check and the swap's
+    * first rename — and an out-of-band recreate INSIDE the swap is
+    * caught by [[graft.util.StateFs.swapInKeepBak]]'s own existence
+    * re-checks. Schedule compaction in a no-writer slot regardless;
+    * the guard turns a violation into a loud retry instead of lost
+    * rows. */
   def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long,
-      clusterBy: Seq[String] = Nil, partitionBy: Seq[String] = Nil): Int = {
+      clusterBy: Seq[String] = Nil, partitionBy: Seq[String] = Nil): Int =
+    compactImpl(spark, dir, targetRowsPerFile, clusterBy, partitionBy, () => ())
+
+  /** [[compact]] with an injectable pre-swap hook — the test seam the
+    * concurrent-append guard is pinned through (CompactionSpec); the
+    * public entry point passes a no-op. */
+  private[graft] def compactImpl(spark: SparkSession, dir: String,
+      targetRowsPerFile: Long, clusterBy: Seq[String],
+      partitionBy: Seq[String], beforeSwap: () => Unit): Int = {
     val live = new Path(dir)
     val fs = StateFs.fs(spark, live)
     healEntry(fs, live)
+    val snapshot = fileSnapshot(fs, live)
     val df = spark.read.parquet(dir)
     require(partitionBy.forall(df.columns.contains),
       s"partitionBy ${partitionBy.mkString(",")} not all present in table")
@@ -131,6 +191,20 @@ object Compactor {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
     fs.create(new Path(tmp, GenMarker), true).close()
+    beforeSwap()
+    // Optimistic-concurrency re-check (scaladoc): a writer landed in
+    // the live dir while we rewrote — swapping now would drop its
+    // rows with the old generation. Abort loudly, keeping live (the
+    // concurrent write included) and discarding only our rewrite.
+    val now = fileSnapshot(fs, live)
+    if (now != snapshot) {
+      val changed = ((now diff snapshot) ++ (snapshot diff now)).map(_._1)
+      StateFs.deleteRec(fs, tmp)
+      sys.error(s"compact: $live changed during the rewrite " +
+        s"(concurrent writer; changed files: ${changed.mkString(", ")}) — " +
+        "rewrite discarded, live table intact including the concurrent " +
+        "write; rerun compaction in a no-writer maintenance slot")
+    }
     StateFs.swapIn(fs, live, tmp)
     fileCount(spark, dir)
   }

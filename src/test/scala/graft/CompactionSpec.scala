@@ -108,6 +108,144 @@ class CompactionSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("out-of-band"))
     assert(bak.exists(), "the .bak (full pre-crash table) must survive")
+
+    // the READ path refuses the same ambiguous state (ADVICE r13):
+    // live-without-marker + .bak — serving the possibly-partial live
+    // table while the .bak holds the only full copy would hand out
+    // missing history silently. Nothing is deleted by the refusal.
+    val eRead = intercept[RuntimeException] { Compactor.read(spark, dir) }
+    assert(eRead.getMessage.contains("Refusing"))
+    assert(bak.exists() && live.exists(),
+      "the read refusal must not delete either directory")
+  }
+
+  test("a concurrent append during a healthy compact aborts loudly and survives") {
+    // VERDICT r13 #2: rows are read at compact entry and the swap
+    // REPLACES the live dir — a file appended by the daily ingest
+    // between the read and the swap was silently dropped. The
+    // optimistic pre-swap listing re-check turns that into a loud
+    // abort with the appended rows intact and only the rewrite
+    // discarded.
+    import java.io.File
+    val dir = Fixtures.tempDir("compactrace").resolve("t").toString
+    (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(8).write.parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val e = intercept[RuntimeException] {
+      Compactor.compactImpl(spark, dir, targetRowsPerFile = 20, Nil, Nil,
+        beforeSwap = () =>
+          Seq((999L, "landed-mid-compact")).toDF("id", "v")
+            .write.mode("append").parquet(dir))
+    }
+    assert(e.getMessage.contains("changed during the rewrite") &&
+      e.getMessage.contains("no-writer maintenance slot"))
+    // the concurrent write survives, the rewrite was discarded
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(after.size === before.size + 1)
+    assert(after.contains("[999,landed-mid-compact]"))
+    assert(!new File(dir + ".tmp").exists() && !new File(dir + ".bak").exists())
+    // the next compact (no concurrent writer this time) succeeds and
+    // keeps every row including the mid-compact append
+    assert(Compactor.compact(spark, dir, targetRowsPerFile = 41) === 1)
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq === after)
+  }
+
+  test("healEntry refusal-matrix fuzz: crash windows composed with out-of-band " +
+      "writers never delete the only full copy") {
+    // VERDICT r13 #6: the StateFsSpec fuzz covers the swap primitives;
+    // this composes them with the moves only a TABLE (multi-writer
+    // world) sees — out-of-band recreate inside a crashed swap's
+    // repair window, recreate-then-append, external loss of the
+    // rewrite marker. 200 seeded iterations; each runs the entry heal
+    // on whatever the previous iteration's crash left, asserting the
+    // refusal matrix exactly: healEntry REFUSES (deleting nothing) iff
+    // live-without-marker sits next to a .bak (the .bak may be the
+    // only full copy), CLEANS when the marker proves live is a
+    // compactor rewrite, and across every seed the latest complete
+    // generation survives in live or .bak. Refusals are then resolved
+    // the way the error message prescribes (live complete → drop .bak;
+    // live partial → restore .bak) and the machine keeps running — so
+    // stale state from iteration k feeds iteration k+1's heal.
+    import scala.util.{Failure, Success, Try}
+    import org.apache.hadoop.fs.Path
+    import graft.util.StateFs
+    val base = new Path(Fixtures.tempDir("compact-fuzz").toString)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(base, "t")
+    val bak = StateFs.bakOf(live)
+    val tmp = StateFs.tmpOf(live)
+    val marker = "_COMPACTOR_GEN"
+    def touch(dir: Path, name: String, content: String): Unit = {
+      val out = fs.create(new Path(dir, name), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    def writeGen(dir: Path, g: Int, withMarker: Boolean): Unit = {
+      fs.mkdirs(dir)
+      for (i <- 0 until 3) touch(dir, s"f$i", s"$g")
+      if (withMarker) touch(dir, marker, "")
+    }
+    def complete(dir: Path): Boolean =
+      (0 until 3).forall(i => fs.exists(new Path(dir, s"f$i"))) &&
+        (0 until 3).map(i => StateFs.readString(fs, new Path(dir, s"f$i")))
+          .distinct.size == 1
+    def genOf(dir: Path): Int =
+      StateFs.readString(fs, new Path(dir, "f0")).toInt
+    writeGen(live, 0, withMarker = false) // the original ingest table
+    var full = 0 // generation of the latest COMPLETE table
+    val rnd = new scala.util.Random(1234)
+    for (g <- 1 to 200) {
+      Try(Compactor.healEntry(fs, live)) match {
+        case Failure(e) =>
+          // refusal: exactly the ambiguous state, nothing deleted, and
+          // the full copy is where the message says — under the .bak
+          assert(e.getMessage.contains("Refusing to guess"), s"iter $g: $e")
+          assert(fs.exists(live) && fs.exists(bak) &&
+            !fs.exists(new Path(live, marker)),
+            s"iter $g: refusal outside the documented ambiguous state")
+          assert(complete(bak) || complete(live),
+            s"iter $g: refusal but NO complete copy survives anywhere")
+          // resolve per the error message's decision procedure
+          if (complete(live)) StateFs.deleteRec(fs, bak)
+          else { StateFs.deleteRec(fs, live); assert(fs.rename(bak, live)) }
+          StateFs.deleteRec(fs, tmp)
+        case Success(_) =>
+          assert(!fs.exists(bak) && !fs.exists(tmp),
+            s"iter $g: heal left writer-owned state behind")
+      }
+      assert(fs.exists(live) && complete(live) && genOf(live) == full,
+        s"iter $g: live serves gen ${Try(genOf(live))}, expected $full")
+      // a compactor cycle to generation g, crashed at a random point,
+      // possibly composed with an out-of-band writer move
+      writeGen(tmp, g, withMarker = true)
+      rnd.nextInt(7) match {
+        case 0 => () // crash before any rename: orphan tmp only
+        case 1 => // mid-swap crash: live gone, data only under .bak
+          assert(fs.rename(live, bak))
+        case 2 => // mid-swap crash + out-of-band PARTIAL recreate
+          assert(fs.rename(live, bak))
+          fs.mkdirs(live); touch(live, "f0", s"${1000 + g}")
+        case 3 => // ...recreate-then-append (still partial, extra file)
+          assert(fs.rename(live, bak))
+          fs.mkdirs(live); touch(live, "f0", s"${1000 + g}")
+          touch(live, "f9", "appended")
+        case 4 => // install done, .bak drop crashed (marker intact)
+          assert(fs.rename(live, bak)); assert(fs.rename(tmp, live))
+          full = g
+        case 5 => // install done + marker externally lost, .bak present:
+          // next heal must REFUSE; live (complete) wins the resolution
+          assert(fs.rename(live, bak)); assert(fs.rename(tmp, live))
+          fs.delete(new Path(live, marker), false)
+          full = g
+        case 6 => // clean swap
+          StateFs.swapIn(fs, live, tmp)
+          full = g
+      }
+    }
+    // settle the final iteration's state too
+    Try(Compactor.healEntry(fs, live)) match {
+      case Failure(_) => assert(complete(bak) || complete(live))
+      case Success(_) => assert(complete(live) && genOf(live) == full)
+    }
   }
 
   test("schema evolution: mergeSchema unions batch schemas") {
