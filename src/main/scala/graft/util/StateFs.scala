@@ -37,10 +37,16 @@ import org.apache.spark.sql.SparkSession
   * exists for CRASHED swaps, not as concurrency control. Guarding
   * that abort takes care on Hadoop: `FileSystem.rename(src, dst)`
   * with an existing destination DIRECTORY does not fail — a
-  * NON-EMPTY dst NESTS src inside it, an empty dst is silently
-  * REPLACED, POSIX-style (both pinned empirically in StateFsSpec
-  * against this build's hadoop 3.4.2 local fs; `java.io.File
-  * .renameTo` failed loudly on the non-empty case). The race
+  * NON-EMPTY dst NESTS src inside it; an EMPTY dst is silently
+  * REPLACED, POSIX-style, on the LOCAL fs only (both regimes pinned
+  * empirically in StateFsSpec against this build's hadoop 3.4.2
+  * `RawLocalFileSystem`, whose rename delegates to POSIX rename(2);
+  * `java.io.File.renameTo` failed loudly on the non-empty case).
+  * HDFS differs on the empty case: its rename nests src into an
+  * existing dst directory REGARDLESS of emptiness — which is the
+  * stricter regime, so the nesting re-checks below cover hdfs://
+  * state dirs for both cases and the empty-dst-replace boundary is a
+  * local-fs detail, not part of this object's contract. The race
   * destinations that matter — a reader-restored live generation, an
   * installed rewrite — are always non-empty, so nesting is the case
   * the guards handle. Both [[swapIn]] and

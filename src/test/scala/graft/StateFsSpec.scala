@@ -54,7 +54,7 @@ class StateFsSpec extends SparkTestBase {
     assert(fs.exists(new Path(dst, "g")), "dst's own content was lost")
   }
 
-  test("ASSUMPTION PIN: Hadoop rename onto an existing EMPTY directory REPLACES it") {
+  test("ASSUMPTION PIN: LOCAL-fs rename onto an existing EMPTY directory REPLACES it") {
     val base = new Path(Fixtures.tempDir("statefs-replace").toString)
     val fs = fsFor(base)
     val src = mk(new Path(base, "src")); touch(src, "f", "x")
@@ -62,7 +62,12 @@ class StateFsSpec extends SparkTestBase {
     // POSIX rename(2) over an empty directory succeeds by replacing it
     // — so the nesting guard sees nothing for an empty-dir destination
     // and the rename quietly does the right thing (installs src's
-    // contents at dst). Pinned so the two regimes' boundary is explicit.
+    // contents at dst). Pinned so the two regimes' boundary is
+    // explicit. LOCAL-FS-SPECIFIC (ADVICE r13): this replace regime is
+    // RawLocalFileSystem delegating to rename(2); HDFS nests src into
+    // an existing dst directory regardless of emptiness — the STRICTER
+    // regime, which the swapIn/healReader nesting re-checks already
+    // cover, so the guards transfer to hdfs:// while this pin does not.
     assert(fs.rename(new Path(base, "src"), new Path(base, "dst")))
     assert(fs.exists(new Path(base, "dst/f")) &&
       !fs.exists(new Path(base, "dst/src")))
