@@ -31,22 +31,31 @@ object Bench {
     // else, so round-over-round totals can be read against it: if
     // `lf` moved 1.3× between rounds, a 1.3× total move is the host,
     // not the code.
-    val sentinel = "q_tpch_q6"
-    val lf: Double =
-      if (!SparkEntry.queries.contains(sentinel)) -1.0
+    // NonFatal, not Throwable (ADVICE r12): an OOM/fatal JVM error
+    // must abort the bench, not let it keep timing in a corrupted
+    // JVM and emit garbage numbers as if nothing happened
+    def sentinelTime(name: String): Double =
+      if (!SparkEntry.queries.contains(name)) -1.0
       else {
         try {
-          SparkEntry.queries(sentinel)(spark, sfDir).count()
+          SparkEntry.queries(name)(spark, sfDir).count()
           (1 to 3).map { _ =>
             val t0 = System.nanoTime()
-            SparkEntry.queries(sentinel)(spark, sfDir).count()
+            SparkEntry.queries(name)(spark, sfDir).count()
             (System.nanoTime() - t0) / 1e9
           }.min
-        // NonFatal, not Throwable (ADVICE r12): an OOM/fatal JVM error
-        // must abort the bench, not let it keep timing in a corrupted
-        // JVM and emit garbage numbers as if nothing happened
         } catch { case NonFatal(_) => -1.0 }
       }
+    val lf = sentinelTime("q_tpch_q6")
+    // Shuffle-bound sentinel (VERDICT r13 #4): the scan-bound q6
+    // sentinel under-predicts the suite total, whose sf0.1 floor is
+    // per-query job/codegen/SHUFFLE overhead (NOTES r13: lf moved
+    // 1.4× while the suite moved 1.04×). q_rank_stats — a multi-stage
+    // window/aggregate whose plan is all exchange + sort — tracks
+    // that regime; same protocol (solo, pre-suite, one untimed
+    // codegen run, min of three). Round-over-round totals read
+    // against the PAIR: scan regime via lf, shuffle regime via lfs.
+    val lfs = sentinelTime("q_rank_stats")
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case NonFatal(_) => () }
     }
@@ -209,7 +218,7 @@ object Bench {
       // set iff its emitted value is ≥ 1.5 s, modulo the rare boundary
       // query whose extra samples dropped its min below the cut, which
       // the count exposes (PLANS.md "Bench protocol").
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n5":${slow.size},"lf":${fmt(lf)},"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n5":${slow.size},"lf":${fmt(lf)},"lfs":${fmt(lfs)},"sf":"$sfTag"}"""
     }
     // First encoding that fits the window wins — stage 1 first for key
     // continuity with prior rounds, stage 2 when stage 1 overflows,
@@ -229,7 +238,7 @@ object Bench {
           .stripTrailingZeros.toPlainString
       val qs = emitted.map { case (k, v) => s"\"" + short(k) + "\":" + fmtc(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n5":${slow.size},"lf":${fmt(lf)},"sf":"$sfTag"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n5":${slow.size},"lf":${fmt(lf)},"lfs":${fmt(lfs)},"sf":"$sfTag"}"""
     }
     val candidates =
       (shorten(abbrev) ++ shorten(abbrev2) ++ shorten(abbrev3) ++
@@ -242,7 +251,7 @@ object Bench {
         s"(stages present: a=${shorten(abbrev).isDefined} a2=${shorten(abbrev2).isDefined} " +
         s"a3=${shorten(abbrev3).isDefined} a4=${shorten(abbrev4).isDefined} a5=${abbrev5.isDefined})")
     val safe = candidates.find(_.length <= 1850).getOrElse(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"lf":${fmt(lf)},"sf":"$sfTag"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"lf":${fmt(lf)},"lfs":${fmt(lfs)},"sf":"$sfTag"}""")
     // Stop Spark BEFORE printing: shutdown logging would otherwise land
     // after the metric line and push it away from the end of the tail
     // window the harness captures.
