@@ -111,6 +111,30 @@ object IvfPq {
     (cents, codebooks, codes)
   }
 
+  /** Incremental maintenance — encode an ARRIVING batch against the
+    * FROZEN coarse quantizer and codebooks and return its code-table
+    * rows, ready to union into the stored codes (the IVF-PQ analogue
+    * of [[Similarity.ivfAppend]], VERDICT r13 #5): per batch vector,
+    * one broadcast argmin against the kc-row centroid frame for its
+    * cell + residual, then the per-subspace codebook argmin — the
+    * batch is the ONLY thing scanned; the corpus, centroids, and
+    * codebooks are never recomputed or rescanned, so per-batch cost
+    * follows the batch size at any index size. Because encoding is a
+    * pure per-vector function of (centroids, codebooks), the merged
+    * table is bit-identical to encoding the grown corpus in one shot
+    * against the same frozen quantizer (`buildWith` with these
+    * centroids after refitting NOTHING) — spec-pinned in IvfPqSpec
+    * and oracle-gated as `q_ann_ivfpq_incr`. Drift of the arriving
+    * distribution away from the frozen quantizer is the documented
+    * rebuild trigger, exactly as for [[Similarity.ivfAppend]]. */
+  def append(s: SparkSession, batch: DataFrame, cents: DataFrame,
+      codebooks: DataFrame, m: Int, subLen: Int): DataFrame = {
+    val res = residuals(s, batch, cents)
+    ProductQuantizer.encode(s,
+        res.select(col("vec_id"), col("rv").as("qv")), codebooks, m, subLen)
+      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+  }
+
   /** AUTO-SIZE the coarse quantizer — the round-10 ablation's recipe
     * (PLANS.md "IVF-PQ at 1M vectors") made a one-call operator: a
     * kc matched to the corpus's natural cluster count wins BOTH

@@ -114,6 +114,60 @@ class IvfPqSpec extends SparkTestBase {
       assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 10))
   }
 
+  test("append: arriving batch encodes against the frozen quantizer; merged " +
+      "code table bit-equals the one-shot encode; probe recall vs brute force intact") {
+    // VERDICT r13 #5: the production ANN architecture gets the same
+    // incremental maintenance path as plain IVF (Similarity.ivfAppend)
+    // — an arriving batch is encoded against the FROZEN coarse
+    // quantizer + codebooks, scanning only the batch.
+    val e = quantized
+    val existing = e.filter(col("vec_id") < 100) // clusters 0..4 complete
+    val batch = e.filter(col("vec_id") >= 100)   // clusters 5..7 variants
+    val (cents, cbs, codes) = IvfPq.build(spark, existing, kc = 8,
+      coarseRounds = 0, m = 4, subLen = 16, kCb = 24, pqRounds = 0)
+    val appended = IvfPq.append(spark, batch, cents, cbs, m = 4, subLen = 16)
+    // per-batch cost shape: one code row per (batch vector, subspace)
+    assert(appended.count() === batch.count() * 4)
+    val merged = codes.unionByName(appended)
+    // bit-equality: encoding is a pure per-vector function of the
+    // frozen (centroids, codebooks), so build-then-append must equal
+    // the one-shot encode of the grown corpus — both directions empty
+    val oneShot = IvfPq.append(spark, e, cents, cbs, m = 4, subLen = 16)
+    assert(merged.exceptAll(oneShot).unionByName(oneShot.exceptAll(merged)).isEmpty,
+      "append path diverges from the one-shot encode against the same frozen quantizer")
+    // recall gate vs full-corpus brute force: on the exact-residual
+    // corpus ADC estimates are exact L2, so the merged-table probe
+    // must return the brute-force top-10 verbatim (recall 1.0) — for
+    // EVERY query, including 6 and 7, whose entire neighbor sets
+    // arrived in the batch (a dropped or mis-encoded batch vector
+    // would break their rankings first)
+    val qs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    val got = IvfPq.probe(spark, cents, cbs, merged, qs, k = 10, nProbe = 1,
+        m = 4, subLen = 16, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val ids = vecs.map(_._1)
+    for (qid <- 0L until 8L) {
+      val expected = ids.filter(_ != qid).map(v => v -> d2(q(qid), q(v)))
+        .sortBy { case (v, d) => (d, v) }.take(10)
+      assert(got.filter(_._1 == qid).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+        === expected, s"query $qid: merged-index top-10 != brute force")
+    }
+    // an empty batch appends nothing
+    assert(IvfPq.append(spark, e.limit(0), cents, cbs, 4, 16).isEmpty)
+  }
+
+  test("q_ann_ivfpq_incr over sf0.001: deterministic, dense ranks, append_ok") {
+    val a = VectorQueries.annIvfPqIncr(spark, sfDir).collect()
+    val b = VectorQueries.annIvfPqIncr(spark, sfDir).collect()
+    assert(a.toSeq === b.toSeq)
+    val byQ = a.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    for ((_, rows) <- byQ)
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 10))
+    assert(a.forall(_.getBoolean(4)), "append/one-shot code tables diverge")
+  }
+
   test("rerank returns the exact-L2 order over any candidate slice") {
     val e = quantized
     // candidates deliberately include far vectors and exclude one
