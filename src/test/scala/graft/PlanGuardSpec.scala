@@ -28,6 +28,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q_ann_ivf",        // 16-centroid assignment + probe (constants)
     "q_ann_ivf_incr",   // same constants, existing/batch split + append
     "q_ann_ivfpq",      // 8 broadcast coarse centroids (assign + probe)
+    "q_ann_ivfpq_incr", // same constants + 1-row append_ok gate broadcast
     "q_ann_lsh",        // in-query brute-force baseline (8 queries)
     "q_knn_bruteforce", // 8 broadcast query vectors
     "q_kmeans_assign",  // k=5 broadcast seed centroids
