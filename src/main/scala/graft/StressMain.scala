@@ -785,6 +785,79 @@ object StressMain {
       }
       corpus.unpersist(); qs.unpersist(): Unit
     }
+    // Incremental IVF-PQ at 1M (VERDICT r13 #5): the marginal cost of
+    // folding an arriving 100k batch into a 900k-built index vs the
+    // build itself, bit-equality of the merged code table vs the
+    // one-shot encode AT SCALE, and the same recall ladder as the
+    // one-shot matched-coarse config (kc2000 seed = one variant-0
+    // representative per natural cluster on the existing side —
+    // ~1800 of the 2000 seeds survive the 90/10 hash split, so the
+    // coarse geometry is the matched case minus the split's bite).
+    if (sys.env.contains("SPARK_GRAFT_STRESS_IVFPQ_INCR")) {
+      import org.apache.spark.sql.functions._
+      import operators.{IvfPq, ProductQuantizer}
+      val (m, subLen, kCb) = (4, 16, 256)
+      val raw = spark.read.parquet(ensureAnn1m(spark))
+      val corpus = raw.select(col("vec_id"),
+        ProductQuantizer.quantize(col("embedding")).as("qv")).persist()
+      println(s"[stress] ivfpq-incr corpus     rows=${corpus.count()}")
+      val bucket = pmod(pmod(col("vec_id"), lit(100000000L)) * lit(2654435761L),
+        lit(100L))
+      val existing = corpus.filter(bucket < 90)
+      val batch = corpus.filter(bucket >= 90).persist()
+      println(s"[stress] ivfpq-incr batch      rows=${batch.count()}")
+      var built: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = null
+      time("ivfpq-incr build 900k")({
+        val (ce, cb, co) = IvfPq.build(spark, existing, 2000, 0, m, subLen, kCb, 2)
+        built = (ce.localCheckpoint(true), cb.localCheckpoint(true),
+          co.localCheckpoint(true))
+        built._3.count()
+      })
+      val (ce, cb, co) = built
+      var appended: org.apache.spark.sql.DataFrame = null
+      time("ivfpq-incr append 100k")({
+        appended = IvfPq.append(spark, batch, ce, cb, m, subLen)
+          .localCheckpoint(true)
+        appended.count()
+      })
+      val merged = co.unionByName(appended).localCheckpoint(true)
+      // rows printed here MUST be 0: append ≡ one-shot encode of the
+      // grown corpus against the same frozen quantizer + codebooks
+      time("ivfpq-incr diff-vs-1shot")({
+        val oneShot = IvfPq.append(spark, corpus, ce, cb, m, subLen)
+        merged.exceptAll(oneShot).unionByName(oneShot.exceptAll(merged)).count()
+      })
+      val qs = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv")).persist()
+      qs.count(): Unit
+      val k = 10
+      def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+      var exact: Map[Long, Seq[Long]] = Map.empty
+      time("ivfpq-incr exact-l2 1M")(
+        { exact = topk(ProductQuantizer.exactL2TopK(spark, corpus, qs, k))
+          exact.size.toLong })
+      def recall(got: Map[Long, Seq[Long]]): Double = {
+        val per = exact.keys.toSeq.map { q =>
+          exact(q).count(got.getOrElse(q, Nil).toSet).toDouble / exact(q).size }
+        per.sum / per.size
+      }
+      var adc: Map[Long, Seq[Long]] = Map.empty
+      time("ivfpq-incr probe merged")(
+        { adc = topk(IvfPq.probe(spark, ce, cb, merged, qs, k, 1, m, subLen,
+            excludeSelf = true)); adc.size.toLong })
+      var rr: Map[Long, Seq[Long]] = Map.empty
+      time("ivfpq-incr rerank100")({
+        val c100 = IvfPq.probe(spark, ce, cb, merged, qs, 100, 1, m, subLen,
+          excludeSelf = true)
+        rr = topk(ProductQuantizer.rerank(spark, c100, corpus, qs, k))
+        rr.size.toLong
+      })
+      println(f"[stress] ivfpq-incr recall@$k  adc=${recall(adc)}%.3f rerank100=${recall(rr)}%.3f")
+      corpus.unpersist(); batch.unpersist(); qs.unpersist(): Unit
+    }
     // AUTO-KC ablation at 1M vectors (VERDICT r11 #1): does the
     // sample-only sizing rule reach the matched-coarse recall the
     // hand-tuned kc2000 config measured, without being told 2000?
