@@ -261,6 +261,24 @@ object IvfPq {
     (chosen._1, chosen._2, diag)
   }
 
+  /** The distinct coarse cells a [[probe]] with `(queries, nProbe)`
+    * touches — the same argmin the probe recomputes, collected so a
+    * stored code table can be partition-pruned to exactly these cells
+    * before the probe join (the [[graft.operators.Similarity
+    * .probedClusters]] device for the IVF-PQ layout). Bounded by
+    * |queries|·nProbe ids — driver-safe at any corpus size. */
+  def probedCells(s: SparkSession, centroids: DataFrame, queries: DataFrame,
+      nProbe: Int): Seq[Long] = {
+    val wq = Window.partitionBy("q_id").orderBy(col("_d2").asc, col("c_id").asc)
+    queries
+      .crossJoin(broadcast(centroids.select(col("c_id"), col("cv"))))
+      .select(col("q_id"), col("c_id"), d2(s, col("qv"), col("cv")).as("_d2"))
+      .withColumn("_pr", row_number().over(wq))
+      .filter(col("_pr") <= nProbe)
+      .select("c_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+  }
+
   /** ADC probe: per query `(q_id, qv)`, rank the vectors of the
     * `nProbe` nearest coarse cells by residual-ADC distance and
     * return the top k `(q_id, rnk, vec_id, d2_est)`. The LUT is

@@ -124,15 +124,21 @@ object Compactor {
     StateFs.healWriter(fs, live)
   }
 
-  /** Recursive `(path, length)` listing of every file under `dir` —
-    * the optimistic-concurrency snapshot [[compact]] compares. All
-    * files, not just `.parquet`: any new or changed file means a
-    * writer was active in the window. */
+  /** Recursive `(path, length, mtime)` listing of every file under
+    * `dir` — the optimistic-concurrency snapshot [[compact]] compares.
+    * All files, not just `.parquet`: any new or changed file means a
+    * writer was active in the window. Modification time is in the key
+    * so an in-place same-name same-length replace (not a pattern Spark
+    * writers produce — part files get fresh UUID names — but cheap to
+    * cover) is caught too. */
   private def fileSnapshot(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path): Set[(String, Long)] = {
+      dir: Path): Set[(String, Long, Long)] = {
     val it = fs.listFiles(dir, true)
-    val b = Set.newBuilder[(String, Long)]
-    while (it.hasNext) { val f = it.next(); b += ((f.getPath.toString, f.getLen)) }
+    val b = Set.newBuilder[(String, Long, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      b += ((f.getPath.toString, f.getLen, f.getModificationTime))
+    }
     b.result()
   }
 

@@ -98,19 +98,10 @@ object StreamingIvf {
 
   private def listsDir(stateDir: String) = new Path(stateDir, "lists")
 
-  private def applogDir(lists: Path) = new Path(lists, "applog")
-
-  /** Record a committed append generation in the append log — one
-    * O(1) atomic empty-file create per batch (header scaladoc).
-    * Idempotent: the replay-skip path re-runs it to complete the
-    * crash window between a dir's parquet commit and its log entry. */
+  /** [[graft.util.StateFs.logAppend]] on the lists dir — one O(1)
+    * atomic empty-file create per committed batch (header scaladoc). */
   private def logAppend(fs: org.apache.hadoop.fs.FileSystem, lists: Path,
-      name: String): Unit = {
-    val d = applogDir(lists)
-    if (!fs.exists(d)) { fs.mkdirs(d); () }
-    val f = new Path(d, name)
-    if (!fs.exists(f)) fs.create(f, false).close()
-  }
+      name: String): Unit = StateFs.logAppend(fs, lists, name)
 
   /** Committed list dirs AFTER the read-side crash repair — state
     * I/O through the Hadoop FileSystem API (graft.util.StateFs), so
@@ -120,43 +111,14 @@ object StreamingIvf {
     * reader must not delete an in-flight compaction's `.tmp`). */
   private def committedListDirs(spark: SparkSession, stateDir: String): Seq[Path] = {
     val lists = listsDir(stateDir)
-    val fs = StateFs.fs(spark, lists)
-    StateFs.healReader(fs, lists)
-    val dirs = StateFs.committedVDirs(fs, lists)
-    // Compaction manifest (header scaladoc): the named generation
-    // holds the whole pre-compaction corpus — if it is gone (or lost
-    // its _SUCCESS), serving the remaining dirs would be a silently
-    // smaller index with no error anywhere. Fail loudly instead,
-    // naming what is missing. Appends after the last compaction are
-    // not manifest-covered (deliberate — see header).
-    val manifest = new Path(lists, "MANIFEST")
-    if (fs.exists(manifest)) {
-      val gen = StateFs.readString(fs, manifest)
-      require(dirs.exists(_.getName == gen),
-        s"IVF state inconsistent: the compaction manifest under $lists " +
-          s"names generation $gen but no committed directory of that " +
-          "name exists — the compacted corpus was removed externally; " +
-          "restore it or rebuild the index from the raw vectors")
-    }
-    // Append-log cross-check (header scaladoc, VERDICT r13 #1): every
-    // logged append generation must still exist as a committed dir.
-    // The log lags the parquet commit, so a missing LOG entry is just
-    // the documented crash window (the replay completes it) — but a
-    // logged name with no committed dir is certain external loss of a
-    // committed append, previously the silent honor-system residual.
-    val applog = applogDir(lists)
-    if (fs.exists(applog)) {
-      val names = dirs.map(_.getName).toSet
-      val missing = fs.listStatus(applog).toSeq.map(_.getPath.getName)
-        .filter(n => n.startsWith("v") && !names.contains(n)).sorted
-      require(missing.isEmpty,
-        s"IVF state inconsistent: the append log under $lists names " +
-          s"committed generation(s) [${missing.mkString(", ")}] but no " +
-          "committed directory of that name exists — committed appends " +
-          "were removed externally; restore them or rebuild the index " +
-          "from the raw vectors")
-    }
-    dirs
+    // The MANIFEST + applog cross-checks live in StateFs.checkedVDirs
+    // (r14 — shared with StreamingIvfPq): the manifest-named compacted
+    // generation and every applog-logged append dir must exist, else
+    // loud loss errors naming what is missing. A missing LOG entry is
+    // the benign commit-to-log crash window (the replay completes it);
+    // appends after the last compaction are applog-covered, the
+    // compacted mass is manifest-covered (header scaladoc).
+    StateFs.checkedVDirs(StateFs.fs(spark, lists), lists, "IVF")
   }
 
   private def centroidsDir(stateDir: String) = new Path(stateDir, "centroids")

@@ -1,0 +1,259 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{IvfPq, ProductQuantizer}
+import graft.util.StateFs
+
+/** Streaming IVF-PQ index maintenance — [[IvfPq.append]] wired into a
+  * `foreachBatch` stream: the PRODUCTION billion-vector serving shape
+  * ([[graft.operators.IvfPq]] header) gets the same stored-state
+  * maintenance path as plain IVF ([[StreamingIvf]]) and BM25
+  * ([[StreamingBm25]]), completing the streamed-index symmetry. What
+  * the store holds is the 64×-smaller CODE table, not raw vectors —
+  * which is precisely why this is the shape that serves at 100 TB:
+  * the stream pays one encode per arriving vector, the stored mass is
+  * m small ints + a cell id per vector, and probes touch only the
+  * probed cells' codes plus the constant-size centroid/codebook/LUT
+  * frames.
+  *
+  * State layout (the [[StreamingIvf]] design, plus one more frozen
+  * frame):
+  *
+  *  - `centroids/` — the coarse quantizer, written ONCE by the first
+  *    non-empty batch (deterministic seed: the kc smallest vec_ids of
+  *    that batch), then frozen.
+  *  - `codebooks/` — the residual PQ codebooks, seeded from the kCb
+  *    smallest vec_ids' RESIDUAL subvectors of the same first batch
+  *    (the [[ProductQuantizer.seedCodebooks]] convention, computed on
+  *    residuals per the IVFADC scheme), frozen with the centroids.
+  *    Both freeze together because [[IvfPq.append]]'s bit-equality
+  *    contract (fold ≡ one-shot encode) is a property of the frozen
+  *    pair; distribution drift away from either is the documented
+  *    rebuild trigger.
+  *  - `codes/v<batchId>/` — each batch's code-table rows
+  *    `(vec_id, sub, code, cell)` in their own `_SUCCESS`-gated dir
+  *    (commit doubles as the replay marker), appended by encoding the
+  *    BATCH ONLY against the frozen pair. Loss matrix is the r14 IVF
+  *    one, shared via [[graft.util.StateFs.checkedVDirs]]: a
+  *    compaction `MANIFEST` + an `applog/v<id>` marker per committed
+  *    append, every listing cross-checked, external loss of ANY
+  *    committed generation loud on read, append, and compact.
+  *
+  * [[compact]] coalesces committed dirs into one generation written
+  * `partitionBy(cell)` — the bucketed layout the IvfPq scaladoc
+  * prescribes at scale — so [[probe]]'s `cell isin probedCells`
+  * filter prunes the compacted generation at the directory level
+  * (fresh append dirs take it as a row predicate until the next
+  * compaction folds them).
+  *
+  * The checkpoint/state-dir coupling caveat is [[StreamingIvf]]'s
+  * verbatim (per-batch dirs are the replay markers): reset both or
+  * neither.
+  */
+object StreamingIvfPq {
+
+  private def codesDir(stateDir: String) = new Path(stateDir, "codes")
+  private def centroidsDir(stateDir: String) = new Path(stateDir, "centroids")
+  private def codebooksDir(stateDir: String) = new Path(stateDir, "codebooks")
+
+  private def committedCodeDirs(spark: SparkSession, stateDir: String): Seq[Path] = {
+    val codes = codesDir(stateDir)
+    StateFs.checkedVDirs(StateFs.fs(spark, codes), codes, "IVF-PQ")
+  }
+
+  private def readFrozen(spark: SparkSession, dir: Path): Option[DataFrame] =
+    if (StateFs.committed(StateFs.fs(spark, dir), dir))
+      Some(spark.read.parquet(dir.toString))
+    else None
+
+  /** The frozen `(centroids, codebooks)` pair, or None before the
+    * first committed batch. Fails loudly on a half-missing pair with
+    * committed codes — certain external loss (codes are only written
+    * after BOTH frozen frames commit), and re-seeding would encode
+    * future appends against geometry the stored codes were not built
+    * with (the [[StreamingIvf]] centroid-loss argument, over two
+    * frames). */
+  def readQuantizer(spark: SparkSession,
+      stateDir: String): Option[(DataFrame, DataFrame)] = {
+    val cents = readFrozen(spark, centroidsDir(stateDir))
+    val cbs = readFrozen(spark, codebooksDir(stateDir))
+    (cents, cbs) match {
+      case (Some(ce), Some(cb)) => Some((ce, cb))
+      case (None, None) => None
+      case _ =>
+        sys.error(s"IVF-PQ state inconsistent: exactly one of " +
+          s"${centroidsDir(stateDir)} and ${codebooksDir(stateDir)} is " +
+          "committed — the frozen quantizer pair was partially removed " +
+          "externally (they are written together before any codes); " +
+          "restore the missing frame or rebuild the index from the raw " +
+          "vectors")
+    }
+  }
+
+  /** The served index `(centroids, codebooks, codes)` after every
+    * committed batch, or None before the first. */
+  def readIndex(spark: SparkSession,
+      stateDir: String): Option[(DataFrame, DataFrame, DataFrame)] = {
+    val frozen = readQuantizer(spark, stateDir)
+    if (frozen.isEmpty) {
+      // committed codes with NO frozen pair at all: external loss of
+      // both frames — the checked listing makes it loud instead of
+      // "no index yet" (the StreamingIvf readIndex guard, shared
+      // rationale; the half-missing case threw in readQuantizer)
+      val dirs = committedCodeDirs(spark, stateDir)
+      require(dirs.isEmpty,
+        s"IVF-PQ state inconsistent: committed code dirs " +
+          s"[${dirs.map(_.getName).mkString(", ")}] exist under " +
+          s"${codesDir(stateDir)} but the frozen quantizer is missing " +
+          "— centroids and codebooks were removed externally; restore " +
+          "them or rebuild the index from the raw vectors")
+    }
+    frozen.map { case (cents, cbs) =>
+      val dirs = committedCodeDirs(spark, stateDir)
+      val codes =
+        if (dirs.isEmpty)
+          cents.limit(0).select(col("c_id").as("vec_id"),
+            lit(0).as("sub"), col("c_id").as("code"), col("c_id").as("cell"))
+        else dirs
+          // per-dir reads + unionByName (the StreamingIvf device): a
+          // compacted dir is partitionBy(cell) — the partition column
+          // reads back Int-inferred, cast back to the Long the data
+          // column carries — while fresh append dirs hold cell as a
+          // data column; one multi-path read would refuse the mix
+          .map(d => spark.read.option("basePath", d.toString).parquet(d.toString)
+            .withColumn("cell", col("cell").cast("long")))
+          .reduce(_ unionByName _)
+      (cents, cbs, codes)
+    }
+  }
+
+  /** Fold one batch into the index — pure batch logic, callable (and
+    * tested, and used by the driver query `q_ann_ivfpq_served`)
+    * outside any stream. The first non-empty batch seeds and freezes
+    * the quantizer pair. Returns true iff the batch was applied. */
+  def appendBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
+      kc: Int, m: Int, subLen: Int, kCb: Int, batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    val codes = codesDir(stateDir)
+    val fs = StateFs.fs(spark, codes)
+    StateFs.healWriter(fs, codes)
+    // fail-fast loss gate at every entry (the r14 IVF discipline) —
+    // also feeds the seeding guard below
+    val existing = committedCodeDirs(spark, stateDir)
+    val dir = new Path(codes, f"v$batchId%020d")
+    if (StateFs.committed(fs, dir)) {
+      // replay of a committed id — and the repair point for the
+      // commit-to-log crash window (StateFs.logAppend scaladoc)
+      StateFs.logAppend(fs, codes, dir.getName)
+      return false
+    }
+    if (batch.isEmpty) return false
+    // Inside foreachBatch the batch belongs to the stream's CLONED
+    // session; the dot_long native function must be registered (and
+    // the encode plans analyzed) THERE, not on the outer session — the
+    // Similarity.ivfAssign convention (`corpus.sparkSession`), which
+    // is why every IvfPq call below takes `sb`.
+    val sb = batch.sparkSession
+    val qb = batch.select(col(idCol).as("vec_id"),
+      ProductQuantizer.quantize(col(vecCol)).as("qv"))
+    val (cents, cbs) = readQuantizer(sb, stateDir).getOrElse {
+      require(existing.isEmpty,
+        s"IVF-PQ state inconsistent: committed code dirs " +
+          s"[${existing.map(_.getName).mkString(", ")}] exist under " +
+          s"$codes but the frozen quantizer is missing — centroids and " +
+          "codebooks were removed externally; restore them or rebuild " +
+          "the index from the raw vectors")
+      // Deterministic seed from THIS batch, then freeze. Centroids =
+      // the kc smallest vec_ids (dense re-id not needed — c_id keeps
+      // the seed's vec_id, the IvfPq.build convention); codebooks =
+      // the kCb smallest vec_ids' RESIDUAL subvectors against those
+      // centroids (IVFADC: codebooks live in residual space). A crash
+      // between the two writes re-seeds identically on replay (same
+      // batch, same smallest-ids rule) — idempotent.
+      val ce = qb.orderBy("vec_id").limit(kc)
+        .select(col("vec_id").as("c_id"), col("qv").as("cv"))
+      ce.coalesce(1).write.mode("overwrite")
+        .parquet(centroidsDir(stateDir).toString)
+      val ceRead = sb.read.parquet(centroidsDir(stateDir).toString)
+      val seedRes = IvfPq.residuals(sb, qb.orderBy("vec_id").limit(kCb), ceRead)
+        .select(col("vec_id"), col("rv").as("qv"))
+      val cb = ProductQuantizer.subRows(seedRes, m, subLen)
+        .select(col("vec_id").as("c_id"), col("sub"), col("sv").as("c_sv"))
+      cb.coalesce(1).write.mode("overwrite")
+        .parquet(codebooksDir(stateDir).toString)
+      (ceRead, sb.read.parquet(codebooksDir(stateDir).toString))
+    }
+    IvfPq.append(sb, qb, cents, cbs, m, subLen)
+      .write.mode("overwrite").parquet(dir.toString)
+    StateFs.logAppend(fs, codes, dir.getName)
+    true
+  }
+
+  /** Background compaction between drains — committed code dirs → ONE
+    * generation named at the max committed batch id, written
+    * `partitionBy(cell)` (the bucketed serving layout), `MANIFEST` +
+    * `_COMPACTED` installed inside the `.tmp` tree so loss metadata is
+    * atomic with the swap; the applog is consumed wholesale (it lives
+    * inside the swapped tree). Same WAL-replay safety argument as
+    * [[StreamingIvf.compact]]. Returns true iff a rewrite happened. */
+  def compact(spark: SparkSession, stateDir: String): Boolean = {
+    val live = codesDir(stateDir)
+    val fs = StateFs.fs(spark, live)
+    StateFs.healWriter(fs, live)
+    val dirs = committedCodeDirs(spark, stateDir) // checked: never folds around a hole
+    if (dirs.size <= 1) return false
+    val vname = dirs.map(_.getName).max
+    val tmp = StateFs.tmpOf(live)
+    dirs.map(d => spark.read.option("basePath", d.toString).parquet(d.toString)
+        .withColumn("cell", col("cell").cast("long")))
+      .reduce(_ unionByName _)
+      // bucket-aligned: one hash exchange lands each cell in one task
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(new Path(tmp, vname).toString)
+    StateFs.writeFolded(fs, new Path(tmp, vname), dirs.map(_.getName))
+    StateFs.writeFileAtomic(spark, new Path(tmp, "MANIFEST"), vname)
+    StateFs.swapIn(fs, live, tmp)
+    true
+  }
+
+  /** Wire the appender into a stream ([[StreamingIvf.fit]] shape). */
+  def fit(spark: SparkSession, vecs: Dataset[_], stateDir: String,
+      checkpointDir: String, kc: Int, m: Int, subLen: Int, kCb: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[_], batchId: Long) =>
+        appendBatch(spark, stateDir, batch.toDF(), kc, m, subLen, kCb,
+          batchId, idCol, vecCol)
+        ()
+      }
+      .start()
+
+  /** Serve ADC top-k from the maintained index, the code-table read
+    * FILTERED to [[IvfPq.probedCells]] first — partition-pruning the
+    * compacted `partitionBy(cell)` generation at the directory level
+    * (a row predicate on fresh append dirs). Result-identical to the
+    * unfiltered probe: the probe's LUT join on `cell` discards
+    * non-probed cells regardless. Queries arrive as raw float
+    * vectors; quantization happens here (the appendBatch convention).
+    * Throws before the first committed batch. */
+  def probe(spark: SparkSession, stateDir: String, queries: DataFrame,
+      k: Int, nProbe: Int, m: Int, subLen: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    val (cents, cbs, codes) = readIndex(spark, stateDir).getOrElse(
+      sys.error(s"no committed IVF-PQ index under $stateDir"))
+    val qs = queries.select(col(idCol).as("q_id"),
+      ProductQuantizer.quantize(col(vecCol)).as("qv"))
+    val probed = IvfPq.probedCells(spark, cents, qs, nProbe)
+    IvfPq.probe(spark, cents, cbs,
+      codes.filter(col("cell").isin(probed: _*)),
+      qs, k, nProbe, m, subLen, excludeSelf)
+  }
+}

@@ -183,6 +183,62 @@ object StateFs {
     else Some(readString(fs, m).split("\n").toSeq.filter(_.nonEmpty))
   }
 
+  // ---- manifest + append-log checked listing (shared by the
+  //      streamed stored-state indexes: StreamingIvf, StreamingIvfPq) ----
+
+  def applogDir(dir: Path): Path = new Path(dir, "applog")
+
+  /** Record a committed append generation in `dir`'s append log — one
+    * O(1) atomic empty-file create per batch, NOT a pointer swap (the
+    * append-only cheapness survives). Idempotent: the replay-skip path
+    * re-runs it to complete the crash window between a generation's
+    * parquet commit and its log entry. The log deliberately LAGS the
+    * commit, so a crash can only under-log — an orphan entry (false
+    * loss alarm) cannot arise; [[checkedVDirs]] treats a missing entry
+    * as the benign window and a missing DIR for a logged entry as
+    * certain external loss. */
+  def logAppend(fs: FileSystem, dir: Path, name: String): Unit = {
+    val d = applogDir(dir)
+    if (!fs.exists(d)) { fs.mkdirs(d); () }
+    val f = new Path(d, name)
+    if (!fs.exists(f)) fs.create(f, false).close()
+  }
+
+  /** The loss-checked committed listing: [[healReader]] (so a
+    * mid-swap-crashed family is visible before any check), then
+    * [[committedVDirs]], then two cross-checks that turn external
+    * loss of committed state into loud errors naming what is missing
+    * — `MANIFEST` (the compacted generation must exist: it holds the
+    * whole pre-compaction corpus) and `applog/` (every logged append
+    * generation must exist as a committed dir). `what` names the
+    * index in the error messages ("IVF", "IVF-PQ", ...). */
+  def checkedVDirs(fs: FileSystem, dir: Path, what: String): Seq[Path] = {
+    healReader(fs, dir)
+    val dirs = committedVDirs(fs, dir)
+    val manifest = new Path(dir, "MANIFEST")
+    if (fs.exists(manifest)) {
+      val gen = readString(fs, manifest)
+      require(dirs.exists(_.getName == gen),
+        s"$what state inconsistent: the compaction manifest under $dir " +
+          s"names generation $gen but no committed directory of that " +
+          "name exists — the compacted corpus was removed externally; " +
+          "restore it or rebuild the index from the raw vectors")
+    }
+    val applog = applogDir(dir)
+    if (fs.exists(applog)) {
+      val names = dirs.map(_.getName).toSet
+      val missing = fs.listStatus(applog).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && !names.contains(n)).sorted
+      require(missing.isEmpty,
+        s"$what state inconsistent: the append log under $dir names " +
+          s"committed generation(s) [${missing.mkString(", ")}] but no " +
+          "committed directory of that name exists — committed appends " +
+          "were removed externally; restore them or rebuild the index " +
+          "from the raw vectors")
+    }
+    dirs
+  }
+
   /** Read-side repair: restore a mid-swap-crashed family so the data
     * is visible again. Touches nothing else. If an in-flight swap's
     * second rename lands between our existence check and our rename,

@@ -29,6 +29,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q_ann_ivf_incr",   // same constants, existing/batch split + append
     "q_ann_ivfpq",      // 8 broadcast coarse centroids (assign + probe)
     "q_ann_ivfpq_incr", // same constants + 1-row append_ok gate broadcast
+    // q_ann_ivfpq_served is NOT here: like q_rag_incremental it
+    // returns a driver-pinned local frame (its builds/probes run as
+    // side effects), so its visible plan carries no BNLJ
     "q_ann_lsh",        // in-query brute-force baseline (8 queries)
     "q_knn_bruteforce", // 8 broadcast query vectors
     "q_kmeans_assign",  // k=5 broadcast seed centroids
