@@ -858,6 +858,46 @@ object StressMain {
       println(f"[stress] ivfpq-incr recall@$k  adc=${recall(adc)}%.3f rerank100=${recall(rr)}%.3f")
       corpus.unpersist(); batch.unpersist(); qs.unpersist(): Unit
     }
+    // Streamed IVF-PQ drain/compact alternation at 1M (round-14):
+    // the 24/7 shape for the NEW stored-state index — 10 drains of
+    // 100k vectors each (id-ordered, so the first drain's kc=2000
+    // smallest-id seed is one representative per natural cluster, the
+    // matched-coarse case), a compaction after drains 02/05/08, serve
+    // latency after each compaction and at the end with one
+    // post-compaction append dir live. Every drain and compact
+    // crosses the full r14 loss machinery (checked listing, applog,
+    // manifest) — a fold ramp would mean hidden re-encoding; a serve
+    // ramp would mean the cell pruning is not holding.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_IVFPQ_STREAM")) {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamingIvfPq
+      val (kc, m, subLen, kCb) = (2000, 4, 16, 256)
+      val corpus = spark.read.parquet(ensureAnn1m(spark)).persist()
+      println(s"[stress] ivfpq-stream corpus   rows=${corpus.count()}")
+      val state = "/tmp/stress/ivfpq_stream_state"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state))
+      val queries = corpus.filter(col("vec_id") < 8)
+      def serve(tag: String): Unit =
+        time(s"ivfpq-stream serve $tag")(
+          StreamingIvfPq.probe(spark, state, queries, k = 10, nProbe = 1,
+            m, subLen, excludeSelf = true).count())
+      for (d <- 0 until 10) {
+        val lo = d * 100000L; val hi = lo + 100000L
+        time(f"ivfpq-stream drain $d%02d")({
+          StreamingIvfPq.appendBatch(spark, state,
+            corpus.filter(col("vec_id") >= lo && col("vec_id") < hi),
+            kc, m, subLen, kCb, d.toLong)
+          100000L
+        })
+        if (d == 2 || d == 5 || d == 8) {
+          time(f"ivfpq-stream compact@$d%02d")(
+            { StreamingIvfPq.compact(spark, state); (d + 1) * 100000L })
+          serve(f"after$d%02d")
+        }
+      }
+      serve("final+1append")
+      corpus.unpersist(): Unit
+    }
     // AUTO-KC ablation at 1M vectors (VERDICT r11 #1): does the
     // sample-only sizing rule reach the matched-coarse recall the
     // hand-tuned kc2000 config measured, without being told 2000?

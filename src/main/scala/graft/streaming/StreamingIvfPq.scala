@@ -23,14 +23,15 @@ import graft.util.StateFs
   * State layout (the [[StreamingIvf]] design, plus one more frozen
   * frame):
   *
-  *  - `centroids/` — the coarse quantizer, written ONCE by the first
-  *    non-empty batch (deterministic seed: the kc smallest vec_ids of
-  *    that batch), then frozen.
-  *  - `codebooks/` — the residual PQ codebooks, seeded from the kCb
-  *    smallest vec_ids' RESIDUAL subvectors of the same first batch
-  *    (the [[ProductQuantizer.seedCodebooks]] convention, computed on
-  *    residuals per the IVFADC scheme), frozen with the centroids.
-  *    Both freeze together because [[IvfPq.append]]'s bit-equality
+  *  - `quantizer/centroids/` + `quantizer/codebooks/` — the frozen
+  *    pair, written ONCE by the first non-empty batch (deterministic
+  *    seeds: the kc smallest vec_ids of that batch; the kCb
+  *    smallest's RESIDUAL subvectors against them, per the IVFADC
+  *    scheme) and committed TOGETHER by one `quantizer/_SUCCESS`
+  *    marker created after both writes — a crash between the two
+  *    writes leaves an uncommitted quantizer the replay re-seeds
+  *    identically, never a half-present pair misread as loss. They
+  *    freeze together because [[IvfPq.append]]'s bit-equality
   *    contract (fold ≡ one-shot encode) is a property of the frozen
   *    pair; distribution drift away from either is the documented
   *    rebuild trigger.
@@ -57,41 +58,40 @@ import graft.util.StateFs
 object StreamingIvfPq {
 
   private def codesDir(stateDir: String) = new Path(stateDir, "codes")
-  private def centroidsDir(stateDir: String) = new Path(stateDir, "centroids")
-  private def codebooksDir(stateDir: String) = new Path(stateDir, "codebooks")
+  private def quantizerDir(stateDir: String) = new Path(stateDir, "quantizer")
+  private def centroidsDir(stateDir: String) =
+    new Path(quantizerDir(stateDir), "centroids")
+  private def codebooksDir(stateDir: String) =
+    new Path(quantizerDir(stateDir), "codebooks")
 
   private def committedCodeDirs(spark: SparkSession, stateDir: String): Seq[Path] = {
     val codes = codesDir(stateDir)
     StateFs.checkedVDirs(StateFs.fs(spark, codes), codes, "IVF-PQ")
   }
 
-  private def readFrozen(spark: SparkSession, dir: Path): Option[DataFrame] =
-    if (StateFs.committed(StateFs.fs(spark, dir), dir))
-      Some(spark.read.parquet(dir.toString))
-    else None
-
   /** The frozen `(centroids, codebooks)` pair, or None before the
-    * first committed batch. Fails loudly on a half-missing pair with
-    * committed codes — certain external loss (codes are only written
-    * after BOTH frozen frames commit), and re-seeding would encode
-    * future appends against geometry the stored codes were not built
-    * with (the [[StreamingIvf]] centroid-loss argument, over two
-    * frames). */
+    * first committed batch. The pair is TWO parquet writes but ONE
+    * commit: `quantizer/_SUCCESS` is created only after both frames
+    * land (review r14 — with per-frame commits, a crash between the
+    * two seed writes left a half-present pair that read as external
+    * loss and permanently wedged a virgin index; under the single
+    * marker that crash leaves an uncommitted quantizer the replay
+    * simply re-seeds, deterministic from the same batch). A COMMITTED
+    * marker with a missing frame underneath is therefore certain
+    * external loss — loud, with the remedy. */
   def readQuantizer(spark: SparkSession,
       stateDir: String): Option[(DataFrame, DataFrame)] = {
-    val cents = readFrozen(spark, centroidsDir(stateDir))
-    val cbs = readFrozen(spark, codebooksDir(stateDir))
-    (cents, cbs) match {
-      case (Some(ce), Some(cb)) => Some((ce, cb))
-      case (None, None) => None
-      case _ =>
-        sys.error(s"IVF-PQ state inconsistent: exactly one of " +
-          s"${centroidsDir(stateDir)} and ${codebooksDir(stateDir)} is " +
-          "committed — the frozen quantizer pair was partially removed " +
-          "externally (they are written together before any codes); " +
-          "restore the missing frame or rebuild the index from the raw " +
-          "vectors")
-    }
+    val q = quantizerDir(stateDir)
+    val fs = StateFs.fs(spark, q)
+    if (!StateFs.committed(fs, q)) return None
+    val (ce, cb) = (centroidsDir(stateDir), codebooksDir(stateDir))
+    for (d <- Seq(ce, cb))
+      require(fs.exists(d),
+        s"IVF-PQ state inconsistent: the quantizer commit marker under " +
+          s"$q exists but $d is missing — the frozen quantizer pair was " +
+          "partially removed externally; restore the missing frame or " +
+          "rebuild the index from the raw vectors")
+    Some((spark.read.parquet(ce.toString), spark.read.parquet(cb.toString)))
   }
 
   /** The served index `(centroids, codebooks, codes)` after every
@@ -185,6 +185,11 @@ object StreamingIvfPq {
         .select(col("vec_id").as("c_id"), col("sub"), col("sv").as("c_sv"))
       cb.coalesce(1).write.mode("overwrite")
         .parquet(codebooksDir(stateDir).toString)
+      // the PAIR commit (readQuantizer scaladoc): both frames are in
+      // place — one atomic marker create makes them visible together;
+      // a crash before this line leaves an uncommitted quantizer the
+      // replay re-seeds identically (overwrite mode) from this batch
+      fs.create(new Path(quantizerDir(stateDir), "_SUCCESS"), true).close()
       (ceRead, sb.read.parquet(codebooksDir(stateDir).toString))
     }
     IvfPq.append(sb, qb, cents, cbs, m, subLen)

@@ -202,23 +202,27 @@ class StreamingIvfPqSpec extends SparkTestBase {
     assert(served === oneShot && served.nonEmpty)
   }
 
-  test("frozen-pair loss: half-missing and fully-missing both loud, never a re-seed") {
+  test("frozen-pair loss: half-missing under the commit marker and fully-missing " +
+      "both loud, never a re-seed; the seeding crash window re-seeds cleanly") {
     val base = Fixtures.tempDir("sivfpq-pairloss")
     val state = base.resolve("state").toString
     assert(StreamingIvfPq.appendBatch(spark, state, corpus, kc, m, subLen, kCb, 0L))
-    // half-missing pair (codebooks gone, centroids live)
-    Fixtures.deleteRec(new File(state, "codebooks"))
-    val e1 = intercept[RuntimeException] { StreamingIvfPq.readIndex(spark, state) }
+    // a frame missing UNDER the committed pair marker: certain
+    // external loss (the marker is only created after both writes)
+    Fixtures.deleteRec(new File(state, "quantizer/codebooks"))
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingIvfPq.readIndex(spark, state)
+    }
     assert(e1.getMessage.contains("partially removed externally"))
-    val e2 = intercept[RuntimeException] {
+    val e2 = intercept[IllegalArgumentException] {
       StreamingIvfPq.appendBatch(spark, state,
         corpus.filter($"vec_id" < 50), kc, m, subLen, kCb, 1L)
     }
     assert(e2.getMessage.contains("partially removed externally"))
-    // fully-missing pair with committed codes: certain external loss,
-    // not "no index yet" — a silent re-seed would encode future
-    // appends against geometry the stored codes were not built with
-    Fixtures.deleteRec(new File(state, "centroids"))
+    // the whole quantizer gone with codes still committed: loud, not
+    // "no index yet" — a silent re-seed would encode future appends
+    // against geometry the stored codes were not built with
+    Fixtures.deleteRec(new File(state, "quantizer"))
     val e3 = intercept[IllegalArgumentException] {
       StreamingIvfPq.readIndex(spark, state)
     }
@@ -228,5 +232,21 @@ class StreamingIvfPqSpec extends SparkTestBase {
         corpus.filter($"vec_id" < 50), kc, m, subLen, kCb, 1L)
     }
     assert(e4.getMessage.contains("quantizer is missing"))
+    // the seeding CRASH WINDOW (review r14 — the case the single
+    // marker exists for): frames written, marker not yet created,
+    // no codes committed. Must read as "no index yet" and the replay
+    // must re-seed identically, NOT wedge as half-loss.
+    val state2 = base.resolve("state2").toString
+    val b1 = corpus.filter($"vec_id" < 100)
+    assert(StreamingIvfPq.appendBatch(spark, state2, b1, kc, m, subLen, kCb, 0L))
+    val committed = codeSet(StreamingIvfPq.readIndex(spark, state2).get._3)
+    Fixtures.deleteRec(new File(state2, "codes"))
+    assert(new File(state2, "quantizer/_SUCCESS").delete())
+    assert(StreamingIvfPq.readIndex(spark, state2).isEmpty,
+      "the uncommitted quantizer must read as a virgin index")
+    assert(StreamingIvfPq.appendBatch(spark, state2, b1, kc, m, subLen, kCb, 0L),
+      "the replay must re-seed through the crash window")
+    assert(codeSet(StreamingIvfPq.readIndex(spark, state2).get._3) === committed,
+      "the re-seeded index must be identical (deterministic seeds)")
   }
 }
