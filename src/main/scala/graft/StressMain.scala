@@ -1146,6 +1146,20 @@ object StressMain {
             .awaitTermination()
           100000L
         })
+        // r14: the THIRD streamed index rides the same alternation —
+        // IVF-PQ through the real stream machinery (its own source
+        // copy: a stream may not share another checkpoint's source)
+        vecs1m.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(4).write.mode("append").parquet(s"$base/pq/src")
+        time(f"alt ivfpq drain $b%02d (100k)")({
+          streaming.StreamingIvfPq.fit(spark,
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+              .parquet(s"$base/pq/src"),
+            s"$base/pq/state", s"$base/pq/ckpt",
+            kc = 2000, m = 4, subLen = 16, kCb = 256)
+            .awaitTermination()
+          100000L
+        })
         if (b % 3 == 2) { // after drains 2, 5, 8 — the 3 compactions
           time(f"alt bm25 compact after drain $b%02d")({
             operators.Bm25Index.compact(spark, s"$base/bm/state"); 1L })
@@ -1156,6 +1170,11 @@ object StressMain {
           time(f"alt ivf serve post-compact $b%02d")(
             streaming.StreamingIvf.probe(spark, s"$base/iv/state", qs,
               k = 10, nProbe = 4).count())
+          time(f"alt ivfpq compact after drain $b%02d")({
+            streaming.StreamingIvfPq.compact(spark, s"$base/pq/state"); 1L })
+          time(f"alt ivfpq serve post-compact $b%02d")(
+            streaming.StreamingIvfPq.probe(spark, s"$base/pq/state", qs,
+              k = 10, nProbe = 1, m = 4, subLen = 16).count())
         }
       }
       time("alt bm25 serve final (1 compacted + 1 append dir)")(
@@ -1163,6 +1182,9 @@ object StressMain {
       time("alt ivf serve final (1 compacted + 1 append dir)")(
         streaming.StreamingIvf.probe(spark, s"$base/iv/state", qs,
           k = 10, nProbe = 4).count())
+      time("alt ivfpq serve final (1 compacted + 1 append dir)")(
+        streaming.StreamingIvfPq.probe(spark, s"$base/pq/state", qs,
+          k = 10, nProbe = 1, m = 4, subLen = 16).count())
     }
     // q_rag_incremental cost profile (round-12): the bench's slowest
     // query — two in-query Bm25Index batches + one served retrieve.
