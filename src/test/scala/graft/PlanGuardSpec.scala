@@ -29,6 +29,7 @@ class PlanGuardSpec extends SparkTestBase {
     "q_ann_ivf_incr",   // same constants, existing/batch split + append
     "q_ann_ivfpq",      // 8 broadcast coarse centroids (assign + probe)
     "q_ann_ivfpq_incr", // same constants + 1-row append_ok gate broadcast
+    "q_ann_ivfpq_rerank", // same constants; rerank joins are equi-joins
     // q_ann_ivfpq_served is NOT here: like q_rag_incremental it
     // returns a driver-pinned local frame (its builds/probes run as
     // side effects), so its visible plan carries no BNLJ
