@@ -302,6 +302,108 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(e5.getMessage.contains("removed externally"))
   }
 
+  test("randomized drain/compact/crash/loss sequences: the served index always " +
+      "equals the applied union, or fails loudly naming exactly the induced loss") {
+    // The composition fuzz for the r14 loss machinery (the StateFsSpec
+    // / CompactionSpec discipline applied to the INDEX state machine):
+    // the directed cases above pin each window once; here 30 seeded
+    // iterations interleave appends, crashed appends, replays,
+    // compactions, post-compaction crash states, benign applog-entry
+    // loss, and move-aside external loss of random committed
+    // generations — asserting after EVERY step that the served lists
+    // are exactly the assignment of the union of applied batches, and
+    // that an unrestored loss is loud (read, append, compact) naming
+    // the missing generation, then fully recovered by the restore the
+    // message prescribes. Batches are id-disjoint slices so the union
+    // is checkable by construction.
+    import java.io.File
+    val base = Fixtures.tempDir("sivf-fuzz")
+    val state = base.resolve("state").toString
+    val lists = new File(state, "lists")
+    // 5-id-wide disjoint slices: 40 batches cover vec_ids 0..199, more
+    // than the walk's worst-case append count, so the union stays
+    // duplicate-free by construction
+    def batchOf(id: Long) =
+      corpus.filter($"vec_id" >= id * 5 && $"vec_id" < (id + 1) * 5)
+    def unionOf(ids: Seq[Long]) =
+      ids.map(batchOf).reduce(_ unionByName _)
+    var applied = Vector.empty[Long]
+    var nextId = 0L
+    def checkServed(): Unit = {
+      val got = clusterMap(StreamingIvf.readIndex(spark, state).get._2)
+      val want = clusterMap(Similarity.ivfAssign(
+        StreamingIvf.readCentroids(spark, state).get, unionOf(applied)))
+      assert(got === want, s"served index diverges from the applied union $applied")
+    }
+    // seed the machine so centroids exist before the random walk
+    assert(StreamingIvf.appendBatch(spark, state, batchOf(0), 4, 0L))
+    applied :+= 0L; nextId = 1L
+    val rnd = new scala.util.Random(20260815)
+    for (step <- 1 to 30) {
+      rnd.nextInt(6) match {
+        case 0 => // plain append
+          assert(StreamingIvf.appendBatch(spark, state, batchOf(nextId), 4, nextId))
+          applied :+= nextId; nextId += 1
+        case 1 => // crashed append (partial dir, no _SUCCESS/no log),
+                  // invisible, then the WAL replay completes it
+          val d = new File(lists, f"v$nextId%020d"); d.mkdirs()
+          new File(d, "part-junk").createNewFile()
+          checkServed() // the partial is invisible
+          assert(StreamingIvf.appendBatch(spark, state, batchOf(nextId), 4, nextId))
+          applied :+= nextId; nextId += 1
+        case 2 => // replay of the frontier id: no-op (the only id the
+                  // WAL can re-deliver; its dir survives compaction)
+          assert(!StreamingIvf.appendBatch(spark, state,
+            batchOf(applied.last), 4, applied.last))
+        case 3 => // compaction (no-ops when ≤1 committed dir)
+          StreamingIvf.compact(spark, state)
+        case 4 => // benign applog under-log window: drop the frontier's
+                  // log entry — reads stay fine, the replay re-logs it
+          val f = new File(new File(lists, "applog"), f"v${applied.last}%020d")
+          if (f.exists()) {
+            assert(f.delete())
+            checkServed()
+            assert(!StreamingIvf.appendBatch(spark, state,
+              batchOf(applied.last), 4, applied.last))
+            assert(f.exists(), s"step $step: replay did not re-log the entry")
+          }
+        case 5 => // external loss of a RANDOM committed generation:
+                  // loud everywhere, naming it; restore recovers
+          val gens = lists.listFiles().filter(f =>
+            f.isDirectory && f.getName.startsWith("v"))
+          val victim = gens(rnd.nextInt(gens.length))
+          val aside = new File(base.toFile, s"aside-$step")
+          assert(victim.renameTo(aside))
+          for (op <- Seq(
+              () => StreamingIvf.readIndex(spark, state),
+              () => StreamingIvf.appendBatch(spark, state,
+                batchOf(nextId), 4, nextId),
+              () => StreamingIvf.compact(spark, state))) {
+            val e = intercept[IllegalArgumentException] { op() }
+            assert(e.getMessage.contains(victim.getName) &&
+              e.getMessage.contains("removed externally"),
+              s"step $step: loss of ${victim.getName} not loud: ${e.getMessage}")
+          }
+          assert(aside.renameTo(victim))
+      }
+      checkServed()
+    }
+    // post-compaction crash states compose with whatever the walk
+    // left: mid-swap crash heals on read, orphan tmp cleaned by the
+    // next writer, union intact throughout
+    if (StreamingIvf.compact(spark, state)) {
+      val bak = new File(state, "lists.bak")
+      assert(lists.renameTo(bak))
+      new File(state, "lists.tmp/junk").mkdirs()
+      checkServed() // reader heal restored the live tree
+      assert(lists.exists() && !bak.exists())
+      assert(StreamingIvf.appendBatch(spark, state, batchOf(nextId), 4, nextId))
+      applied :+= nextId
+      assert(!new File(state, "lists.tmp").exists())
+      checkServed()
+    }
+  }
+
   test("external loss of the frozen centroids fails loudly instead of re-seeding") {
     // lists are only written after the centroids commit, so committed
     // lists + missing centroids is certain external loss; the read
