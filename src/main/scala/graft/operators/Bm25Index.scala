@@ -487,10 +487,47 @@ object Bm25Index {
     * re-commit; after the commit → at worst a stale `.bak` the next
     * writer heal drops.
     *
+    * NO CONCURRENT WRITERS — enforced, not assumed (VERDICT r14 #1,
+    * the [[graft.sink.Compactor]] standard): a batch committed by a
+    * concurrent [[appendBatch]] mid-rewrite (new postings/dl v-dirs +
+    * a moved `merged/CURRENT` pointer) would be silently destroyed by
+    * the family swaps, and the completion re-commit below would
+    * clobber the moved pointer (a lost manifest update). The
+    * committed family listings plus the raw pointer value are
+    * snapshotted at entry and re-checked immediately before the FIRST
+    * swap — both rewrites are now staged in full before either family
+    * swaps, so one re-check covers the whole rewrite window; any
+    * difference aborts loudly with both rewrites discarded and the
+    * live index (the concurrent batch included) intact. Residual: the
+    * instants between the re-check and the first rename, the
+    * documented Compactor residual.
+    *
     * Returns true iff it changed state — a rewrite, or the
     * manifest-completion of a crash-interrupted earlier run (false =
     * nothing to merge). */
-  def compact(spark: SparkSession, stateDir: String): Boolean = {
+  def compact(spark: SparkSession, stateDir: String): Boolean =
+    compactImpl(spark, stateDir, () => ())
+
+  /** Name-level concurrency snapshot: committed postings/dl v-dir
+    * names plus the raw `merged/CURRENT` value — everything a
+    * concurrent [[appendBatch]] commit changes. */
+  private def familySnapshot(spark: SparkSession, stateDir: String): Set[String] = {
+    val fams = Seq("postings", "dl").flatMap { sub =>
+      val d = new Path(stateDir, sub)
+      StateFs.committedVDirs(StateFs.fs(spark, d), d).map(p => s"$sub/${p.getName}")
+    }
+    val md = mergedDir(stateDir)
+    val cur = new Path(md, "CURRENT")
+    val fs = StateFs.fs(spark, md)
+    val ptr = if (fs.exists(cur)) Seq("CURRENT=" + StateFs.readString(fs, cur))
+      else Seq.empty
+    (fams ++ ptr).toSet
+  }
+
+  /** [[compact]] with the injectable pre-swap test seam (the
+    * Compactor/StreamingIvf device). */
+  private[graft] def compactImpl(spark: SparkSession, stateDir: String,
+      beforeSwap: () => Unit): Boolean = {
     healWriterAll(spark, stateDir)
     val cur = readMerged(spark, stateDir)
     if (cur.isEmpty) return false
@@ -519,30 +556,51 @@ object Bm25Index {
     // layout → true no-op; a stale manifest alone still needs the
     // completion commit below
     if (!doP && !doDl && !pStale && !dlStale) return false
+    val snapshot = familySnapshot(spark, stateDir)
+    val pLive = new Path(stateDir, "postings")
+    val dlLive = new Path(stateDir, "dl")
+    // stage BOTH rewrites before either family swaps, so the single
+    // pre-swap re-check below covers the whole rewrite window (header
+    // scaladoc — with write-swap interleaved per family, a concurrent
+    // batch landing during the dl rewrite would be caught only after
+    // the postings swap had already destroyed its postings dir)
     if (doP) {
-      val live = new Path(stateDir, "postings")
-      val pfs = StateFs.fs(spark, live)
-      val pTmp = StateFs.tmpOf(live)
+      val pTmp = StateFs.tmpOf(pLive)
       pPaths.map(d => spark.read.option("basePath", d).parquet(d))
         .reduce(_ unionByName _)
         .repartition(col("tkb")) // bucket-aligned: ≤64 files, not tasks×64
         .write.mode("overwrite").partitionBy("tkb")
         .parquet(new Path(pTmp, vname).toString)
-      StateFs.writeFolded(pfs, new Path(pTmp, vname), pNames)
-      StateFs.swapInKeepBak(pfs, live, pTmp)
+      StateFs.writeFolded(StateFs.fs(spark, pLive), new Path(pTmp, vname), pNames)
     }
     if (doDl) {
-      val live = new Path(stateDir, "dl")
-      val dfs = StateFs.fs(spark, live)
-      val dlTmp = StateFs.tmpOf(live)
+      val dlTmp = StateFs.tmpOf(dlLive)
       dlPaths.map(readDlDir(spark, _))
         .reduce(_ unionByName _)
         .repartition(col("dhb"))
         .write.mode("overwrite").partitionBy("dhb")
         .parquet(new Path(dlTmp, vname).toString)
-      StateFs.writeFolded(dfs, new Path(dlTmp, vname), dlNames)
-      StateFs.swapInKeepBak(dfs, live, dlTmp)
+      StateFs.writeFolded(StateFs.fs(spark, dlLive), new Path(dlTmp, vname), dlNames)
     }
+    beforeSwap()
+    // pre-swap optimistic-concurrency re-check: a concurrent
+    // appendBatch committed mid-rewrite — abort loudly, keep the live
+    // index (the new batch and its pointer move included), discard
+    // only the staged rewrites
+    val now = familySnapshot(spark, stateDir)
+    if (now != snapshot) {
+      val changed = ((now diff snapshot) ++ (snapshot diff now)).toSeq.sorted
+      for (live <- Seq(pLive, dlLive))
+        StateFs.deleteRec(StateFs.fs(spark, live), StateFs.tmpOf(live))
+      sys.error(s"BM25 compact: $stateDir changed during the rewrite " +
+        s"(concurrent writer; changed entries: ${changed.mkString(", ")}) " +
+        "— rewrites discarded, live index intact including the concurrent " +
+        "batch; rerun compaction in the no-writer maintenance slot")
+    }
+    if (doP) StateFs.swapInKeepBak(StateFs.fs(spark, pLive), pLive,
+      StateFs.tmpOf(pLive))
+    if (doDl) StateFs.swapInKeepBak(StateFs.fs(spark, dlLive), dlLive,
+      StateFs.tmpOf(dlLive))
     // Re-commit the merged generation so the manifest names the
     // compacted layout — without this every manifest-based read after
     // a compaction would take the crash-fallback path. Statistics are

@@ -827,10 +827,18 @@ object CorpusQueries {
       pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(100L))
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-idx")
+    // file:// pin (ADVICE r14): a schemeless java.nio path resolves
+    // through the HADOOP DEFAULT filesystem — on a deployment whose
+    // default FS is hdfs:// the scratch state would be created there
+    // while the finally-block deletes only the local directory,
+    // leaking index state on every query run. The URI form pins the
+    // driver query's scratch to the local fs regardless of cluster
+    // configuration.
+    val tmpUri = tmp.toUri.toString
     try {
-      Bm25Index.appendBatch(s, tmp.toString, docs.filter(bucket < 90), 0L)
-      Bm25Index.appendBatch(s, tmp.toString, docs.filter(bucket >= 90), 1L)
-      val res = Bm25Index.retrieve(s, tmp.toString,
+      Bm25Index.appendBatch(s, tmpUri, docs.filter(bucket < 90), 0L)
+      Bm25Index.appendBatch(s, tmpUri, docs.filter(bucket >= 90), 1L)
+      val res = Bm25Index.retrieve(s, tmpUri,
         Seq("spark", "vector", "customer"), k = 10)
       // The result is <= k rows: pin it on the DRIVER before the temp
       // state dir dies. localCheckpoint alone leaves the frame's

@@ -263,8 +263,35 @@ object StreamingIvf {
     * found in the Bm25 swap-then-commit ordering cannot arise here:
     * this index's metadata lives inside the swapped tree, not in a
     * separately-committed stats row).
+    *
+    * NO CONCURRENT WRITERS — enforced, not assumed (VERDICT r14 #1,
+    * the [[graft.sink.Compactor]] standard applied here): the rewrite
+    * takes seconds-to-minutes and the swap REPLACES the live tree, so
+    * a drain committing an append (parquet dir + applog marker) in
+    * that window would be silently destroyed — and because `applog/`
+    * lives INSIDE the swapped tree, the loss-detection evidence would
+    * vanish with the data: the one hole the r14 loud-loss matrix
+    * cannot see. The committed-generation + applog name set is
+    * therefore snapshotted at entry
+    * ([[graft.util.StateFs.appendSnapshot]]) and re-checked
+    * immediately before the swap — any difference aborts loudly with
+    * the rewrite discarded and the live tree (INCLUDING the
+    * concurrent append and its log entry) intact; the next clean
+    * compaction folds it. The unguarded window shrinks from the whole
+    * rewrite to the instants between the re-check and the swap's
+    * first rename. Schedule compaction between drains regardless; the
+    * guard turns a discipline violation into a loud retry instead of
+    * silent loss.
     * Returns true iff a rewrite happened. */
-  def compact(spark: SparkSession, stateDir: String): Boolean = {
+  def compact(spark: SparkSession, stateDir: String): Boolean =
+    compactImpl(spark, stateDir, () => ())
+
+  /** [[compact]] with an injectable pre-swap hook — the test seam the
+    * concurrent-append guard is pinned through (the
+    * CompactionSpec/Compactor device); the public entry passes a
+    * no-op. */
+  private[graft] def compactImpl(spark: SparkSession, stateDir: String,
+      beforeSwap: () => Unit): Boolean = {
     val live = listsDir(stateDir)
     val fs = StateFs.fs(spark, live)
     StateFs.healWriter(fs, live)
@@ -276,6 +303,7 @@ object StreamingIvf {
     // the reads do.
     val dirs = committedListDirs(spark, stateDir)
     if (dirs.size <= 1) return false
+    val snapshot = StateFs.appendSnapshot(fs, live)
     val vname = dirs.map(_.getName).max
     val tmp = StateFs.tmpOf(live)
     dirs.map(d => spark.read.option("basePath", d.toString).parquet(d.toString)
@@ -288,6 +316,21 @@ object StreamingIvf {
       .parquet(new Path(tmp, vname).toString)
     StateFs.writeFolded(fs, new Path(tmp, vname), dirs.map(_.getName))
     StateFs.writeFileAtomic(spark, new Path(tmp, "MANIFEST"), vname)
+    beforeSwap()
+    // Optimistic-concurrency re-check (header scaladoc): a drain
+    // committed an append while we rewrote — swapping now would
+    // destroy it together with its applog evidence. Abort loudly,
+    // keeping live (the concurrent append included), discarding only
+    // our rewrite.
+    val changed = StateFs.snapshotDiff(fs, live, snapshot)
+    if (changed.nonEmpty) {
+      StateFs.deleteRec(fs, tmp)
+      sys.error(s"IVF compact: $live changed during the rewrite " +
+        s"(concurrent writer; changed entries: ${changed.mkString(", ")}) " +
+        "— rewrite discarded, live index intact including the concurrent " +
+        "append; rerun compaction between drains (the no-writer " +
+        "maintenance slot)")
+    }
     StateFs.swapIn(fs, live, tmp)
     true
   }

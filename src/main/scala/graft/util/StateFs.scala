@@ -204,6 +204,40 @@ object StateFs {
     if (!fs.exists(f)) fs.create(f, false).close()
   }
 
+  /** Name-level snapshot of `dir`'s committed generations plus its
+    * append-log entries — the optimistic-concurrency key the index
+    * compactors compare (VERDICT r14 #1: the [[graft.sink.Compactor]]
+    * device ported to the index `compact()` paths): taken at compact
+    * entry, re-checked via [[snapshotDiff]] immediately before the
+    * swap. Any difference means a writer committed an append (or
+    * external loss removed one) during the rewrite — swapping then
+    * would silently destroy the committed batch TOGETHER with its
+    * applog evidence (the log lives inside the swapped tree), the one
+    * loss the r14 loud-loss matrix cannot see. Names suffice where the
+    * Compactor needs (path, len, mtime): index generations are
+    * immutable once committed and `_SUCCESS`-gated — the only
+    * mutations are whole-generation appearance/disappearance and log
+    * entries, which names capture; an uncommitted in-flight write is
+    * invisible to the swap's readers either way. */
+  def appendSnapshot(fs: FileSystem, dir: Path): Set[String] = {
+    val gens = committedVDirs(fs, dir).map(_.getName)
+    val log = applogDir(dir)
+    val logs =
+      if (fs.exists(log))
+        fs.listStatus(log).toSeq.map(s => "applog/" + s.getPath.getName)
+      else Seq.empty
+    (gens ++ logs).toSet
+  }
+
+  /** Entries that appeared or vanished since `entry` — empty means no
+    * concurrent writer landed during the rewrite and the swap is safe
+    * (modulo the residual instants between this check and the swap's
+    * first rename, the documented Compactor residual). */
+  def snapshotDiff(fs: FileSystem, dir: Path, entry: Set[String]): Seq[String] = {
+    val now = appendSnapshot(fs, dir)
+    ((now diff entry) ++ (entry diff now)).toSeq.sorted
+  }
+
   /** The loss-checked committed listing: [[healReader]] (so a
     * mid-swap-crashed family is visible before any check), then
     * [[committedVDirs]], then two cross-checks that turn external

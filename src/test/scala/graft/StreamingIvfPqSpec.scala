@@ -249,4 +249,40 @@ class StreamingIvfPqSpec extends SparkTestBase {
     assert(codeSet(StreamingIvfPq.readIndex(spark, state2).get._3) === committed,
       "the re-seeded index must be identical (deterministic seeds)")
   }
+
+  test("compact: a concurrent append between listing and swap aborts loudly; " +
+      "the appended generation and its applog marker survive; the next " +
+      "clean compact folds it") {
+    // VERDICT r14 #1 (the StreamingIvfSpec twin for the IVF-PQ store)
+    val base = Fixtures.tempDir("sivfpq-ccg")
+    val state = base.resolve("state").toString
+    for ((lo, hi, bid) <- Seq((0L, 80L, 0L), (80L, 150L, 1L)))
+      assert(StreamingIvfPq.appendBatch(spark, state,
+        corpus.filter($"vec_id" >= lo && $"vec_id" < hi),
+        kc, m, subLen, kCb, bid))
+    val codes = new File(state, "codes")
+    def vdirs() = codes.list().filter(_.startsWith("v")).sorted.toSeq
+    val e = intercept[RuntimeException] {
+      StreamingIvfPq.compactImpl(spark, state, () => {
+        assert(StreamingIvfPq.appendBatch(spark, state,
+          corpus.filter($"vec_id" >= 150L), kc, m, subLen, kCb, 2L))
+      })
+    }
+    assert(e.getMessage.contains("concurrent writer") &&
+      e.getMessage.contains(f"v${2L}%020d"), e.getMessage)
+    assert(vdirs() === (0L to 2L).map(i => f"v$i%020d"))
+    assert(new File(new File(codes, "applog"), f"v${2L}%020d").exists(),
+      "the concurrent append's applog evidence must survive the abort")
+    assert(!new File(state, "codes.tmp").exists(),
+      "the aborted rewrite must be discarded")
+    // nothing lost: the served code table is the one-shot encode of
+    // the full corpus against the frozen pair
+    val (cents, cbs, served) = StreamingIvfPq.readIndex(spark, state).get
+    val want = codeSet(IvfPq.append(spark, quantized(corpus), cents, cbs, m, subLen))
+    assert(codeSet(served) === want)
+    // the next clean compaction folds all three generations
+    assert(StreamingIvfPq.compact(spark, state))
+    assert(vdirs() === Seq(f"v${2L}%020d"))
+    assert(codeSet(StreamingIvfPq.readIndex(spark, state).get._3) === want)
+  }
 }
