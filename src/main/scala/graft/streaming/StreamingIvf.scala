@@ -74,11 +74,16 @@ import graft.util.StateFs
   * entry (false loss alarm) cannot arise. Compaction consumes the
   * log wholesale: `applog/` lives inside the swapped tree, so the
   * folded entries vanish atomically with the swap and the
-  * compacted mass passes to MANIFEST coverage. Residual (the only
-  * one left): loss of an applog marker FILE itself alongside its
-  * dir is undetectable — but that under-detects, never
-  * false-alarms, and losing the marker without the dir restores
-  * exactly the pre-r14 behavior for that one generation.
+  * compacted mass passes to MANIFEST coverage. The id chain is kept
+  * DENSE (r15): empty batches log an `applog/s<id>` marker too, and
+  * compaction names its generation at the true frontier
+  * ([[graft.util.StateFs.frontierName]]), so every delivered id above
+  * the compacted generation is accounted by a dir or a log entry —
+  * an interior hole is then certain CO-loss of a generation and its
+  * marker (the r14 residual), loud on every listing. Remaining
+  * residual (documented): co-loss of a SUFFIX of the chain — the
+  * topmost generation(s) with their markers — reads as a shorter
+  * history; under-detects, never false-alarms.
   *
   * The checkpoint and the state dir live and die TOGETHER (the
   * [[StreamingBm25]] caveat — but with a WORSE failure mode here,
@@ -209,7 +214,16 @@ object StreamingIvf {
       logAppend(fs, lists, listDir.getName)
       return false
     }
-    if (batch.isEmpty) return false
+    if (batch.isEmpty) {
+      // Chain densifier (VERDICT r14 #3): an empty batch is a no-op
+      // for the index but its id is still logged (`applog/s<id>`) so
+      // the delivered-id chain stays gap-free — any interior hole in
+      // the chain is then certain marker+dir co-loss, which
+      // StateFs.checkedVDirs calls out loudly. O(1), idempotent on
+      // replay.
+      StateFs.logSkip(fs, lists, batchId)
+      return false
+    }
     val cents = readCentroids(spark, stateDir).getOrElse {
       // Seeding is only legitimate on a virgin index: lists are written
       // AFTER the centroids commit (and this batch's own dir was ruled
@@ -304,7 +318,10 @@ object StreamingIvf {
     val dirs = committedListDirs(spark, stateDir)
     if (dirs.size <= 1) return false
     val snapshot = StateFs.appendSnapshot(fs, live)
-    val vname = dirs.map(_.getName).max
+    // named at the TRUE frontier — the max over committed dirs and
+    // skip-logged empty-batch ids, so consuming the applog with the
+    // swap cannot open a false hole in the dense id chain
+    val vname = StateFs.frontierName(fs, live, dirs)
     val tmp = StateFs.tmpOf(live)
     dirs.map(d => spark.read.option("basePath", d.toString).parquet(d.toString)
         .withColumn("cluster", col("cluster").cast("long")))

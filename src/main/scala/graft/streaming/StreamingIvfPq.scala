@@ -151,7 +151,13 @@ object StreamingIvfPq {
       StateFs.logAppend(fs, codes, dir.getName)
       return false
     }
-    if (batch.isEmpty) return false
+    if (batch.isEmpty) {
+      // chain densifier — empty batches log their id too, keeping the
+      // delivered-id chain gap-free (the StreamingIvf.appendBatch
+      // rationale; StateFs.checkedVDirs has the full argument)
+      StateFs.logSkip(fs, codes, batchId)
+      return false
+    }
     // Inside foreachBatch the batch belongs to the stream's CLONED
     // session; the dot_long native function must be registered (and
     // the encode plans analyzed) THERE, not on the outer session — the
@@ -223,7 +229,9 @@ object StreamingIvfPq {
     val dirs = committedCodeDirs(spark, stateDir) // checked: never folds around a hole
     if (dirs.size <= 1) return false
     val snapshot = StateFs.appendSnapshot(fs, live)
-    val vname = dirs.map(_.getName).max
+    // the true frontier: max over committed dirs AND skip-logged ids
+    // (StreamingIvf.compactImpl rationale — keeps the id chain dense)
+    val vname = StateFs.frontierName(fs, live, dirs)
     val tmp = StateFs.tmpOf(live)
     dirs.map(d => spark.read.option("basePath", d.toString).parquet(d.toString)
         .withColumn("cell", col("cell").cast("long")))

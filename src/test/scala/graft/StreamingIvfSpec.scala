@@ -477,6 +477,67 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(ids.nonEmpty && ids.size <= queries.count() * 2)
   }
 
+  test("marker+dir co-loss is loud (dense id chain); empty batches log " +
+      "their id and stay no-ops") {
+    // VERDICT r14 #3: removing BOTH applog/v<id> and lists/v<id>
+    // restored pre-r14 silence for that generation (the served index
+    // just shrank). With every delivered id logged — empty batches
+    // included — the chain is dense, so an interior hole is certain
+    // co-loss and every listing says so.
+    val base = Fixtures.tempDir("sivf-coloss")
+    val state = base.resolve("state").toString
+    for ((lo, hi, bid) <- Seq((0L, 60L, 0L), (60L, 130L, 1L), (130L, 2000L, 2L)))
+      assert(StreamingIvf.appendBatch(spark, state,
+        corpus.filter($"vec_id" >= lo && $"vec_id" < hi), 8, bid))
+    val lists = new File(state, "lists")
+    val applog = new File(lists, "applog")
+    // an empty batch is a no-op for the index but its id is logged
+    assert(!StreamingIvf.appendBatch(spark, state, corpus.limit(0), 8, 3L))
+    assert(new File(applog, f"s${3L}%020d").exists(),
+      "empty batch id must land an s-marker in the applog")
+    // replaying the empty id is still a logged no-op
+    assert(!StreamingIvf.appendBatch(spark, state, corpus.limit(0), 8, 3L))
+    assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) ===
+      clusterMap(Similarity.ivfAssign(
+        StreamingIvf.readCentroids(spark, state).get, corpus)))
+    // co-loss of an INTERIOR generation and its marker — before r15
+    // this silently served fewer vectors; now the hole is loud
+    Fixtures.deleteRec(new File(lists, f"v${1L}%020d"))
+    assert(new File(applog, f"v${1L}%020d").delete())
+    val e = intercept[IllegalArgumentException] {
+      StreamingIvf.readIndex(spark, state)
+    }
+    assert(e.getMessage.contains(f"v${1L}%020d") &&
+      e.getMessage.contains("removed together externally"), e.getMessage)
+  }
+
+  test("compaction names its generation at a skip-logged frontier, keeping " +
+      "the dense chain intact when the last delivered batch was empty") {
+    // compaction consumes the applog with the swap — if the generation
+    // were named at the max DIR id while a higher s<id> existed, that
+    // id would be accounted nowhere afterwards: a permanent false hole
+    val base = Fixtures.tempDir("sivf-sfrontier")
+    val state = base.resolve("state").toString
+    for ((lo, hi, bid) <- Seq((0L, 60L, 0L), (60L, 130L, 1L)))
+      assert(StreamingIvf.appendBatch(spark, state,
+        corpus.filter($"vec_id" >= lo && $"vec_id" < hi), 8, bid))
+    assert(!StreamingIvf.appendBatch(spark, state, corpus.limit(0), 8, 2L))
+    val lists = new File(state, "lists")
+    def vdirs() = lists.list().filter(_.startsWith("v")).sorted.toSeq
+    assert(StreamingIvf.compact(spark, state))
+    // the generation is named at the EMPTY frontier id, not the max dir
+    assert(vdirs() === Seq(f"v${2L}%020d"))
+    // a WAL replay of the empty frontier id finds the dir committed
+    // and no-ops
+    assert(!StreamingIvf.appendBatch(spark, state, corpus.limit(0), 8, 2L))
+    // appends continue past it and every listing stays green (no hole)
+    assert(StreamingIvf.appendBatch(spark, state,
+      corpus.filter($"vec_id" >= 130L), 8, 3L))
+    assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) ===
+      clusterMap(Similarity.ivfAssign(
+        StreamingIvf.readCentroids(spark, state).get, corpus)))
+  }
+
   test("compact: a concurrent append between listing and swap aborts loudly; " +
       "the appended generation and its applog marker survive; the next " +
       "clean compact folds it") {
