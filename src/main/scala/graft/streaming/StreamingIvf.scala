@@ -101,7 +101,29 @@ import graft.util.StateFs
   */
 object StreamingIvf {
 
-  private def listsDir(stateDir: String) = new Path(stateDir, "lists")
+  private def listsBase(stateDir: String) = new Path(stateDir, "lists")
+
+  /** The live lists tree: `lists/` itself in the default rename-swap
+    * mode; the PTR-named generation dir under it in pointer mode
+    * ([[graft.util.StateFs.resolveLive]]). */
+  private def listsDir(spark: SparkSession, stateDir: String): Path = {
+    val base = listsBase(stateDir)
+    StateFs.resolveLive(StateFs.fs(spark, base), base)
+  }
+
+  /** Opt this index's lists store into the version-pointer swap mode
+    * — the object-store-safe layout where compaction publishes via
+    * one atomic `PTR` rewrite instead of directory renames
+    * ([[graft.util.StateFs]] pointer-mode scaladoc: on s3a:// a
+    * directory rename is a non-atomic per-object copy, so the
+    * rename-aside swap's crash windows stop being heal-able there).
+    * Call ONCE on a virgin state dir, before the first batch; the
+    * mode is recorded in the dir and every later read/append/compact
+    * follows it transparently. Append cost is unchanged — per-batch
+    * dirs and the applog live inside the current generation; only
+    * the compaction swap differs. */
+  def enablePointerMode(spark: SparkSession, stateDir: String): Unit =
+    StateFs.enablePointerMode(spark, listsBase(stateDir))
 
   /** [[graft.util.StateFs.logAppend]] on the lists dir — one O(1)
     * atomic empty-file create per committed batch (header scaladoc). */
@@ -115,7 +137,7 @@ object StreamingIvf {
     * from its `.bak`) — writers run the full heal (review r12: a
     * reader must not delete an in-flight compaction's `.tmp`). */
   private def committedListDirs(spark: SparkSession, stateDir: String): Seq[Path] = {
-    val lists = listsDir(stateDir)
+    val lists = listsDir(spark, stateDir)
     // The MANIFEST + applog cross-checks live in StateFs.checkedVDirs
     // (r14 — shared with StreamingIvfPq): the manifest-named compacted
     // generation and every applog-logged append dir must exist, else
@@ -162,7 +184,7 @@ object StreamingIvf {
       require(dirs.isEmpty,
         s"IVF state inconsistent: committed list dirs " +
           s"[${dirs.map(_.getName).mkString(", ")}] exist under " +
-          s"${listsDir(stateDir)} but the frozen centroids are missing " +
+          s"${listsDir(spark, stateDir)} but the frozen centroids are missing " +
           "— the centroids were removed externally; restore them or " +
           "rebuild the index from the raw vectors")
     }
@@ -196,8 +218,12 @@ object StreamingIvf {
   def appendBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
       nCentroids: Int, batchId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
-    val lists = listsDir(stateDir)
+    val lists = listsDir(spark, stateDir)
     val fs = StateFs.fs(spark, lists)
+    // rename mode: restore/clean the swap crash windows. Pointer mode:
+    // a generation dir never has .bak/.tmp siblings, so this is a
+    // no-op there by construction — pointer-mode crash states need no
+    // writer repair (StateFs pointer-mode scaladoc).
     StateFs.healWriter(fs, lists)
     // Fail-fast gate (ADVICE r13): run the manifest/applog-checked
     // listing at EVERY append entry, not only when seeding — after
@@ -306,9 +332,16 @@ object StreamingIvf {
     * no-op. */
   private[graft] def compactImpl(spark: SparkSession, stateDir: String,
       beforeSwap: () => Unit): Boolean = {
-    val live = listsDir(stateDir)
-    val fs = StateFs.fs(spark, live)
-    StateFs.healWriter(fs, live)
+    val base = listsBase(stateDir)
+    val fs = StateFs.fs(spark, base)
+    val ptrMode = StateFs.pointerMode(fs, base)
+    val live = StateFs.resolveLive(fs, base)
+    if (ptrMode)
+      // writer-entry GC: stale generations from crashed compactions —
+      // a partial target, or a previous generation whose post-publish
+      // delete crashed (the pointer-mode analogue of healWriter)
+      StateFs.gcStaleGens(fs, base, live.getName)
+    else StateFs.healWriter(fs, live)
     // the manifest-CHECKED listing, not the raw one: if the compacted
     // generation was lost externally, folding the survivors here would
     // rewrite the manifest around the hole — silently "healing" the
@@ -322,7 +355,11 @@ object StreamingIvf {
     // skip-logged empty-batch ids, so consuming the applog with the
     // swap cannot open a false hole in the dense id chain
     val vname = StateFs.frontierName(fs, live, dirs)
-    val tmp = StateFs.tmpOf(live)
+    // rename mode: stage under lists.tmp, install by rename-aside
+    // swap. Pointer mode: stage in the UNPUBLISHED next generation
+    // dir, install by one atomic PTR rewrite — no directory rename is
+    // load-bearing, the object-store-safe path (StateFs scaladoc).
+    val target = if (ptrMode) StateFs.nextGen(base, live) else StateFs.tmpOf(live)
     dirs.map(d => spark.read.option("basePath", d.toString).parquet(d.toString)
         .withColumn("cluster", col("cluster").cast("long")))
       .reduce(_ unionByName _)
@@ -330,9 +367,9 @@ object StreamingIvf {
       // one task → ≤nCentroids files, not tasks×clusters tiny ones
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
-      .parquet(new Path(tmp, vname).toString)
-    StateFs.writeFolded(fs, new Path(tmp, vname), dirs.map(_.getName))
-    StateFs.writeFileAtomic(spark, new Path(tmp, "MANIFEST"), vname)
+      .parquet(new Path(target, vname).toString)
+    StateFs.writeFolded(fs, new Path(target, vname), dirs.map(_.getName))
+    StateFs.writeFileAtomic(spark, new Path(target, "MANIFEST"), vname)
     beforeSwap()
     // Optimistic-concurrency re-check (header scaladoc): a drain
     // committed an append while we rewrote — swapping now would
@@ -341,14 +378,15 @@ object StreamingIvf {
     // our rewrite.
     val changed = StateFs.snapshotDiff(fs, live, snapshot)
     if (changed.nonEmpty) {
-      StateFs.deleteRec(fs, tmp)
+      StateFs.deleteRec(fs, target)
       sys.error(s"IVF compact: $live changed during the rewrite " +
         s"(concurrent writer; changed entries: ${changed.mkString(", ")}) " +
         "— rewrite discarded, live index intact including the concurrent " +
         "append; rerun compaction between drains (the no-writer " +
         "maintenance slot)")
     }
-    StateFs.swapIn(fs, live, tmp)
+    if (ptrMode) StateFs.pointerSwap(spark, base, live, target)
+    else StateFs.swapIn(fs, live, target)
     true
   }
 

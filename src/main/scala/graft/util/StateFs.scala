@@ -158,6 +158,91 @@ object StateFs {
   def dropBak(fs: FileSystem, live: Path): Unit =
     deleteRec(fs, bakOf(live))
 
+  // ---- version-pointer swap mode (object-store-safe compaction) ----
+  //
+  // The rename-aside swap above is atomic on HDFS and the local fs,
+  // but on an object store a directory rename is a per-object
+  // copy+delete — not atomic, so the swap's crash windows multiply
+  // and the heals' rename-based repairs stop being safe. The
+  // version-POINTER mode (VERDICT r14 #2 — making the "pair this
+  // with a version-pointer layout" prescription real) removes the
+  // load-bearing rename entirely: the state base dir becomes a
+  // container of generation dirs `g<k>` plus a one-line `PTR` file
+  // naming the live one. Compaction writes the rewrite into `g<k+1>`
+  // (unpublished — readers follow PTR, so partial writes are
+  // invisible), then publishes it by atomically rewriting PTR (one
+  // small-object replace: atomic on HDFS/local via the FileContext
+  // overwrite-rename, effectively atomic on S3-class stores where a
+  // PUT replaces the whole object), then GCs the previous
+  // generation. Crash matrix, all read-safe with ZERO repair: a
+  // partial `g<k+1>` with PTR at `g<k>` serves the old generation; a
+  // moved PTR with the previous generation not yet deleted serves
+  // the new one; stale generations are GC'd at the next compaction
+  // entry. The mode is a per-state-dir property recorded by a
+  // `PTRMODE` marker, chosen ONCE on a virgin dir — the two layouts
+  // must not mix, so in-place conversion is refused.
+
+  private val PtrModeMarker = "PTRMODE"
+  private val PtrFile = "PTR"
+
+  def pointerMode(fs: FileSystem, base: Path): Boolean =
+    fs.exists(new Path(base, PtrModeMarker))
+
+  /** Opt `base` into pointer mode — call once, on a VIRGIN state dir,
+    * before the first write. Idempotent; refuses a dir that already
+    * holds rename-mode state (the generations would become invisible
+    * to pointer-mode readers: silent total loss). */
+  def enablePointerMode(spark: SparkSession, base: Path): Unit = {
+    val f = fs(spark, base)
+    if (pointerMode(f, base)) return
+    require(committedVDirs(f, base).isEmpty && !f.exists(bakOf(base)) &&
+        !f.exists(tmpOf(base)),
+      s"pointer mode must be enabled on a VIRGIN state dir: $base already " +
+        "holds rename-mode generations — migrate them explicitly (rebuild " +
+        "or move them under the g0 generation) instead of converting in " +
+        "place, which would hide them from pointer-mode readers")
+    f.mkdirs(base)
+    writeFileAtomic(spark, new Path(base, PtrFile), "g0")
+    f.create(new Path(base, PtrModeMarker), true).close()
+  }
+
+  /** The live tree for state rooted at `base`: `base` itself in
+    * rename mode; the PTR-named generation dir in pointer mode
+    * (defaulting to `g0` inside the enablePointerMode crash window
+    * between the PTR write and the marker create — readers and the
+    * first writer agree either way). */
+  def resolveLive(fs: FileSystem, base: Path): Path =
+    if (!pointerMode(fs, base)) base
+    else {
+      val p = new Path(base, PtrFile)
+      new Path(base, if (fs.exists(p)) readString(fs, p) else "g0")
+    }
+
+  /** The target generation dir a pointer-mode compaction writes into:
+    * the successor of the live generation. */
+  def nextGen(base: Path, live: Path): Path =
+    new Path(base, "g" + (live.getName.drop(1).toLong + 1))
+
+  /** Publish `next` as the live generation (one atomic PTR rewrite —
+    * the pointer-mode swap), then GC the previous generation. A crash
+    * between the two leaves a stale `prev` the next
+    * [[gcStaleGens]] collects; readers already follow the moved
+    * pointer. */
+  def pointerSwap(spark: SparkSession, base: Path, prev: Path, next: Path): Unit = {
+    writeFileAtomic(spark, new Path(base, PtrFile), next.getName)
+    deleteRec(fs(spark, base), prev)
+  }
+
+  /** Writer-entry GC for pointer mode: every `g*` generation except
+    * the live one is stale — a crashed compaction's partial target,
+    * or a previous generation whose post-publish delete crashed. */
+  def gcStaleGens(fs: FileSystem, base: Path, keep: String): Unit =
+    if (fs.exists(base))
+      fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("g") &&
+          s.getPath.getName != keep)
+        .foreach(s => deleteRec(fs, s.getPath))
+
   // ---- crash-interrupted-compaction marker ----
 
   /** Record, INSIDE a compacted generation directory, the names of

@@ -216,6 +216,58 @@ class StateFsSpec extends SparkTestBase {
     }
   }
 
+  test("pointer mode: enable/resolve; virgin-only conversion; the swap is " +
+      "one PTR rewrite and every crash state is read-safe with zero repair") {
+    // VERDICT r14 #2: the object-store-safe twin of the rename-aside
+    // swap cases — no directory rename is load-bearing, so the crash
+    // matrix needs no heals: a partial unpublished target serves the
+    // old generation, a published pointer with an undeleted previous
+    // generation serves the new one, stale generations fall to the
+    // writer-entry GC.
+    val base = new Path(Fixtures.tempDir("statefs-ptr").resolve("s").toString)
+    val fs = fsFor(base)
+    // rename mode by default; enabling flips resolution to g0
+    assert(!StateFs.pointerMode(fs, base))
+    assert(StateFs.resolveLive(fs, base) === base)
+    StateFs.enablePointerMode(spark, base)
+    assert(StateFs.pointerMode(fs, base))
+    StateFs.enablePointerMode(spark, base) // idempotent
+    val g0 = new Path(base, "g0")
+    assert(StateFs.resolveLive(fs, base) === g0)
+    // a "stream" writes a committed generation into the live tree
+    mk(g0); val v0 = mk(new Path(g0, "v0")); touch(v0, "_SUCCESS"); touch(v0, "data", "a")
+    // crash state 1: a compaction staged the next generation but died
+    // before publishing — readers still resolve the old one
+    val g1 = mk(new Path(base, "g1")); touch(g1, "partial", "junk")
+    assert(StateFs.resolveLive(fs, base) === g0)
+    // writer-entry GC collects the stale target
+    StateFs.gcStaleGens(fs, base, "g0")
+    assert(!fs.exists(g1) && fs.exists(new Path(v0, "data")))
+    // a clean pointer swap: stage g1, publish, previous generation GC'd
+    val g1b = mk(new Path(base, "g1"))
+    val v1 = mk(new Path(g1b, "v1")); touch(v1, "_SUCCESS"); touch(v1, "data", "b")
+    StateFs.pointerSwap(spark, base, g0, g1b)
+    assert(StateFs.resolveLive(fs, base) === g1b)
+    assert(!fs.exists(g0), "pointer swap must GC the previous generation")
+    // crash state 2: pointer moved but the previous-generation delete
+    // crashed — readers follow the pointer; the stale prev is GC'd at
+    // the next writer entry
+    val g2 = mk(new Path(base, "g2"))
+    val v2 = mk(new Path(g2, "v2")); touch(v2, "_SUCCESS"); touch(v2, "data", "c")
+    StateFs.writeFileAtomic(spark, new Path(base, "PTR"), "g2") // swap w/o delete
+    assert(StateFs.resolveLive(fs, base) === g2)
+    StateFs.gcStaleGens(fs, base, "g2")
+    assert(!fs.exists(g1b) && fs.exists(new Path(v2, "data")))
+    // conversion of a LIVE rename-mode dir is refused (the generations
+    // would become invisible to pointer-mode readers)
+    val renameBase = new Path(Fixtures.tempDir("statefs-ptr2").resolve("s").toString)
+    val rv = mk(new Path(renameBase, "v0")); touch(rv, "_SUCCESS")
+    val e = intercept[IllegalArgumentException] {
+      StateFs.enablePointerMode(spark, renameBase)
+    }
+    assert(e.getMessage.contains("VIRGIN state dir"))
+  }
+
   test("gcVersions deletes every v* generation except keep, committed or partial") {
     val base = new Path(Fixtures.tempDir("statefs-gc").toString)
     val fs = fsFor(base)

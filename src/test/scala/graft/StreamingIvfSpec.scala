@@ -477,6 +477,74 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(ids.nonEmpty && ids.size <= queries.count() * 2)
   }
 
+  test("pointer mode end-to-end: compaction publishes via one PTR rewrite; " +
+      "served index and probes identical to rename mode; stale targets " +
+      "invisible; the concurrency guard discards only the staged generation") {
+    // VERDICT r14 #2: the object-store-safe swap mode exercised
+    // through a full index lifecycle, with a rename-mode TWIN fed the
+    // same batches so mode transparency is checked at every step.
+    val baseDir = Fixtures.tempDir("sivf-ptr")
+    val state = baseDir.resolve("state").toString
+    val twin = baseDir.resolve("twin").toString // rename mode
+    StreamingIvf.enablePointerMode(spark, state)
+    for ((lo, hi, bid) <- Seq((0L, 60L, 0L), (60L, 130L, 1L));
+         st <- Seq(state, twin))
+      assert(StreamingIvf.appendBatch(spark, st,
+        corpus.filter($"vec_id" >= lo && $"vec_id" < hi), 8, bid))
+    val lists = new File(state, "lists")
+    def ptr() = scala.io.Source.fromFile(new File(lists, "PTR")).mkString.trim
+    def genDirs(g: String) = new File(lists, g).list()
+      .filter(_.startsWith("v")).sorted.toSeq
+    // appends land inside the g0 generation (per-batch dirs + applog)
+    assert(ptr() === "g0")
+    assert(genDirs("g0") === (0L to 1L).map(i => f"v$i%020d"))
+    // a stale partial target from a crashed compaction is invisible
+    new File(new File(lists, "g1"), "junk").mkdirs()
+    val served = clusterMap(StreamingIvf.readIndex(spark, state).get._2)
+    assert(served === clusterMap(StreamingIvf.readIndex(spark, twin).get._2))
+    // compact both modes: pointer mode stages g1 (clobbering the stale
+    // partial) and publishes it with one PTR rewrite; g0 is GC'd
+    assert(StreamingIvf.compact(spark, state))
+    assert(StreamingIvf.compact(spark, twin))
+    assert(ptr() === "g1")
+    assert(!new File(lists, "g0").exists(),
+      "the previous generation must be GC'd after the pointer swap")
+    assert(genDirs("g1") === Seq(f"v${1L}%020d"))
+    assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) === served)
+    // probes identical across modes (partition-pruned compacted layout)
+    val queries = corpus.filter($"vec_id" >= 1000)
+    assert(StreamingIvf.probe(spark, state, queries, k = 1, nProbe = 2)
+      .collect().map(_.toString).sorted.toSeq ===
+      StreamingIvf.probe(spark, twin, queries, k = 1, nProbe = 2)
+        .collect().map(_.toString).sorted.toSeq)
+    // appends continue into the published generation; replays no-op
+    for (st <- Seq(state, twin))
+      assert(StreamingIvf.appendBatch(spark, st,
+        corpus.filter($"vec_id" >= 130L), 8, 2L))
+    assert(!StreamingIvf.appendBatch(spark, state,
+      corpus.filter($"vec_id" >= 130L), 8, 2L))
+    assert(genDirs("g1") === (1L to 2L).map(i => f"v$i%020d"))
+    assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) ===
+      clusterMap(StreamingIvf.readIndex(spark, twin).get._2))
+    // the concurrency guard in pointer mode: the abort discards ONLY
+    // the staged target generation; the pointer never moves and the
+    // concurrent append (in the live generation) is intact
+    val e = intercept[RuntimeException] {
+      StreamingIvf.compactImpl(spark, state, () =>
+        assert(StreamingIvf.appendBatch(spark, state,
+          corpus.filter($"vec_id" < 30), 8, 3L)))
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    assert(ptr() === "g1")
+    assert(!new File(lists, "g2").exists(),
+      "the aborted target generation must be discarded")
+    assert(genDirs("g1") === (1L to 3L).map(i => f"v$i%020d"))
+    // the next clean compaction folds everything and advances to g2
+    assert(StreamingIvf.compact(spark, state))
+    assert(ptr() === "g2")
+    assert(genDirs("g2") === Seq(f"v${3L}%020d"))
+  }
+
   test("marker+dir co-loss is loud (dense id chain); empty batches log " +
       "their id and stay no-ops") {
     // VERDICT r14 #3: removing BOTH applog/v<id> and lists/v<id>
