@@ -163,26 +163,11 @@ object DedupQueries {
     * twice (the two most expensive bench entries in r7). Keyed by
     * data dir so different SFs never cross-contaminate. The memoized
     * frame is materialized (checkpointed) by `minLabels`, hence safe
-    * to hold and re-consume across actions.
-    *
-    * Reachability (ADVICE r8): a DataFrame strongly references its
-    * session, so a strong map value would pin the WeakHashMap key
-    * forever — entries are therefore SoftReferences. A stopped
-    * session's frames survive at most until memory pressure (soft
-    * refs are cleared before OOM), at which point the entry's key
-    * becomes weakly reachable and the map drops it; a cleared ref in
-    * a LIVE session merely recomputes (the memo is a cache, never a
-    * correctness dependency). Bounded: a session rarely touches more
-    * than a few dirs; beyond 8 the per-session map is cleared rather
-    * than grown.
-    *
-    * Locking (ADVICE r8): the global monitor guards only map access;
-    * the Spark job in [[computeClusterLabels]] runs under the
-    * PER-SESSION monitor, so concurrent sessions' dedup queries never
-    * serialize on each other — only same-session same-dir callers
-    * wait (and then reuse the one result, which is the point). */
-  private val labelMemo = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]()
+    * to hold and re-consume across actions. Reachability and locking
+    * discipline (ADVICE r8) live in the extracted shared device,
+    * [[SessionMemo]] (r15 — the index-state queries now ride the
+    * same machinery). */
+  private val labelMemo = new SessionMemo.Memo[DataFrame]
 
   /** Same discipline for the simhash PAIR frame — the shared front of
     * `q_dedup_simhash`, the cluster-label pipeline and
@@ -196,38 +181,13 @@ object DedupQueries {
     * its simhash arm consumes the one persisted corpus frame shared
     * with the shingle build, and routing it here would regress the
     * cold ensemble to a second corpus scan. */
-  private val pairMemo = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]()
-
-  private def memoized(
-      memo: java.util.WeakHashMap[SparkSession,
-        scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]],
-      s: SparkSession, dir: String)(compute: => DataFrame): DataFrame = {
-    val perSession = memo.synchronized {
-      Option(memo.get(s)).getOrElse {
-        val m = scala.collection.mutable.Map
-          .empty[String, java.lang.ref.SoftReference[DataFrame]]
-        memo.put(s, m)
-        m
-      }
-    }
-    perSession.synchronized {
-      perSession.get(dir).flatMap(r => Option(r.get())) match {
-        case Some(df) => df
-        case None =>
-          if (perSession.size > 8) perSession.clear()
-          val df = compute
-          perSession.put(dir, new java.lang.ref.SoftReference(df))
-          df
-      }
-    }
-  }
+  private val pairMemo = new SessionMemo.Memo[DataFrame]
 
   private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    memoized(labelMemo, s, dir)(computeClusterLabels(s, dir))
+    labelMemo(s, dir)(computeClusterLabels(s, dir))
 
   private[graft] def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    memoized(pairMemo, s, dir)(
+    pairMemo(s, dir)(
       SimHashDedup.nearDupPairs(s, Tables.documents(s, dir),
         "doc_id", "text", maxHamming = 12))
 
@@ -236,10 +196,12 @@ object DedupQueries {
     * use this to time the COLD cost honestly — without it, passes
     * after the first (and sibling queries entirely) would ride the
     * memo and report a projection over cached state as the query's
-    * cost. */
+    * cost. (The bench itself now resets EVERY registered memo via
+    * [[SessionMemo.resetAll]]; this narrower hook remains for the
+    * dedup-family specs.) */
   private[graft] def resetLabelMemo(s: SparkSession): Unit = {
-    labelMemo.synchronized { labelMemo.remove(s); () }
-    pairMemo.synchronized { pairMemo.remove(s); () }
+    labelMemo.drop(s)
+    pairMemo.drop(s)
   }
 
   private def computeClusterLabels(s: SparkSession, dir: String): DataFrame = {

@@ -37,6 +37,39 @@ class QueriesSpec extends SparkTestBase {
     assert(!(a1 eq a2), "reset must drop the memoized frame")
   }
 
+  test("index-family session memos: repeated calls serve the same state, " +
+      "results identical; resetAll forces a rebuild and deletes scratch dirs") {
+    // VERDICT r14 #4: rgin / the IVF-PQ family ride session memos so
+    // warm calls time the SERVE path. Correctness must be unaffected:
+    // cold result == warm result row for row, and the reset hook must
+    // both force the rebuild and clean the memoized temp state.
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    queries.SessionMemo.resetAll(spark)
+    def tmps() = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().count(f => f.getName.startsWith("graft-bm25-idx") ||
+        f.getName.startsWith("graft-ivfpq-idx"))
+    val t0 = tmps()
+    val cold = Map(
+      "rag" -> rows(queries.CorpusQueries.ragIncremental(spark, sfDir)),
+      "served" -> rows(queries.VectorQueries.annIvfPqServed(spark, sfDir)),
+      "ivfpq" -> rows(queries.VectorQueries.annIvfPq(spark, sfDir)),
+      "incr" -> rows(queries.VectorQueries.annIvfPqIncr(spark, sfDir)),
+      "rerank" -> rows(queries.VectorQueries.annIvfPqRerank(spark, sfDir)))
+    assert(tmps() === t0 + 2, "the two state-dir memos must each hold one dir")
+    // warm calls: same results, no new scratch dirs (state reused)
+    assert(rows(queries.CorpusQueries.ragIncremental(spark, sfDir)) === cold("rag"))
+    assert(rows(queries.VectorQueries.annIvfPqServed(spark, sfDir)) === cold("served"))
+    assert(rows(queries.VectorQueries.annIvfPqRerank(spark, sfDir)) === cold("rerank"))
+    assert(tmps() === t0 + 2, "warm calls must not create new state dirs")
+    // reset: scratch dirs deleted, next call rebuilds and still matches
+    queries.SessionMemo.resetAll(spark)
+    assert(tmps() === t0, "resetAll must delete the memoized state dirs")
+    assert(rows(queries.CorpusQueries.ragIncremental(spark, sfDir)) === cold("rag"))
+    assert(rows(queries.VectorQueries.annIvfPqIncr(spark, sfDir)) === cold("incr"))
+    queries.SessionMemo.resetAll(spark)
+  }
+
   test("single-scan ensemble equals the consensus of the three standalone arms") {
     // VERDICT r8 #1: the shared-frame rewrite must not change the pair
     // set — recompute the consensus from the three independently-
