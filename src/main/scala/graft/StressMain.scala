@@ -898,6 +898,65 @@ object StressMain {
       serve("final+1append")
       corpus.unpersist(): Unit
     }
+    // Trained-vs-seed codebook ablation for the STREAMED IVF-PQ
+    // seeder at 1M (round-15, VERDICT r14 #5): the first 100k drain
+    // either freezes the r14 seed-rule codebooks (pqRounds=0) or
+    // Lloyd-trains them on its residuals (pqRounds=2) before
+    // freezing; the remaining 900k folds against the frozen pair
+    // either way (fold ≡ one-shot is pair-independent, spec-pinned).
+    // Measures the seed-drain training surcharge and the recall@10
+    // delta vs exact L2 at the IVFPQ_STREAM serving configs.
+    if (sys.env.contains("SPARK_GRAFT_STRESS_IVFPQ_TRAINED")) {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.StreamingIvfPq
+      import operators.ProductQuantizer
+      val (kc, m, subLen, kCb) = (2000, 4, 16, 256)
+      val corpus = spark.read.parquet(ensureAnn1m(spark)).persist()
+      println(s"[stress] ivfpq-trained corpus  rows=${corpus.count()}")
+      val corpusQ = corpus.select(col("vec_id"),
+        ProductQuantizer.quantize(col("embedding")).as("qv")).persist()
+      val qs = corpusQ.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv")).persist()
+      qs.count(): Unit
+      val k = 10
+      def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+        df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+          .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+      var exact: Map[Long, Seq[Long]] = Map.empty
+      time("ivfpq-trained exact-l2 1M")(
+        { exact = topk(ProductQuantizer.exactL2TopK(spark, corpusQ, qs, k))
+          exact.size.toLong })
+      def recall(got: Map[Long, Seq[Long]]): Double = {
+        val per = exact.keys.toSeq.map { q =>
+          exact(q).count(got.getOrElse(q, Nil).toSet).toDouble / exact(q).size }
+        per.sum / per.size
+      }
+      val queries = corpus.filter(col("vec_id") < 8)
+      for ((tag, rounds) <- Seq(("seed", 0), ("trained", 2))) {
+        val state = s"/tmp/stress/ivfpq_trained_$tag"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state))
+        time(s"ivfpq-$tag seed-drain 100k")({
+          StreamingIvfPq.appendBatch(spark, state,
+            corpus.filter(col("vec_id") < 100000L),
+            kc, m, subLen, kCb, 0L, pqRounds = rounds)
+          100000L
+        })
+        time(s"ivfpq-$tag fold 900k")({
+          StreamingIvfPq.appendBatch(spark, state,
+            corpus.filter(col("vec_id") >= 100000L),
+            kc, m, subLen, kCb, 1L, pqRounds = rounds)
+          900000L
+        })
+        for (np <- Seq(1, 4)) {
+          var adc: Map[Long, Seq[Long]] = Map.empty
+          time(s"ivfpq-$tag probe np=$np")(
+            { adc = topk(StreamingIvfPq.probe(spark, state, queries, k, np,
+                m, subLen, excludeSelf = true)); adc.size.toLong })
+          println(f"[stress] ivfpq-$tag recall@$k np=$np  ${recall(adc)}%.3f")
+        }
+      }
+      corpus.unpersist(); corpusQ.unpersist(); qs.unpersist(): Unit
+    }
     // AUTO-KC ablation at 1M vectors (VERDICT r11 #1): does the
     // sample-only sizing rule reach the matched-coarse recall the
     // hand-tuned kc2000 config measured, without being told 2000?

@@ -97,19 +97,30 @@ object IvfPq {
       mat: Materializer = Materializer.Local): (DataFrame, DataFrame, DataFrame) = {
     val res = residuals(s, qvecs, cents)
     val resQv = res.select(col("vec_id"), col("cell"), col("rv").as("qv"))
-    val codebooks =
-      if (pqRounds == 0)
-        ProductQuantizer.seedCodebooks(resQv, m, subLen, kCb)
-      else (0 until m).map { i =>
-        KMeans.fitQuantized(resQv.select(col("vec_id"),
-            slice(col("qv"), i * subLen + 1, subLen).as("qv")),
-          kCb, pqRounds, mat)
-          .select(lit(i).as("sub"), col("c_id"), col("cv").as("c_sv"))
-      }.reduce(_ unionByName _)
+    val codebooks = codebooksFor(resQv, m, subLen, kCb, pqRounds, mat)
     val codes = ProductQuantizer.encode(s, resQv, codebooks, m, subLen)
       .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
     (cents, codebooks, codes)
   }
+
+  /** Residual-space PQ codebooks for a training frame `(vec_id, qv)`
+    * of residuals: the deterministic seed rule (the kCb lowest
+    * vec_ids' subvectors) at `pqRounds = 0`, else `pqRounds` Lloyd
+    * iterations per subspace via [[KMeans.fitQuantized]] (also
+    * deterministic — same smallest-id seeding). Factored out of
+    * [[buildWith]] (r15) so the STREAMED seeder
+    * ([[graft.streaming.StreamingIvfPq]]) can train rounds>0
+    * codebooks on its first batch before freezing the pair. */
+  def codebooksFor(resQv: DataFrame, m: Int, subLen: Int, kCb: Int,
+      pqRounds: Int, mat: Materializer = Materializer.Local): DataFrame =
+    if (pqRounds == 0)
+      ProductQuantizer.seedCodebooks(resQv, m, subLen, kCb)
+    else (0 until m).map { i =>
+      KMeans.fitQuantized(resQv.select(col("vec_id"),
+          slice(col("qv"), i * subLen + 1, subLen).as("qv")),
+        kCb, pqRounds, mat)
+        .select(lit(i).as("sub"), col("c_id"), col("cv").as("c_sv"))
+    }.reduce(_ unionByName _)
 
   /** Incremental maintenance — encode an ARRIVING batch against the
     * FROZEN coarse quantizer and codebooks and return its code-table

@@ -27,7 +27,9 @@ import graft.util.StateFs
   *    pair, written ONCE by the first non-empty batch (deterministic
   *    seeds: the kc smallest vec_ids of that batch; the kCb
   *    smallest's RESIDUAL subvectors against them, per the IVFADC
-  *    scheme) and committed TOGETHER by one `quantizer/_SUCCESS`
+  *    scheme — or, at `pqRounds > 0`, codebooks Lloyd-TRAINED on the
+  *    whole first batch's residuals, still deterministic) and
+  *    committed TOGETHER by one `quantizer/_SUCCESS`
   *    marker created after both writes — a crash between the two
   *    writes leaves an uncommitted quantizer the replay re-seeds
   *    identically, never a half-present pair misread as loss. They
@@ -137,7 +139,8 @@ object StreamingIvfPq {
     * the quantizer pair. Returns true iff the batch was applied. */
   def appendBatch(spark: SparkSession, stateDir: String, batch: DataFrame,
       kc: Int, m: Int, subLen: Int, kCb: Int, batchId: Long,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pqRounds: Int = 0): Boolean = {
     val codes = codesDir(stateDir)
     val fs = StateFs.fs(spark, codes)
     StateFs.healWriter(fs, codes)
@@ -185,10 +188,25 @@ object StreamingIvfPq {
       ce.coalesce(1).write.mode("overwrite")
         .parquet(centroidsDir(stateDir).toString)
       val ceRead = sb.read.parquet(centroidsDir(stateDir).toString)
-      val seedRes = IvfPq.residuals(sb, qb.orderBy("vec_id").limit(kCb), ceRead)
-        .select(col("vec_id"), col("rv").as("qv"))
-      val cb = ProductQuantizer.subRows(seedRes, m, subLen)
-        .select(col("vec_id").as("c_id"), col("sub"), col("sv").as("c_sv"))
+      // Codebooks: pqRounds = 0 keeps the r14 seed rule (the kCb
+      // smallest vec_ids' residual subvectors — the oracle-checked
+      // driver config); pqRounds > 0 trains per-subspace Lloyd rounds
+      // on the WHOLE first batch's residuals before freezing
+      // (VERDICT r14 #5 — the batch path's trainedCodebooks brought
+      // to the streamed seeder). Both are deterministic functions of
+      // the seed batch (smallest-id seeding throughout), so the
+      // crash-window replay re-derives the identical pair.
+      val cb =
+        if (pqRounds == 0) {
+          val seedRes = IvfPq.residuals(sb, qb.orderBy("vec_id").limit(kCb), ceRead)
+            .select(col("vec_id"), col("rv").as("qv"))
+          ProductQuantizer.subRows(seedRes, m, subLen)
+            .select(col("vec_id").as("c_id"), col("sub"), col("sv").as("c_sv"))
+        } else {
+          val res = IvfPq.residuals(sb, qb, ceRead)
+            .select(col("vec_id"), col("rv").as("qv"))
+          IvfPq.codebooksFor(res, m, subLen, kCb, pqRounds)
+        }
       cb.coalesce(1).write.mode("overwrite")
         .parquet(codebooksDir(stateDir).toString)
       // the PAIR commit (readQuantizer scaladoc): both frames are in
@@ -259,16 +277,19 @@ object StreamingIvfPq {
     true
   }
 
-  /** Wire the appender into a stream ([[StreamingIvf.fit]] shape). */
+  /** Wire the appender into a stream ([[StreamingIvf.fit]] shape).
+    * `pqRounds > 0` trains the first batch's codebooks before
+    * freezing (appendBatch scaladoc). */
   def fit(spark: SparkSession, vecs: Dataset[_], stateDir: String,
       checkpointDir: String, kc: Int, m: Int, subLen: Int, kCb: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pqRounds: Int = 0): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[_], batchId: Long) =>
         appendBatch(spark, stateDir, batch.toDF(), kc, m, subLen, kCb,
-          batchId, idCol, vecCol)
+          batchId, idCol, vecCol, pqRounds)
         ()
       }
       .start()

@@ -250,6 +250,172 @@ class StreamingIvfPqSpec extends SparkTestBase {
       "the re-seeded index must be identical (deterministic seeds)")
   }
 
+  test("randomized drain/compact/crash/loss walk: the served codes always " +
+      "equal the one-shot encode of the applied union, or fail loudly " +
+      "naming exactly the induced loss") {
+    // The StreamingIvfSpec composition fuzz ported to the IVF-PQ
+    // store (VERDICT r14 #6), with the states only THIS index has
+    // composed in: the frozen-PAIR loss pair (commit marker without a
+    // frame, frames without the marker) and the r15 dense-chain moves
+    // (empty batches logging s-markers). 30 seeded steps interleave
+    // appends, crashed appends, replays, compactions, benign applog
+    // under-log, external generation loss, and quantizer-pair damage
+    // — asserting after EVERY step that the served code table is
+    // exactly the one-shot encode of the applied batches against the
+    // frozen pair, and that unrestored loss is loud naming its victim.
+    val base = Fixtures.tempDir("sivfpq-fuzz")
+    val state = base.resolve("state").toString
+    val codesDir = new File(state, "codes")
+    def batchOf(id: Long) =
+      corpus.filter($"vec_id" >= id * 5 && $"vec_id" < (id + 1) * 5)
+    def unionOf(ids: Seq[Long]) =
+      ids.map(batchOf).reduce(_ unionByName _)
+    var applied = Vector.empty[Long]
+    var nextId = 0L
+    def checkServed(): Unit = {
+      val (cents, cbs, codes) = StreamingIvfPq.readIndex(spark, state).get
+      val want = codeSet(IvfPq.append(spark, quantized(unionOf(applied)),
+        cents, cbs, m, subLen))
+      assert(codeSet(codes) === want,
+        s"served codes diverge from the applied union $applied")
+    }
+    assert(StreamingIvfPq.appendBatch(spark, state, batchOf(0),
+      kc, m, subLen, kCb, 0L))
+    applied :+= 0L; nextId = 1L
+    val rnd = new scala.util.Random(20260815)
+    for (step <- 1 to 30) {
+      rnd.nextInt(8) match {
+        case 0 => // plain append
+          assert(StreamingIvfPq.appendBatch(spark, state, batchOf(nextId),
+            kc, m, subLen, kCb, nextId))
+          applied :+= nextId; nextId += 1
+        case 1 => // crashed append (partial, uncommitted) → replay completes
+          val d = new File(codesDir, f"v$nextId%020d"); d.mkdirs()
+          new File(d, "part-junk").createNewFile()
+          checkServed() // the partial is invisible
+          assert(StreamingIvfPq.appendBatch(spark, state, batchOf(nextId),
+            kc, m, subLen, kCb, nextId))
+          applied :+= nextId; nextId += 1
+        case 2 => // replay of the frontier id: no-op
+          assert(!StreamingIvfPq.appendBatch(spark, state,
+            batchOf(applied.last), kc, m, subLen, kCb, applied.last))
+        case 3 => // compaction (no-ops when ≤1 committed dir)
+          StreamingIvfPq.compact(spark, state)
+        case 4 => // benign under-log window: replay re-logs the entry
+          val f = new File(new File(codesDir, "applog"),
+            f"v${applied.last}%020d")
+          if (f.exists()) {
+            assert(f.delete())
+            checkServed()
+            assert(!StreamingIvfPq.appendBatch(spark, state,
+              batchOf(applied.last), kc, m, subLen, kCb, applied.last))
+            assert(f.exists(), s"step $step: replay did not re-log the entry")
+          }
+        case 5 => // external loss of a RANDOM committed generation:
+                  // loud everywhere naming it; restore recovers
+          val gens = codesDir.listFiles().filter(f =>
+            f.isDirectory && f.getName.startsWith("v"))
+          val victim = gens(rnd.nextInt(gens.length))
+          val aside = new File(base.toFile, s"aside-$step")
+          assert(victim.renameTo(aside))
+          for (op <- Seq(
+              () => StreamingIvfPq.readIndex(spark, state),
+              () => StreamingIvfPq.appendBatch(spark, state,
+                batchOf(nextId), kc, m, subLen, kCb, nextId),
+              () => StreamingIvfPq.compact(spark, state))) {
+            val e = intercept[IllegalArgumentException] { op() }
+            assert(e.getMessage.contains(victim.getName) &&
+              e.getMessage.contains("externally"),
+              s"step $step: loss of ${victim.getName} not loud: ${e.getMessage}")
+          }
+          assert(aside.renameTo(victim))
+        case 6 => // empty batch: a logged no-op (the r15 dense chain)
+          assert(!StreamingIvfPq.appendBatch(spark, state,
+            corpus.limit(0), kc, m, subLen, kCb, nextId))
+          assert(new File(new File(codesDir, "applog"),
+            f"s$nextId%020d").exists(),
+            s"step $step: empty batch id $nextId not skip-logged")
+          nextId += 1
+        case 7 => // frozen-pair damage: half-missing frame under the
+                  // commit marker, then marker loss with codes live —
+                  // both loud, then restored
+          val q = new File(state, "quantizer")
+          val cbsDir = new File(q, "codebooks")
+          val aside = new File(base.toFile, s"cbs-aside-$step")
+          assert(cbsDir.renameTo(aside))
+          val e1 = intercept[IllegalArgumentException] {
+            StreamingIvfPq.readIndex(spark, state)
+          }
+          assert(e1.getMessage.contains("partially removed externally"),
+            s"step $step: half-missing pair not loud: ${e1.getMessage}")
+          assert(aside.renameTo(cbsDir))
+          val marker = new File(q, "_SUCCESS")
+          assert(marker.delete())
+          val e2 = intercept[IllegalArgumentException] {
+            StreamingIvfPq.readIndex(spark, state)
+          }
+          assert(e2.getMessage.contains("quantizer is missing"),
+            s"step $step: marker loss with live codes not loud: ${e2.getMessage}")
+          assert(marker.createNewFile())
+      }
+      checkServed()
+    }
+    // settle: a final compaction and one more append keep serving the union
+    StreamingIvfPq.compact(spark, state)
+    assert(StreamingIvfPq.appendBatch(spark, state, batchOf(nextId),
+      kc, m, subLen, kCb, nextId))
+    applied :+= nextId
+    checkServed()
+  }
+
+  test("trained-codebook seeding (pqRounds > 0): fold remains bit-identical " +
+      "to the one-shot encode against the trained frozen pair; training " +
+      "moved the codebooks; re-seeding is deterministic") {
+    // VERDICT r14 #5: the batch path's trainedCodebooks brought to the
+    // streamed seeder — the first batch trains per-subspace Lloyd
+    // rounds on its residuals before the pair freezes. The append
+    // contract is unchanged: fold ≡ one-shot encode is a property of
+    // WHATEVER frozen pair was committed.
+    val base = Fixtures.tempDir("sivfpq-trained")
+    val state = base.resolve("state").toString
+    for ((lo, hi, bid) <- Seq((0L, 80L, 0L), (80L, 2000L, 1L)))
+      assert(StreamingIvfPq.appendBatch(spark, state,
+        corpus.filter($"vec_id" >= lo && $"vec_id" < hi),
+        kc, m, subLen, kCb, bid, pqRounds = 2))
+    val (cents, cbs, codes) = StreamingIvfPq.readIndex(spark, state).get
+    // fold ≡ one-shot against the SAME (trained) frozen pair
+    assert(codeSet(codes) ===
+      codeSet(IvfPq.append(spark, quantized(corpus), cents, cbs, m, subLen)))
+    // training actually moved the codebooks away from the seed rule
+    val seedState = base.resolve("seed").toString
+    assert(StreamingIvfPq.appendBatch(spark, seedState,
+      corpus.filter($"vec_id" < 80), kc, m, subLen, kCb, 0L))
+    val seedCbs = StreamingIvfPq.readQuantizer(spark, seedState).get._2
+      .collect().map(_.toString).sorted.toSeq
+    assert(cbs.collect().map(_.toString).sorted.toSeq !== seedCbs,
+      "pqRounds = 2 must produce different codebooks than the seed rule")
+    // deterministic re-seed: a twin state fed the same first batch at
+    // the same pqRounds freezes the identical pair (the crash-window
+    // replay contract)
+    val twin = base.resolve("twin").toString
+    assert(StreamingIvfPq.appendBatch(spark, twin,
+      corpus.filter($"vec_id" < 80), kc, m, subLen, kCb, 0L, pqRounds = 2))
+    val twinCbs = StreamingIvfPq.readQuantizer(spark, twin).get._2
+      .collect().map(_.toString).sorted.toSeq
+    assert(cbs.collect().map(_.toString).sorted.toSeq === twinCbs,
+      "trained seeding must be a deterministic function of the seed batch")
+    // probes from the trained index remain the in-memory probe of the
+    // same frozen pair, row for row
+    val qs = corpus.filter($"vec_id" < 8)
+    val got = StreamingIvfPq.probe(spark, state, qs, k = 5, nProbe = 2,
+      m, subLen, excludeSelf = true).collect().map(_.toString).sorted.toSeq
+    val want = IvfPq.probe(spark, cents, cbs, codes,
+      quantized(qs).select(col("vec_id").as("q_id"), col("qv")),
+      5, 2, m, subLen, excludeSelf = true)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+  }
+
   test("compact: a concurrent append between listing and swap aborts loudly; " +
       "the appended generation and its applog marker survive; the next " +
       "clean compact folds it") {
