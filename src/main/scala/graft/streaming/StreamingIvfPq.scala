@@ -59,7 +59,22 @@ import graft.util.StateFs
   */
 object StreamingIvfPq {
 
-  private def codesDir(stateDir: String) = new Path(stateDir, "codes")
+  private def codesBase(stateDir: String) = new Path(stateDir, "codes")
+
+  /** The live codes tree: `codes/` itself in rename mode; the
+    * PTR-named generation dir in pointer mode (the [[StreamingIvf]]
+    * device, [[graft.util.StateFs.resolveLive]]). */
+  private def codesDir(spark: SparkSession, stateDir: String): Path = {
+    val base = codesBase(stateDir)
+    StateFs.resolveLive(StateFs.fs(spark, base), base)
+  }
+
+  /** Opt this index's codes store into the version-pointer swap mode
+    * (object-store-safe compaction — [[StreamingIvf.enablePointerMode]]
+    * has the full rationale). Call once on a virgin state dir. */
+  def enablePointerMode(spark: SparkSession, stateDir: String): Unit =
+    StateFs.enablePointerMode(spark, codesBase(stateDir))
+
   private def quantizerDir(stateDir: String) = new Path(stateDir, "quantizer")
   private def centroidsDir(stateDir: String) =
     new Path(quantizerDir(stateDir), "centroids")
@@ -67,7 +82,7 @@ object StreamingIvfPq {
     new Path(quantizerDir(stateDir), "codebooks")
 
   private def committedCodeDirs(spark: SparkSession, stateDir: String): Seq[Path] = {
-    val codes = codesDir(stateDir)
+    val codes = codesDir(spark, stateDir)
     StateFs.checkedVDirs(StateFs.fs(spark, codes), codes, "IVF-PQ")
   }
 
@@ -110,7 +125,7 @@ object StreamingIvfPq {
       require(dirs.isEmpty,
         s"IVF-PQ state inconsistent: committed code dirs " +
           s"[${dirs.map(_.getName).mkString(", ")}] exist under " +
-          s"${codesDir(stateDir)} but the frozen quantizer is missing " +
+          s"${codesDir(spark, stateDir)} but the frozen quantizer is missing " +
           "— centroids and codebooks were removed externally; restore " +
           "them or rebuild the index from the raw vectors")
     }
@@ -141,7 +156,7 @@ object StreamingIvfPq {
       kc: Int, m: Int, subLen: Int, kCb: Int, batchId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding",
       pqRounds: Int = 0): Boolean = {
-    val codes = codesDir(stateDir)
+    val codes = codesDir(spark, stateDir)
     val fs = StateFs.fs(spark, codes)
     StateFs.healWriter(fs, codes)
     // fail-fast loss gate at every entry (the r14 IVF discipline) —
@@ -241,39 +256,46 @@ object StreamingIvfPq {
     * Compactor/StreamingIvf device). */
   private[graft] def compactImpl(spark: SparkSession, stateDir: String,
       beforeSwap: () => Unit): Boolean = {
-    val live = codesDir(stateDir)
-    val fs = StateFs.fs(spark, live)
-    StateFs.healWriter(fs, live)
+    val base = codesBase(stateDir)
+    val fs = StateFs.fs(spark, base)
+    val ptrMode = StateFs.pointerMode(fs, base)
+    val live = StateFs.resolveLive(fs, base)
+    if (ptrMode) StateFs.gcStaleGens(fs, base, live.getName)
+    else StateFs.healWriter(fs, live)
     val dirs = committedCodeDirs(spark, stateDir) // checked: never folds around a hole
     if (dirs.size <= 1) return false
     val snapshot = StateFs.appendSnapshot(fs, live)
     // the true frontier: max over committed dirs AND skip-logged ids
     // (StreamingIvf.compactImpl rationale — keeps the id chain dense)
     val vname = StateFs.frontierName(fs, live, dirs)
-    val tmp = StateFs.tmpOf(live)
+    // rename mode stages under codes.tmp; pointer mode stages in the
+    // unpublished next generation and installs with one atomic PTR
+    // rewrite (the StreamingIvf/StateFs pointer-mode contract)
+    val target = if (ptrMode) StateFs.nextGen(base, live) else StateFs.tmpOf(live)
     dirs.map(d => spark.read.option("basePath", d.toString).parquet(d.toString)
         .withColumn("cell", col("cell").cast("long")))
       .reduce(_ unionByName _)
       // bucket-aligned: one hash exchange lands each cell in one task
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(new Path(tmp, vname).toString)
-    StateFs.writeFolded(fs, new Path(tmp, vname), dirs.map(_.getName))
-    StateFs.writeFileAtomic(spark, new Path(tmp, "MANIFEST"), vname)
+      .parquet(new Path(target, vname).toString)
+    StateFs.writeFolded(fs, new Path(target, vname), dirs.map(_.getName))
+    StateFs.writeFileAtomic(spark, new Path(target, "MANIFEST"), vname)
     beforeSwap()
     // pre-swap optimistic-concurrency re-check: a drain committed an
     // append mid-rewrite — abort loudly, keep live (the append and its
     // applog entry included), discard only the rewrite
     val changed = StateFs.snapshotDiff(fs, live, snapshot)
     if (changed.nonEmpty) {
-      StateFs.deleteRec(fs, tmp)
+      StateFs.deleteRec(fs, target)
       sys.error(s"IVF-PQ compact: $live changed during the rewrite " +
         s"(concurrent writer; changed entries: ${changed.mkString(", ")}) " +
         "— rewrite discarded, live index intact including the concurrent " +
         "append; rerun compaction between drains (the no-writer " +
         "maintenance slot)")
     }
-    StateFs.swapIn(fs, live, tmp)
+    if (ptrMode) StateFs.pointerSwap(spark, base, live, target)
+    else StateFs.swapIn(fs, live, target)
     true
   }
 

@@ -250,6 +250,45 @@ class StreamingIvfPqSpec extends SparkTestBase {
       "the re-seeded index must be identical (deterministic seeds)")
   }
 
+  test("pointer mode: compaction publishes via one PTR rewrite, served codes " +
+      "and probes identical to rename mode") {
+    // the object-store-safe swap (VERDICT r14 #2), extended to the
+    // IVF-PQ store — the StreamingIvfSpec pointer e2e is the deep
+    // walk; this pins mode transparency for THIS index's layout
+    val baseDir = Fixtures.tempDir("sivfpq-ptr")
+    val state = baseDir.resolve("state").toString
+    val twin = baseDir.resolve("twin").toString
+    StreamingIvfPq.enablePointerMode(spark, state)
+    for ((lo, hi, bid) <- Seq((0L, 80L, 0L), (80L, 150L, 1L));
+         st <- Seq(state, twin))
+      assert(StreamingIvfPq.appendBatch(spark, st,
+        corpus.filter($"vec_id" >= lo && $"vec_id" < hi),
+        kc, m, subLen, kCb, bid))
+    val codes = new File(state, "codes")
+    def ptr() = scala.io.Source.fromFile(new File(codes, "PTR")).mkString.trim
+    assert(ptr() === "g0")
+    assert(StreamingIvfPq.compact(spark, state))
+    assert(StreamingIvfPq.compact(spark, twin))
+    assert(ptr() === "g1")
+    assert(!new File(codes, "g0").exists())
+    assert(new File(codes, "g1").list().filter(_.startsWith("v")).toSeq ===
+      Seq(f"v${1L}%020d"))
+    // mode transparency: served codes and probes identical
+    assert(codeSet(StreamingIvfPq.readIndex(spark, state).get._3) ===
+      codeSet(StreamingIvfPq.readIndex(spark, twin).get._3))
+    val qs = corpus.filter($"vec_id" < 8)
+    assert(StreamingIvfPq.probe(spark, state, qs, k = 5, nProbe = 2, m, subLen,
+        excludeSelf = true).collect().map(_.toString).sorted.toSeq ===
+      StreamingIvfPq.probe(spark, twin, qs, k = 5, nProbe = 2, m, subLen,
+        excludeSelf = true).collect().map(_.toString).sorted.toSeq)
+    // appends continue into the published generation and stay equal
+    for (st <- Seq(state, twin))
+      assert(StreamingIvfPq.appendBatch(spark, st,
+        corpus.filter($"vec_id" >= 150L), kc, m, subLen, kCb, 2L))
+    assert(codeSet(StreamingIvfPq.readIndex(spark, state).get._3) ===
+      codeSet(StreamingIvfPq.readIndex(spark, twin).get._3))
+  }
+
   test("randomized drain/compact/crash/loss walk: the served codes always " +
       "equal the one-shot encode of the applied union, or fail loudly " +
       "naming exactly the induced loss") {
