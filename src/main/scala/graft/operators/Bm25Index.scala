@@ -68,6 +68,14 @@ import graft.util.StateFs
   * curve; `df` merge cost is vocabulary-scale, not corpus-scale;
   * `dl` probes join on (doc_id, chunk_id) after the postings filter
   * has already shrunk the left side to matching chunks only.
+  *
+  * Object-store note (r15): the merged `df`/`stats` store already IS
+  * a version-pointer layout (`merged/CURRENT` — no rename is
+  * load-bearing there), so only the two family swaps depend on
+  * rename atomicity; they could adopt
+  * [[graft.util.StateFs.enablePointerMode]] exactly as the streamed
+  * vector indexes do (their spec-pinned wiring is the template) when
+  * an s3a:// deployment needs it.
   */
 object Bm25Index {
 

@@ -130,7 +130,12 @@ object Compactor {
     * writer was active in the window. Modification time is in the key
     * so an in-place same-name same-length replace (not a pattern Spark
     * writers produce — part files get fresh UUID names — but cheap to
-    * cover) is caught too. */
+    * cover) is caught too, MODULO mtime granularity (ADVICE r14,
+    * accepted residual): on filesystems with second-granularity
+    * mtimes, a same-name same-length replace within one tick escapes
+    * the re-check. No Spark or Hadoop committer produces that
+    * pattern; a byte-level content check would cost a second full
+    * read of the table per compaction for it. */
   private def fileSnapshot(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path): Set[(String, Long, Long)] = {
     val it = fs.listFiles(dir, true)
