@@ -211,6 +211,13 @@ object StreamingIvfPq {
       // to the streamed seeder). Both are deterministic functions of
       // the seed batch (smallest-id seeding throughout), so the
       // crash-window replay re-derives the identical pair.
+      // PRODUCTION GUIDANCE (1M ablation, PLANS.md r15): use
+      // pqRounds >= 1 whenever the coarse quantizer is expected to
+      // match the corpus's cluster structure — in that regime the kCb
+      // smallest ids' residuals are the centroids' own ~zero
+      // residuals, 256 codewords collapsed at the origin, and ADC
+      // recall@10 measured 0.000 at 1M; two Lloyd rounds on the seed
+      // drain took it to 1.000 for a one-time ~38 s surcharge.
       val cb =
         if (pqRounds == 0) {
           val seedRes = IvfPq.residuals(sb, qb.orderBy("vec_id").limit(kCb), ceRead)
