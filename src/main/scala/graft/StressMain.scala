@@ -876,6 +876,13 @@ object StressMain {
       println(s"[stress] ivfpq-stream corpus   rows=${corpus.count()}")
       val state = "/tmp/stress/ivfpq_stream_state"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state))
+      // r15: SPARK_GRAFT_STRESS_PTR=1 runs the same alternation with
+      // the codes store in pointer mode — the object-store-safe swap
+      // — as the 1M regression that folds stay flat and compaction
+      // publishes via the PTR rewrite (generation turnover + GC)
+      // instead of the rename-aside swap.
+      val ptrMode = sys.env.contains("SPARK_GRAFT_STRESS_PTR")
+      if (ptrMode) StreamingIvfPq.enablePointerMode(spark, state)
       val queries = corpus.filter(col("vec_id") < 8)
       def serve(tag: String): Unit =
         time(s"ivfpq-stream serve $tag")(
@@ -896,6 +903,13 @@ object StressMain {
         }
       }
       serve("final+1append")
+      if (ptrMode) {
+        val codes = new java.io.File(state, "codes")
+        val ptr = scala.io.Source.fromFile(new java.io.File(codes, "PTR"))
+          .mkString.trim
+        val gens = codes.list().filter(_.startsWith("g")).sorted.toSeq
+        println(s"[stress] ivfpq-stream PTR=$ptr gens=${gens.mkString(",")}")
+      }
       corpus.unpersist(): Unit
     }
     // Trained-vs-seed codebook ablation for the STREAMED IVF-PQ

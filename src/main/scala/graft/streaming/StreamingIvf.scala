@@ -80,10 +80,16 @@ import graft.util.StateFs
   * ([[graft.util.StateFs.frontierName]]), so every delivered id above
   * the compacted generation is accounted by a dir or a log entry —
   * an interior hole is then certain CO-loss of a generation and its
-  * marker (the r14 residual), loud on every listing. Remaining
-  * residual (documented): co-loss of a SUFFIX of the chain — the
-  * topmost generation(s) with their markers — reads as a shorter
-  * history; under-detects, never false-alarms.
+  * marker (the r14 residual), loud on every listing. The chain's
+  * SUFFIX is covered by the `FRONTIER` witness (r15,
+  * [[graft.util.StateFs.logAppend]]): one small atomic file recording
+  * the max delivered id, which every listing requires the surviving
+  * chain to reach — co-loss of the newest generation(s) with their
+  * markers no longer reads as a shorter history. Remaining residuals
+  * (documented, both under-detect-only): removal of the FRONTIER
+  * file together with the suffix it witnesses, and the single
+  * newest id inside its marker-to-frontier write instant (which the
+  * WAL replay repairs anyway).
   *
   * The checkpoint and the state dir live and die TOGETHER (the
   * [[StreamingBm25]] caveat — but with a WORSE failure mode here,
@@ -370,6 +376,11 @@ object StreamingIvf {
       .parquet(new Path(target, vname).toString)
     StateFs.writeFolded(fs, new Path(target, vname), dirs.map(_.getName))
     StateFs.writeFileAtomic(spark, new Path(target, "MANIFEST"), vname)
+    // carry the frontier witness into the new tree (it lives in the
+    // swapped root; vname IS the frontier at rest — the single-writer
+    // discipline plus the concurrency guard below enforce "at rest")
+    StateFs.writeFileAtomic(spark, StateFs.frontierFile(target),
+      vname.drop(1).toLong.toString)
     beforeSwap()
     // Optimistic-concurrency re-check (header scaladoc): a drain
     // committed an append while we rewrote — swapping now would

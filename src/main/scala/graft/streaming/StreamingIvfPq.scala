@@ -288,6 +288,10 @@ object StreamingIvfPq {
       .parquet(new Path(target, vname).toString)
     StateFs.writeFolded(fs, new Path(target, vname), dirs.map(_.getName))
     StateFs.writeFileAtomic(spark, new Path(target, "MANIFEST"), vname)
+    // carry the frontier witness into the new tree (StreamingIvf
+    // compactImpl rationale)
+    StateFs.writeFileAtomic(spark, StateFs.frontierFile(target),
+      vname.drop(1).toLong.toString)
     beforeSwap()
     // pre-swap optimistic-concurrency re-check: a drain committed an
     // append mid-rewrite — abort loudly, keep live (the append and its

@@ -80,8 +80,13 @@ object StateFs {
   /** Atomically (re)write a small text file: write `<name>.tmp`, then
     * rename OVER the target — atomic on HDFS and the local fs via
     * `FileContext` (plain `FileSystem.rename` cannot overwrite). */
-  def writeFileAtomic(spark: SparkSession, target: Path, value: String): Unit = {
-    val f = fs(spark, target)
+  def writeFileAtomic(spark: SparkSession, target: Path, value: String): Unit =
+    writeFileAtomicFs(fs(spark, target), target, value)
+
+  /** [[writeFileAtomic]] against an already-resolved FileSystem — for
+    * callers without a session handle ([[logAppend]]'s frontier
+    * update). */
+  def writeFileAtomicFs(f: FileSystem, target: Path, value: String): Unit = {
     val tmp = new Path(target.getParent, target.getName + ".tmp")
     val out = f.create(tmp, true)
     try out.write(value.getBytes(StandardCharsets.UTF_8))
@@ -282,11 +287,34 @@ object StateFs {
     * loss alarm) cannot arise; [[checkedVDirs]] treats a missing entry
     * as the benign window and a missing DIR for a logged entry as
     * certain external loss. */
+  def frontierFile(dir: Path): Path = new Path(dir, "FRONTIER")
+
+  private def idOf(name: String): Option[Long] =
+    if (name.matches("[vs]\\d+")) Some(name.drop(1).toLong) else None
+
   def logAppend(fs: FileSystem, dir: Path, name: String): Unit = {
     val d = applogDir(dir)
     if (!fs.exists(d)) { fs.mkdirs(d); () }
     val f = new Path(d, name)
     if (!fs.exists(f)) fs.create(f, false).close()
+    // Frontier witness (r15 — closes the SUFFIX co-loss residual the
+    // dense chain left): FRONTIER records the max delivered batch id
+    // as one small atomic file, updated AFTER the log marker so it
+    // can only LAG the chain (a lower bound — no false alarms; the
+    // crash between marker and frontier write is repaired by the same
+    // WAL replay that completes the marker). [[checkedVDirs]] then
+    // requires the surviving chain to reach it: co-loss of the
+    // NEWEST generation(s) with their markers — previously
+    // indistinguishable from a shorter history — is loud. Runs on
+    // every logged id (v and s alike); O(1) per batch (one read, one
+    // small-file rewrite when the frontier advances).
+    for (id <- idOf(name)) {
+      val ff = frontierFile(dir)
+      val cur =
+        if (fs.exists(ff)) scala.util.Try(readString(fs, ff).toLong).getOrElse(-1L)
+        else -1L
+      if (id > cur) writeFileAtomicFs(fs, ff, id.toString)
+    }
   }
 
   /** Record a DELIVERED-but-empty batch id as `applog/s<id>` — the
@@ -420,6 +448,27 @@ object StateFs {
           "entry — the id chain is dense by construction, so a committed " +
           "generation AND its log marker were removed together externally; " +
           "restore them or rebuild the index from the raw vectors")
+    }
+    // Frontier check ([[logAppend]] scaladoc): the dense chain above
+    // cannot see loss of its own SUFFIX — the newest generation(s)
+    // with their markers removed together read as a shorter history.
+    // FRONTIER is the O(1) witness: the chain must reach it. It lags
+    // only inside the marker-to-frontier instant of the newest id
+    // (WAL-replay-repaired), so maxSeen < frontier is certain loss.
+    // A dir without FRONTIER (legacy state, or its own external
+    // removal) skips the check — under-detects, never false-alarms.
+    val ff = frontierFile(dir)
+    if (fs.exists(ff)) {
+      val frontier = readString(fs, ff).toLong
+      val maxSeen = if (ids.nonEmpty) ids.max else -1L
+      require(maxSeen >= frontier,
+        s"$what state inconsistent: the frontier witness under $dir " +
+          s"records delivered batch id $frontier but the newest surviving " +
+          s"generation or log entry is " +
+          s"${if (maxSeen < 0) "none" else f"v$maxSeen%020d"} — the chain's " +
+          "suffix (the newest committed generation(s) and their log " +
+          "markers) was removed externally; restore them or rebuild the " +
+          "index from the raw vectors")
     }
     dirs
   }

@@ -106,6 +106,14 @@ class StreamingIvfPqSpec extends SparkTestBase {
     val codesDir = new File(state, "codes")
     assert(new File(new File(codesDir, f"v${1L}%020d"), "_SUCCESS").delete())
     assert(new File(new File(codesDir, "applog"), f"v${1L}%020d").delete())
+    // regress the r15 frontier witness to the honestly-reachable crash
+    // value (logAppend never ran for a genuine mid-write crash; the
+    // StreamingIvfSpec replay test has the full rationale) — through
+    // the Hadoop API, which maintains the local fs's .crc sidecars
+    val fp = new org.apache.hadoop.fs.Path(
+      new File(codesDir, "FRONTIER").toString)
+    graft.util.StateFs.writeFileAtomicFs(
+      graft.util.StateFs.fs(spark, fp), fp, "0")
     assert(codeSet(StreamingIvfPq.readIndex(spark, state).get._3) === after1,
       "a partial write must be invisible to readers")
     assert(StreamingIvfPq.appendBatch(spark, state, b2, kc, m, subLen, kCb, 1L),

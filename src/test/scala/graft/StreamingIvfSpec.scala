@@ -35,6 +35,14 @@ class StreamingIvfSpec extends SparkTestBase {
     df.select("c_id", "cluster").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** Overwrite the FRONTIER witness through the Hadoop API (the local
+    * fs keeps `.crc` sidecars that a raw java.nio write invalidates). */
+  private def setFrontier(stateSubDir: File, v: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      new File(stateSubDir, "FRONTIER").toString)
+    graft.util.StateFs.writeFileAtomicFs(graft.util.StateFs.fs(spark, p), p, v)
+  }
+
   test("streamed index equals the batch ivfIndex after every prefix; " +
       "probe is bit-identical; planted recall intact") {
     val base = Fixtures.tempDir("sivf")
@@ -112,8 +120,15 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(eMarker.getMessage.contains(f"v${1L}%020d") &&
       eMarker.getMessage.contains("removed externally"))
     assert(new File(new File(new File(state, "lists"), "applog"),
-      f"v${1L}%020d").delete()) // now the true mid-write crash state
-    // the partial is invisible to readers...
+      f"v${1L}%020d").delete())
+    // ...and regress the r15 frontier witness to what a real mid-write
+    // crash leaves (logAppend — marker AND frontier — runs only after
+    // the parquet commit, so a genuine crash never advanced it; the
+    // delete-after-commit construction above leaves it at 1, which the
+    // suffix check would rightly call external loss). Through the
+    // Hadoop API: the local fs keeps .crc sidecars a raw write breaks.
+    setFrontier(new File(state, "lists"), "0")
+    // now the true mid-write crash state: the partial is invisible...
     assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) === after1)
     // ...and the WAL re-delivers batch 1, whose replay completes it
     assert(StreamingIvf.appendBatch(spark, state, b2, 8, batchId = 1L))
@@ -577,6 +592,54 @@ class StreamingIvfSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains(f"v${1L}%020d") &&
       e.getMessage.contains("removed together externally"), e.getMessage)
+  }
+
+  test("suffix co-loss is loud via the FRONTIER witness; the witness lags, " +
+      "never leads; its own removal degrades to the documented under-detect") {
+    // r15: the dense chain cannot see loss of its own SUFFIX — the
+    // newest generation(s) removed together with their markers read
+    // as a shorter history. FRONTIER (one small atomic file recording
+    // the max delivered id, updated after each log marker) is the
+    // witness the surviving chain must reach.
+    val base = Fixtures.tempDir("sivf-frontier")
+    val state = base.resolve("state").toString
+    for ((lo, hi, bid) <- Seq((0L, 60L, 0L), (60L, 130L, 1L), (130L, 2000L, 2L)))
+      assert(StreamingIvf.appendBatch(spark, state,
+        corpus.filter($"vec_id" >= lo && $"vec_id" < hi), 8, bid))
+    val lists = new File(state, "lists")
+    val ff = new File(lists, "FRONTIER")
+    def frontier() = scala.io.Source.fromFile(ff).mkString.trim.toLong
+    assert(frontier() === 2L)
+    // the witness LAGS, never leads: a manually-regressed frontier
+    // (the marker-to-frontier crash window) must not alarm, and the
+    // WAL replay of the newest id re-advances it
+    setFrontier(lists, "1")
+    assert(StreamingIvf.readIndex(spark, state).isDefined)
+    assert(!StreamingIvf.appendBatch(spark, state,
+      corpus.filter($"vec_id" >= 130L), 8, 2L))
+    assert(frontier() === 2L, "the replay must re-advance the witness")
+    // compaction carries the witness into the new tree
+    assert(StreamingIvf.compact(spark, state))
+    assert(frontier() === 2L)
+    assert(StreamingIvf.appendBatch(spark, state,
+      corpus.filter($"vec_id" < 60), 8, 3L))
+    assert(frontier() === 3L)
+    // SUFFIX co-loss: the newest generation AND its marker removed
+    // together — pre-r15 this read as a shorter history; now the
+    // chain no longer reaches the witness
+    Fixtures.deleteRec(new File(lists, f"v${3L}%020d"))
+    assert(new File(new File(lists, "applog"), f"v${3L}%020d").delete())
+    val e = intercept[IllegalArgumentException] {
+      StreamingIvf.readIndex(spark, state)
+    }
+    assert(e.getMessage.contains("suffix") &&
+      e.getMessage.contains("records delivered batch id 3"), e.getMessage)
+    // removing the witness TOO degrades to the documented under-detect
+    // (serves the shorter history) — never a false alarm
+    assert(ff.delete())
+    assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) ===
+      clusterMap(Similarity.ivfAssign(
+        StreamingIvf.readCentroids(spark, state).get, corpus)))
   }
 
   test("compaction names its generation at a skip-logged frontier, keeping " +
