@@ -319,6 +319,14 @@ class StreamingIvfPqSpec extends SparkTestBase {
       ids.map(batchOf).reduce(_ unionByName _)
     var applied = Vector.empty[Long]
     var nextId = 0L
+    // the WAL can only re-deliver the LAST delivered id — which may be
+    // an EMPTY batch (case 6): track it with its content, because a
+    // compaction names its generation at the true frontier and earlier
+    // non-empty ids' dirs legitimately stop existing after it (replaying
+    // THOSE would re-append — a move only the WAL's last-id rule rules
+    // out, so the fuzz must not make it)
+    var lastId = 0L
+    var lastBatch: org.apache.spark.sql.DataFrame = batchOf(0)
     def checkServed(): Unit = {
       val (cents, cbs, codes) = StreamingIvfPq.readIndex(spark, state).get
       val want = codeSet(IvfPq.append(spark, quantized(unionOf(applied)),
@@ -331,32 +339,37 @@ class StreamingIvfPqSpec extends SparkTestBase {
     applied :+= 0L; nextId = 1L
     val rnd = new scala.util.Random(20260815)
     for (step <- 1 to 30) {
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 => // plain append
           assert(StreamingIvfPq.appendBatch(spark, state, batchOf(nextId),
             kc, m, subLen, kCb, nextId))
-          applied :+= nextId; nextId += 1
+          applied :+= nextId; lastId = nextId; lastBatch = batchOf(nextId)
+          nextId += 1
         case 1 => // crashed append (partial, uncommitted) → replay completes
           val d = new File(codesDir, f"v$nextId%020d"); d.mkdirs()
           new File(d, "part-junk").createNewFile()
           checkServed() // the partial is invisible
           assert(StreamingIvfPq.appendBatch(spark, state, batchOf(nextId),
             kc, m, subLen, kCb, nextId))
-          applied :+= nextId; nextId += 1
-        case 2 => // replay of the frontier id: no-op
+          applied :+= nextId; lastId = nextId; lastBatch = batchOf(nextId)
+          nextId += 1
+        case 2 => // replay of the LAST DELIVERED id (the only one the
+                  // WAL can re-deliver — possibly an empty batch): no-op
           assert(!StreamingIvfPq.appendBatch(spark, state,
-            batchOf(applied.last), kc, m, subLen, kCb, applied.last))
+            lastBatch, kc, m, subLen, kCb, lastId))
         case 3 => // compaction (no-ops when ≤1 committed dir)
           StreamingIvfPq.compact(spark, state)
-        case 4 => // benign under-log window: replay re-logs the entry
-          val f = new File(new File(codesDir, "applog"),
-            f"v${applied.last}%020d")
-          if (f.exists()) {
-            assert(f.delete())
-            checkServed()
-            assert(!StreamingIvfPq.appendBatch(spark, state,
-              batchOf(applied.last), kc, m, subLen, kCb, applied.last))
-            assert(f.exists(), s"step $step: replay did not re-log the entry")
+        case 4 => // benign under-log window: replay re-logs the entry —
+                  // only legal for the LAST delivered id (WAL contract)
+          if (lastId == applied.lastOption.getOrElse(-1L)) {
+            val f = new File(new File(codesDir, "applog"), f"v$lastId%020d")
+            if (f.exists()) {
+              assert(f.delete())
+              checkServed()
+              assert(!StreamingIvfPq.appendBatch(spark, state,
+                lastBatch, kc, m, subLen, kCb, lastId))
+              assert(f.exists(), s"step $step: replay did not re-log the entry")
+            }
           }
         case 5 => // external loss of a RANDOM committed generation:
                   // loud everywhere naming it; restore recovers
@@ -382,6 +395,7 @@ class StreamingIvfPqSpec extends SparkTestBase {
           assert(new File(new File(codesDir, "applog"),
             f"s$nextId%020d").exists(),
             s"step $step: empty batch id $nextId not skip-logged")
+          lastId = nextId; lastBatch = corpus.limit(0)
           nextId += 1
         case 7 => // frozen-pair damage: half-missing frame under the
                   // commit marker, then marker loss with codes live —
@@ -404,6 +418,34 @@ class StreamingIvfPqSpec extends SparkTestBase {
           assert(e2.getMessage.contains("quantizer is missing"),
             s"step $step: marker loss with live codes not loud: ${e2.getMessage}")
           assert(marker.createNewFile())
+        case 8 => // SUFFIX co-loss: top append generation + marker gone
+                  // together — loud via FRONTIER (StreamingIvfSpec case)
+          val tops = codesDir.listFiles().filter(f =>
+            f.isDirectory && f.getName.startsWith("v")).map(_.getName).sorted
+          val top = tops.last
+          val marker = new File(new File(codesDir, "applog"), top)
+          // skip the manifest-named compacted generation (its loss is
+          // the manifest check's drill — StreamingIvfSpec rationale)
+          val mf = new File(codesDir, "MANIFEST")
+          val isManifestGen = mf.exists() &&
+            scala.io.Source.fromFile(mf).mkString.trim == top
+          if (marker.exists() && !isManifestGen) {
+            val dAside = new File(base.toFile, s"sfx-$step")
+            val mAside = new File(base.toFile, s"sfxm-$step")
+            assert(new File(codesDir, top).renameTo(dAside))
+            assert(marker.renameTo(mAside))
+            val e = intercept[IllegalArgumentException] {
+              StreamingIvfPq.readIndex(spark, state)
+            }
+            // loud either way: as SUFFIX loss (FRONTIER unreached) when
+            // top is the max logged id, or as an INTERIOR hole when an
+            // empty batch's s-marker sits above it in the dense chain
+            assert(e.getMessage.contains("suffix") ||
+              e.getMessage.contains("removed together externally"),
+              s"step $step: co-loss of $top not loud: ${e.getMessage}")
+            assert(dAside.renameTo(new File(codesDir, top)))
+            assert(mAside.renameTo(marker))
+          }
       }
       checkServed()
     }

@@ -355,7 +355,7 @@ class StreamingIvfSpec extends SparkTestBase {
     applied :+= 0L; nextId = 1L
     val rnd = new scala.util.Random(20260815)
     for (step <- 1 to 30) {
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 => // plain append
           assert(StreamingIvf.appendBatch(spark, state, batchOf(nextId), 4, nextId))
           applied :+= nextId; nextId += 1
@@ -400,6 +400,35 @@ class StreamingIvfSpec extends SparkTestBase {
               s"step $step: loss of ${victim.getName} not loud: ${e.getMessage}")
           }
           assert(aside.renameTo(victim))
+        case 6 => // SUFFIX co-loss (r15): the TOP append generation and
+                  // its applog marker removed together — the dense chain
+                  // reads shorter, the FRONTIER witness makes it loud;
+                  // restore recovers. Skipped when the top generation is
+                  // the compacted one (manifest-covered, case 5's drill).
+          val tops = lists.listFiles().filter(f =>
+            f.isDirectory && f.getName.startsWith("v")).map(_.getName).sorted
+          val top = tops.last
+          val marker = new File(new File(lists, "applog"), top)
+          // skip when top is the manifest-named compacted generation
+          // (its loss is the manifest check's drill, a different loud
+          // error — and a frontier-id replay after compaction re-logs
+          // it, so marker presence alone does not rule this out)
+          val mf = new File(lists, "MANIFEST")
+          val isManifestGen = mf.exists() &&
+            scala.io.Source.fromFile(mf).mkString.trim == top
+          if (marker.exists() && !isManifestGen) {
+            val dAside = new File(base.toFile, s"sfx-$step")
+            val mAside = new File(base.toFile, s"sfxm-$step")
+            assert(new File(lists, top).renameTo(dAside))
+            assert(marker.renameTo(mAside))
+            val e = intercept[IllegalArgumentException] {
+              StreamingIvf.readIndex(spark, state)
+            }
+            assert(e.getMessage.contains("suffix"),
+              s"step $step: suffix co-loss of $top not loud: ${e.getMessage}")
+            assert(dAside.renameTo(new File(lists, top)))
+            assert(mAside.renameTo(marker))
+          }
       }
       checkServed()
     }
