@@ -537,6 +537,13 @@ object Bm25Index {
   private[graft] def compactImpl(spark: SparkSession, stateDir: String,
       beforeSwap: () => Unit): Boolean = {
     healWriterAll(spark, stateDir)
+    // the concurrency snapshot is taken at ENTRY, before readMerged /
+    // resolveFamily / the migration schema probes (review r15 — taken
+    // after them, a batch committing inside those several Spark
+    // actions was already in the snapshot, so the pre-swap re-check
+    // passed and the swaps destroyed it): a batch landing after this
+    // instant always differs from the snapshot and aborts loudly.
+    val snapshot = familySnapshot(spark, stateDir)
     val cur = readMerged(spark, stateDir)
     if (cur.isEmpty) return false
     val (dfreq0, stats0) = cur.get
@@ -564,7 +571,6 @@ object Bm25Index {
     // layout → true no-op; a stale manifest alone still needs the
     // completion commit below
     if (!doP && !doDl && !pStale && !dlStale) return false
-    val snapshot = familySnapshot(spark, stateDir)
     val pLive = new Path(stateDir, "postings")
     val dlLive = new Path(stateDir, "dl")
     // stage BOTH rewrites before either family swaps, so the single

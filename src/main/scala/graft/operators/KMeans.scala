@@ -67,7 +67,14 @@ object KMeans {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got $k, $rounds")
     val s = vecs.sparkSession
     val eq = vecs.select(col("vec_id"), col("qv")).persist()
-    var cents = eq.filter(col("vec_id") < k)
+    // the k LOWEST vec_ids — the documented deterministic seed rule.
+    // (review r15: this was `filter(vec_id < k)`, an id-RANGE rule
+    // that coincides with lowest-k only for ids dense from 0; a frame
+    // whose ids all exceed k — e.g. a stream's first batch seeding
+    // residual codebooks — produced an EMPTY seed and the fit
+    // silently returned an empty centroid frame. TakeOrderedAndProject
+    // makes lowest-k as cheap as the filter was.)
+    var cents = eq.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("c_id"), col("qv").as("cv"),
         lit(0L).as("n_members"))
     try {

@@ -66,7 +66,16 @@ private[graft] object SessionMemo {
         perSession.get(key).flatMap(r => Option(r.get())) match {
           case Some(v) => v
           case None =>
-            if (perSession.size > 8) evictAll(perSession)
+            // size-bound eviction drops the MAP ENTRIES ONLY — it must
+            // not run the delete callback (review r15): another thread
+            // of the same session may be mid-query against one of the
+            // evicted state dirs, and deleting it under an in-flight
+            // scan fails that query. Evicted dirs stay on disk until
+            // the JVM-exit hook (bounded: a session rarely overflows).
+            // The EXPLICIT [[drop]]/[[SessionMemo.resetAll]] path does
+            // delete — its contract is "no in-flight queries" (the
+            // bench and specs call it between queries, sequentially).
+            if (perSession.size > 8) perSession.clear()
             val v = compute
             perSession.put(key, new java.lang.ref.SoftReference(v))
             v
@@ -74,17 +83,16 @@ private[graft] object SessionMemo {
       }
     }
 
-    private def evictAll(
-        m: scala.collection.mutable.Map[String, java.lang.ref.SoftReference[V]]): Unit = {
-      m.values.flatMap(r => Option(r.get())).foreach(onEvict)
-      m.clear()
-    }
-
     /** Drop `s`'s entries, running the eviction callback on each
-      * still-live value. */
+      * still-live value. Callers must not race in-flight queries of
+      * the same session (the callback may delete on-disk state a
+      * running scan is reading). */
     def drop(s: SparkSession): Unit = {
       val perSession = memo.synchronized { Option(memo.remove(s)) }
-      perSession.foreach(m => m.synchronized { evictAll(m) })
+      perSession.foreach(m => m.synchronized {
+        m.values.flatMap(r => Option(r.get())).foreach(onEvict)
+        m.clear()
+      })
     }
   }
 

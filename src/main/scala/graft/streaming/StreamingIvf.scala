@@ -348,6 +348,14 @@ object StreamingIvf {
       // delete crashed (the pointer-mode analogue of healWriter)
       StateFs.gcStaleGens(fs, base, live.getName)
     else StateFs.healWriter(fs, live)
+    // the concurrency snapshot is taken BEFORE the fold-set listing
+    // (review r15 — taken after, an append committing between the two
+    // listings was in the snapshot but NOT in the fold, so the
+    // pre-swap re-check passed and the swap destroyed it): anything
+    // committed after this instant either made it into the fold set
+    // below (safe — the rewrite carries it) or shows up in the
+    // re-check diff (loud abort).
+    val snapshot = StateFs.appendSnapshot(fs, live)
     // the manifest-CHECKED listing, not the raw one: if the compacted
     // generation was lost externally, folding the survivors here would
     // rewrite the manifest around the hole — silently "healing" the
@@ -356,7 +364,6 @@ object StreamingIvf {
     // the reads do.
     val dirs = committedListDirs(spark, stateDir)
     if (dirs.size <= 1) return false
-    val snapshot = StateFs.appendSnapshot(fs, live)
     // named at the TRUE frontier — the max over committed dirs and
     // skip-logged empty-batch ids, so consuming the applog with the
     // swap cannot open a false hole in the dense id chain
@@ -376,10 +383,14 @@ object StreamingIvf {
       .parquet(new Path(target, vname).toString)
     StateFs.writeFolded(fs, new Path(target, vname), dirs.map(_.getName))
     StateFs.writeFileAtomic(spark, new Path(target, "MANIFEST"), vname)
-    // carry the frontier witness into the new tree (it lives in the
-    // swapped root; vname IS the frontier at rest — the single-writer
-    // discipline plus the concurrency guard below enforce "at rest")
+    // carry the frontier + genesis witnesses into the new tree (they
+    // live in the swapped root; vname IS the frontier at rest — the
+    // single-writer discipline plus the concurrency guard below
+    // enforce "at rest" — and everything at or below it is folded, so
+    // density is guaranteed from vname on)
     StateFs.writeFileAtomic(spark, StateFs.frontierFile(target),
+      vname.drop(1).toLong.toString)
+    StateFs.writeFileAtomic(spark, StateFs.genesisFile(target),
       vname.drop(1).toLong.toString)
     beforeSwap()
     // Optimistic-concurrency re-check (header scaladoc): a drain

@@ -269,9 +269,13 @@ object StreamingIvfPq {
     val live = StateFs.resolveLive(fs, base)
     if (ptrMode) StateFs.gcStaleGens(fs, base, live.getName)
     else StateFs.healWriter(fs, live)
+    // snapshot BEFORE the fold-set listing (review r15 — the
+    // StreamingIvf.compactImpl rationale: an append landing between
+    // snapshot and listing joins the fold; one landing after the
+    // listing shows in the re-check diff; neither is destroyed)
+    val snapshot = StateFs.appendSnapshot(fs, live)
     val dirs = committedCodeDirs(spark, stateDir) // checked: never folds around a hole
     if (dirs.size <= 1) return false
-    val snapshot = StateFs.appendSnapshot(fs, live)
     // the true frontier: max over committed dirs AND skip-logged ids
     // (StreamingIvf.compactImpl rationale — keeps the id chain dense)
     val vname = StateFs.frontierName(fs, live, dirs)
@@ -288,9 +292,11 @@ object StreamingIvfPq {
       .parquet(new Path(target, vname).toString)
     StateFs.writeFolded(fs, new Path(target, vname), dirs.map(_.getName))
     StateFs.writeFileAtomic(spark, new Path(target, "MANIFEST"), vname)
-    // carry the frontier witness into the new tree (StreamingIvf
-    // compactImpl rationale)
+    // carry the frontier + genesis witnesses into the new tree
+    // (StreamingIvf compactImpl rationale)
     StateFs.writeFileAtomic(spark, StateFs.frontierFile(target),
+      vname.drop(1).toLong.toString)
+    StateFs.writeFileAtomic(spark, StateFs.genesisFile(target),
       vname.drop(1).toLong.toString)
     beforeSwap()
     // pre-swap optimistic-concurrency re-check: a drain committed an

@@ -196,7 +196,12 @@ object StateFs {
   /** Opt `base` into pointer mode — call once, on a VIRGIN state dir,
     * before the first write. Idempotent; refuses a dir that already
     * holds rename-mode state (the generations would become invisible
-    * to pointer-mode readers: silent total loss). */
+    * to pointer-mode readers: silent total loss). The marker is
+    * created BEFORE the pointer (review r15 — the other order's crash
+    * window left a dir that silently reverted to RENAME mode with a
+    * stray PTR file): a crash between the two leaves marker-without-
+    * PTR, which [[resolveLive]] safely defaults to `g0` because no
+    * generation can exist yet. */
   def enablePointerMode(spark: SparkSession, base: Path): Unit = {
     val f = fs(spark, base)
     if (pointerMode(f, base)) return
@@ -207,20 +212,38 @@ object StateFs {
         "or move them under the g0 generation) instead of converting in " +
         "place, which would hide them from pointer-mode readers")
     f.mkdirs(base)
-    writeFileAtomic(spark, new Path(base, PtrFile), "g0")
     f.create(new Path(base, PtrModeMarker), true).close()
+    writeFileAtomic(spark, new Path(base, PtrFile), "g0")
   }
 
   /** The live tree for state rooted at `base`: `base` itself in
-    * rename mode; the PTR-named generation dir in pointer mode
-    * (defaulting to `g0` inside the enablePointerMode crash window
-    * between the PTR write and the marker create — readers and the
-    * first writer agree either way). */
+    * rename mode; the PTR-named generation dir in pointer mode. A
+    * missing PTR is legitimate ONLY in the [[enablePointerMode]]
+    * crash window, where no generation beyond `g0` can exist yet —
+    * with any later generation present it is certain external loss of
+    * the pointer, and defaulting to `g0` would silently serve an
+    * empty index while the next compaction's [[gcStaleGens]] deleted
+    * the real live generation (review r15): loud instead, naming the
+    * one-line repair. */
   def resolveLive(fs: FileSystem, base: Path): Path =
     if (!pointerMode(fs, base)) base
     else {
       val p = new Path(base, PtrFile)
-      new Path(base, if (fs.exists(p)) readString(fs, p) else "g0")
+      if (fs.exists(p)) new Path(base, readString(fs, p))
+      else {
+        val gens =
+          if (fs.exists(base))
+            fs.listStatus(base).toSeq
+              .filter(s => s.isDirectory && s.getPath.getName.startsWith("g"))
+              .map(_.getPath.getName).filterNot(_ == "g0")
+          else Seq.empty
+        require(gens.isEmpty,
+          s"pointer-mode state inconsistent: $base has no PTR file but " +
+            s"generation dir(s) [${gens.sorted.mkString(", ")}] exist — " +
+            "the version pointer was removed externally; restore it (one " +
+            "line naming the live generation) or rebuild the index")
+        new Path(base, "g0")
+      }
     }
 
   /** The target generation dir a pointer-mode compaction writes into:
@@ -289,8 +312,30 @@ object StateFs {
     * certain external loss. */
   def frontierFile(dir: Path): Path = new Path(dir, "FRONTIER")
 
+  /** First batch id delivered under the dense-chain regime — the
+    * dense-id check's floor gate (review r15): a pre-r15 state dir
+    * whose history contained an EMPTY batch has a legitimate hole (no
+    * `s<id>` marker was written then), and an ungated check would
+    * permanently wedge the healthy index after an upgrade. Density is
+    * guaranteed only from the first r15-logged id on; GENESIS records
+    * it (written once by [[logAppend]], reset to the folded frontier
+    * by compaction). A dir without GENESIS gets r14 semantics. */
+  def genesisFile(dir: Path): Path = new Path(dir, "GENESIS")
+
   private def idOf(name: String): Option[Long] =
     if (name.matches("[vs]\\d+")) Some(name.drop(1).toLong) else None
+
+  /** The witness files' one shared parse policy (review r15): corrupt
+    * content is LOUD state inconsistency — [[logAppend]] must not
+    * silently rewrite a corrupt frontier downward (a real suffix loss
+    * below the old value would become undetectable), and readers must
+    * name the file instead of surfacing a bare NumberFormatException. */
+  private def readWitness(fs: FileSystem, f: Path, what: String): Long = {
+    val raw = readString(fs, f)
+    scala.util.Try(raw.toLong).getOrElse(sys.error(
+      s"$what witness $f is unreadable (content: '$raw') — restore it " +
+        "(one line holding the batch id) or rebuild the index"))
+  }
 
   def logAppend(fs: FileSystem, dir: Path, name: String): Unit = {
     val d = applogDir(dir)
@@ -309,10 +354,11 @@ object StateFs {
     // every logged id (v and s alike); O(1) per batch (one read, one
     // small-file rewrite when the frontier advances).
     for (id <- idOf(name)) {
+      val gf = genesisFile(dir)
+      if (!fs.exists(gf)) writeFileAtomicFs(fs, gf, id.toString)
       val ff = frontierFile(dir)
       val cur =
-        if (fs.exists(ff)) scala.util.Try(readString(fs, ff).toLong).getOrElse(-1L)
-        else -1L
+        if (fs.exists(ff)) readWitness(fs, ff, "frontier") else -1L
       if (id > cur) writeFileAtomicFs(fs, ff, id.toString)
     }
   }
@@ -436,11 +482,19 @@ object StateFs {
     val ids = (dirs.map(_.getName) ++ logged).collect {
       case n if n.matches("[vs]\\d+") => n.drop(1).toLong
     }.toSet
-    if (ids.nonEmpty) {
+    // Gated on GENESIS (review r15): density holds only from the first
+    // id logged under the r15 regime — a pre-r15 history's empty
+    // batches left legitimate holes no marker records, and an ungated
+    // check would wedge a healthy index on upgrade. A dir without
+    // GENESIS keeps r14 semantics (per-entry checks above only).
+    val gf = genesisFile(dir)
+    if (ids.nonEmpty && fs.exists(gf)) {
+      val genesis = readWitness(fs, gf, "genesis")
       val manifestFloor =
         if (fs.exists(manifest)) readString(fs, manifest).drop(1).toLong
         else -1L
-      val holes = ((manifestFloor + 1) to ids.max).filterNot(ids)
+      val floor = math.max(manifestFloor, genesis - 1)
+      val holes = ((floor + 1) to ids.max).filterNot(ids)
       require(holes.isEmpty,
         s"$what state inconsistent: delivered batch id(s) " +
           s"[${holes.map(i => f"v$i%020d").mkString(", ")}] under $dir are " +
@@ -459,7 +513,7 @@ object StateFs {
     // removal) skips the check — under-detects, never false-alarms.
     val ff = frontierFile(dir)
     if (fs.exists(ff)) {
-      val frontier = readString(fs, ff).toLong
+      val frontier = readWitness(fs, ff, "frontier")
       val maxSeen = if (ids.nonEmpty) ids.max else -1L
       require(maxSeen >= frontier,
         s"$what state inconsistent: the frontier witness under $dir " +

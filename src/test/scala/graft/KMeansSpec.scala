@@ -45,4 +45,18 @@ class KMeansSpec extends SparkTestBase {
     val dir = Fixtures.tempDir("kmckpt").toString
     assert(collectFit(2, Materializer.Reliable(dir)) == expected)
   }
+
+  test("seeds are the k LOWEST vec_ids, not an id range: high-id corpora fit") {
+    // review r15: the seed was `filter(vec_id < k)` — identical to
+    // lowest-k on ids dense from 0, but EMPTY for a frame whose ids
+    // all exceed k (a stream's first batch), so the fit silently
+    // returned an empty centroid frame and the streamed IVF-PQ seeder
+    // froze an empty codebook forever. Same blobs, ids shifted +100:
+    // identical centroids, c_ids carrying the shifted seed ids.
+    val shifted = blobs.withColumn("vec_id", col("vec_id") + 100L)
+    val got = KMeans.fit(shifted, k = 2, rounds = 1, mat = Materializer.Local)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2)))
+      .toList
+    assert(got == expected.map { case (id, cv, n) => (id + 100L, cv, n) })
+  }
 }

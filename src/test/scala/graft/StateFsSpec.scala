@@ -258,6 +258,24 @@ class StateFsSpec extends SparkTestBase {
     assert(StateFs.resolveLive(fs, base) === g2)
     StateFs.gcStaleGens(fs, base, "g2")
     assert(!fs.exists(g1b) && fs.exists(new Path(v2, "data")))
+    // EXTERNAL LOSS OF PTR with later generations present is loud
+    // (review r15): defaulting to g0 would serve an empty index and
+    // the next compaction's GC would delete the real live generation
+    assert(fs.delete(new Path(base, "PTR"), false))
+    val eLoss = intercept[IllegalArgumentException] {
+      StateFs.resolveLive(fs, base)
+    }
+    assert(eLoss.getMessage.contains("version pointer was removed externally")
+      && eLoss.getMessage.contains("g2"), eLoss.getMessage)
+    // the one-line repair the message prescribes recovers
+    StateFs.writeFileAtomic(spark, new Path(base, "PTR"), "g2")
+    assert(StateFs.resolveLive(fs, base) === g2)
+    // ...while marker-without-PTR on a VIRGIN dir (the enable crash
+    // window — the marker is written first) safely defaults to g0
+    val virgin = new Path(Fixtures.tempDir("statefs-ptr3").resolve("s").toString)
+    val vfs = fsFor(virgin)
+    vfs.mkdirs(virgin); touch(virgin, "PTRMODE", "")
+    assert(StateFs.resolveLive(vfs, virgin) === new Path(virgin, "g0"))
     // conversion of a LIVE rename-mode dir is refused (the generations
     // would become invisible to pointer-mode readers)
     val renameBase = new Path(Fixtures.tempDir("statefs-ptr2").resolve("s").toString)

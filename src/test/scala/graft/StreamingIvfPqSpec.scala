@@ -493,6 +493,16 @@ class StreamingIvfPqSpec extends SparkTestBase {
       .collect().map(_.toString).sorted.toSeq
     assert(cbs.collect().map(_.toString).sorted.toSeq === twinCbs,
       "trained seeding must be a deterministic function of the seed batch")
+    // a HIGH-ID first batch (all vec_ids >> kCb) still trains a
+    // non-empty codebook (review r15: KMeans seeded by id RANGE, so
+    // such a batch froze an EMPTY codebook forever; now lowest-k)
+    val high = base.resolve("high").toString
+    assert(StreamingIvfPq.appendBatch(spark, high,
+      corpus.filter($"vec_id" >= 1000), kc, m, subLen, kCb, 0L, pqRounds = 1))
+    val (hCents, hCbs, hCodes) = StreamingIvfPq.readIndex(spark, high).get
+    assert(hCbs.count() > 0, "high-id seed batch must train a non-empty codebook")
+    assert(codeSet(hCodes) === codeSet(IvfPq.append(spark,
+      quantized(corpus.filter($"vec_id" >= 1000)), hCents, hCbs, m, subLen)))
     // probes from the trained index remain the in-memory probe of the
     // same frozen pair, row for row
     val qs = corpus.filter($"vec_id" < 8)

@@ -671,6 +671,50 @@ class StreamingIvfSpec extends SparkTestBase {
         StreamingIvf.readCentroids(spark, state).get, corpus)))
   }
 
+  test("legacy state (no GENESIS witness) with an id gap is served, not " +
+      "wedged; a corrupt FRONTIER is loud, never silently rewritten") {
+    // review r15 twin guards: (a) a pre-r15 history whose empty
+    // batches left no s-markers has legitimate holes — the dense-chain
+    // check is GENESIS-gated so upgrading cannot wedge a healthy
+    // index; (b) both witness readers share one parse policy — corrupt
+    // content is loud state inconsistency, and the append path must
+    // not regress a corrupt frontier downward (a real suffix loss
+    // below the old value would become undetectable).
+    val base = Fixtures.tempDir("sivf-legacy")
+    val state = base.resolve("state").toString
+    for ((lo, hi, bid) <- Seq((0L, 60L, 0L), (60L, 130L, 1L), (130L, 2000L, 2L)))
+      assert(StreamingIvf.appendBatch(spark, state,
+        corpus.filter($"vec_id" >= lo && $"vec_id" < hi), 8, bid))
+    val lists = new File(state, "lists")
+    // construct the legacy shape: strip the r15 witnesses and open an
+    // interior hole exactly as a pre-r15 empty batch would have left
+    // (v1 gone, no s1, nothing recording either)
+    for (w <- Seq("GENESIS", "FRONTIER")) {
+      val p = new org.apache.hadoop.fs.Path(new File(lists, w).toString)
+      graft.util.StateFs.fs(spark, p).delete(p, false)
+    }
+    Fixtures.deleteRec(new File(lists, f"v${1L}%020d"))
+    assert(new File(new File(lists, "applog"), f"v${1L}%020d").delete())
+    // served (smaller — the r14 semantics for witness-less state), not
+    // wedged
+    assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) ===
+      clusterMap(Similarity.ivfAssign(
+        StreamingIvf.readCentroids(spark, state).get,
+        corpus.filter($"vec_id" < 60 || $"vec_id" >= 130))))
+    // corrupt FRONTIER: loud on read AND on append — and the append
+    // must not silently overwrite it with a lower value
+    setFrontier(lists, "not-a-number")
+    val e = intercept[RuntimeException] { StreamingIvf.readIndex(spark, state) }
+    assert(e.getMessage.contains("frontier witness") &&
+      e.getMessage.contains("unreadable"), e.getMessage)
+    val e2 = intercept[RuntimeException] {
+      StreamingIvf.appendBatch(spark, state, corpus.filter($"vec_id" < 60), 8, 3L)
+    }
+    assert(e2.getMessage.contains("unreadable"), e2.getMessage)
+    assert(scala.io.Source.fromFile(new File(lists, "FRONTIER")).mkString.trim
+      === "not-a-number", "the corrupt witness must not be rewritten")
+  }
+
   test("compaction names its generation at a skip-logged frontier, keeping " +
       "the dense chain intact when the last delivered batch was empty") {
     // compaction consumes the applog with the swap — if the generation
