@@ -905,8 +905,8 @@ object StressMain {
       serve("final+1append")
       if (ptrMode) {
         val codes = new java.io.File(state, "codes")
-        val ptr = scala.io.Source.fromFile(new java.io.File(codes, "PTR"))
-          .mkString.trim
+        val ptr = java.nio.file.Files.readString(
+          new java.io.File(codes, "PTR").toPath).trim
         val gens = codes.list().filter(_.startsWith("g")).sorted.toSeq
         println(s"[stress] ivfpq-stream PTR=$ptr gens=${gens.mkString(",")}")
       }

@@ -19,8 +19,10 @@ import org.apache.spark.sql.SparkSession
   * WeakHashMap key forever — values are SoftReferences. A stopped
   * session's values survive at most until memory pressure; a cleared
   * ref in a live session merely recomputes (the memo is a cache,
-  * never a correctness dependency). Bounded: beyond 8 keys the
-  * per-session map is evicted rather than grown.
+  * never a correctness dependency). Bounded: beyond 8 keys the OLDEST
+  * entry is evicted (FIFO), its delete callback deferred to the next
+  * explicit drop/resetAll — the safe point where no query can be in
+  * flight against the evicted state (ADVICE r15).
   *
   * Locking (ADVICE r8, inherited): the global monitor guards only map
   * access; `compute` runs under the PER-SESSION monitor, so
@@ -45,10 +47,23 @@ private[graft] object SessionMemo {
     registry.synchronized { registry.toSeq }.foreach(_.drop(s))
 
   final class Memo[V <: AnyRef](onEvict: V => Unit = (_: AnyRef) => ()) {
-    registry.synchronized { registry += this; () }
-
+    // insertion-ordered (LinkedHashMap) so size-bound eviction can
+    // drop the OLDEST entry — FIFO, deliberately not LRU: re-ordering
+    // on every hit buys nothing for the bench/driver access pattern
     private val memo = new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, java.lang.ref.SoftReference[V]]]()
+      scala.collection.mutable.LinkedHashMap[String, java.lang.ref.SoftReference[V]]]()
+
+    // values evicted by the size bound, awaiting their onEvict at the
+    // next SAFE POINT (an explicit drop/resetAll, whose contract is
+    // "no in-flight queries") — the callback must not run at eviction
+    // time because another thread of the same session may be mid-query
+    // against the evicted state dir (review r15)
+    private val pending = scala.collection.mutable.ArrayBuffer.empty[V]
+
+    // registration is the LAST initializer (ADVICE r15): publishing
+    // `this` before the fields above exist let a concurrent resetAll()
+    // NPE inside drop() during the construction window
+    registry.synchronized { registry += this; () }
 
     /** The memoized value for `(s, key)`, computing and caching on a
       * miss. `compute` must return a value safe to re-consume across
@@ -56,7 +71,7 @@ private[graft] object SessionMemo {
     def apply(s: SparkSession, key: String)(compute: => V): V = {
       val perSession = memo.synchronized {
         Option(memo.get(s)).getOrElse {
-          val m = scala.collection.mutable.Map
+          val m = scala.collection.mutable.LinkedHashMap
             .empty[String, java.lang.ref.SoftReference[V]]
           memo.put(s, m)
           m
@@ -66,16 +81,22 @@ private[graft] object SessionMemo {
         perSession.get(key).flatMap(r => Option(r.get())) match {
           case Some(v) => v
           case None =>
-            // size-bound eviction drops the MAP ENTRIES ONLY — it must
-            // not run the delete callback (review r15): another thread
-            // of the same session may be mid-query against one of the
-            // evicted state dirs, and deleting it under an in-flight
-            // scan fails that query. Evicted dirs stay on disk until
-            // the JVM-exit hook (bounded: a session rarely overflows).
-            // The EXPLICIT [[drop]]/[[SessionMemo.resetAll]] path does
-            // delete — its contract is "no in-flight queries" (the
-            // bench and specs call it between queries, sequentially).
-            if (perSession.size > 8) perSession.clear()
+            // Size-bound eviction drops ONE entry — the oldest — not
+            // the whole map (ADVICE r15: clear() threw away all 8 hot
+            // entries at once, so alternating >8 keys rebuilt
+            // everything every time). The evicted value's delete
+            // callback does NOT run here: another thread of the same
+            // session may be mid-query against the evicted state dir
+            // (review r15) — it is queued and runs at the next safe
+            // point (an explicit [[drop]]/[[SessionMemo.resetAll]],
+            // whose contract is "no in-flight queries"), with the
+            // JVM-exit hook as the backstop for dirs never dropped.
+            if (perSession.size > 8) {
+              val (oldKey, oldRef) = perSession.head
+              perSession.remove(oldKey)
+              Option(oldRef.get()).foreach(v =>
+                pending.synchronized { pending += v; () })
+            }
             val v = compute
             perSession.put(key, new java.lang.ref.SoftReference(v))
             v
@@ -93,6 +114,12 @@ private[graft] object SessionMemo {
         m.values.flatMap(r => Option(r.get())).foreach(onEvict)
         m.clear()
       })
+      // the safe point for size-bound evictions queued by apply()
+      // (same no-in-flight-queries contract as the entries above)
+      val flushed = pending.synchronized {
+        val vs = pending.toSeq; pending.clear(); vs
+      }
+      flushed.foreach(onEvict)
     }
   }
 

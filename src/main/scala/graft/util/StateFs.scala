@@ -178,12 +178,13 @@ object StateFs {
   // invisible), then publishes it by atomically rewriting PTR (one
   // small-object replace: atomic on HDFS/local via the FileContext
   // overwrite-rename, effectively atomic on S3-class stores where a
-  // PUT replaces the whole object), then GCs the previous
-  // generation. Crash matrix, all read-safe with ZERO repair: a
-  // partial `g<k+1>` with PTR at `g<k>` serves the old generation; a
-  // moved PTR with the previous generation not yet deleted serves
-  // the new one; stale generations are GC'd at the next compaction
-  // entry. The mode is a per-state-dir property recorded by a
+  // PUT replaces the whole object). The previous generation is KEPT
+  // as an in-flight-reader grace window (pointerSwap scaladoc) and
+  // GC'd at the next compaction entry. Crash matrix, all read-safe
+  // with ZERO repair: a partial `g<k+1>` with PTR at `g<k>` serves
+  // the old generation; a moved PTR serves the new one while the
+  // predecessor idles; stale generations are GC'd at the next
+  // compaction entry. The mode is a per-state-dir property recorded by a
   // `PTRMODE` marker, chosen ONCE on a virgin dir — the two layouts
   // must not mix, so in-place conversion is refused.
 
@@ -251,24 +252,34 @@ object StateFs {
   def nextGen(base: Path, live: Path): Path =
     new Path(base, "g" + (live.getName.drop(1).toLong + 1))
 
-  /** Publish `next` as the live generation (one atomic PTR rewrite —
-    * the pointer-mode swap), then GC the previous generation. A crash
-    * between the two leaves a stale `prev` the next
-    * [[gcStaleGens]] collects; readers already follow the moved
-    * pointer. */
-  def pointerSwap(spark: SparkSession, base: Path, prev: Path, next: Path): Unit = {
+  /** Publish `next` as the live generation — ONE atomic PTR rewrite,
+    * nothing else. The previous generation is deliberately KEPT
+    * (ADVICE r15): a reader that resolved it just before the swap may
+    * still be mid-scan, and deleting it inline would fail that read —
+    * the pointer mode's read-safe crash matrix extends to LIVE readers
+    * during compaction only if the superseded generation survives the
+    * swap as a grace window. It is collected by [[gcStaleGens]] at the
+    * next compaction entry, which by the single-writer discipline is
+    * the next point guaranteed free of readers mid-scan on it; the
+    * cost is one stale generation of disk between compactions. */
+  def pointerSwap(spark: SparkSession, base: Path, prev: Path, next: Path): Unit =
     writeFileAtomic(spark, new Path(base, PtrFile), next.getName)
-    deleteRec(fs(spark, base), prev)
-  }
 
   /** Writer-entry GC for pointer mode: every `g*` generation except
-    * the live one is stale — a crashed compaction's partial target,
-    * or a previous generation whose post-publish delete crashed. */
+    * the live one is stale — a crashed compaction's partial target, or
+    * the previous generation [[pointerSwap]] left as the reader grace
+    * window. Also drops orphan `*.tmp` FILES directly under `base`
+    * (ADVICE r15: a crash between [[writeFileAtomicFs]]'s create and
+    * rename strands a `PTR.tmp` nothing else cleans — healWriter is a
+    * no-op in pointer mode and the generation GC only removes
+    * directories). */
   def gcStaleGens(fs: FileSystem, base: Path, keep: String): Unit =
     if (fs.exists(base))
       fs.listStatus(base).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("g") &&
-          s.getPath.getName != keep)
+        .filter(s =>
+          (s.isDirectory && s.getPath.getName.startsWith("g") &&
+            s.getPath.getName != keep) ||
+          (s.isFile && s.getPath.getName.endsWith(".tmp")))
         .foreach(s => deleteRec(fs, s.getPath))
 
   // ---- crash-interrupted-compaction marker ----

@@ -243,21 +243,33 @@ class StateFsSpec extends SparkTestBase {
     // writer-entry GC collects the stale target
     StateFs.gcStaleGens(fs, base, "g0")
     assert(!fs.exists(g1) && fs.exists(new Path(v0, "data")))
-    // a clean pointer swap: stage g1, publish, previous generation GC'd
+    // a clean pointer swap: stage g1, publish — the previous
+    // generation is KEPT as the in-flight-reader grace window
+    // (ADVICE r15: an inline delete yanked files out from under a
+    // reader that resolved g0 just before the swap) and falls to the
+    // next writer-entry GC
     val g1b = mk(new Path(base, "g1"))
     val v1 = mk(new Path(g1b, "v1")); touch(v1, "_SUCCESS"); touch(v1, "data", "b")
     StateFs.pointerSwap(spark, base, g0, g1b)
     assert(StateFs.resolveLive(fs, base) === g1b)
-    assert(!fs.exists(g0), "pointer swap must GC the previous generation")
-    // crash state 2: pointer moved but the previous-generation delete
-    // crashed — readers follow the pointer; the stale prev is GC'd at
-    // the next writer entry
+    assert(fs.exists(new Path(v0, "data")),
+      "the superseded generation must survive the swap (reader grace window)")
+    StateFs.gcStaleGens(fs, base, "g1")
+    assert(!fs.exists(g0) && fs.exists(new Path(v1, "data")))
+    // crash state 2: pointer moved manually (the swap-without-GC shape
+    // is now also the NORMAL post-swap state) — readers follow the
+    // pointer; the stale prev is GC'd at the next writer entry
     val g2 = mk(new Path(base, "g2"))
     val v2 = mk(new Path(g2, "v2")); touch(v2, "_SUCCESS"); touch(v2, "data", "c")
     StateFs.writeFileAtomic(spark, new Path(base, "PTR"), "g2") // swap w/o delete
     assert(StateFs.resolveLive(fs, base) === g2)
+    // ...and an orphan PTR.tmp from a crashed atomic write is cleaned
+    // by the same GC (ADVICE r15: nothing else ever removed it)
+    touch(base, "PTR.tmp", "orphan")
     StateFs.gcStaleGens(fs, base, "g2")
     assert(!fs.exists(g1b) && fs.exists(new Path(v2, "data")))
+    assert(!fs.exists(new Path(base, "PTR.tmp")),
+      "writer-entry GC must drop orphan .tmp files under the base")
     // EXTERNAL LOSS OF PTR with later generations present is loud
     // (review r15): defaulting to g0 would serve an empty index and
     // the next compaction's GC would delete the real live generation

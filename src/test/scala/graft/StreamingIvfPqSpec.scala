@@ -273,12 +273,14 @@ class StreamingIvfPqSpec extends SparkTestBase {
         corpus.filter($"vec_id" >= lo && $"vec_id" < hi),
         kc, m, subLen, kCb, bid))
     val codes = new File(state, "codes")
-    def ptr() = scala.io.Source.fromFile(new File(codes, "PTR")).mkString.trim
+    def ptr() = java.nio.file.Files.readString(new File(codes, "PTR").toPath).trim
     assert(ptr() === "g0")
     assert(StreamingIvfPq.compact(spark, state))
     assert(StreamingIvfPq.compact(spark, twin))
     assert(ptr() === "g1")
-    assert(!new File(codes, "g0").exists())
+    assert(new File(codes, "g0").exists(),
+      "the superseded generation must survive the swap (reader grace " +
+        "window, ADVICE r15) until the next writer-entry GC")
     assert(new File(codes, "g1").list().filter(_.startsWith("v")).toSeq ===
       Seq(f"v${1L}%020d"))
     // mode transparency: served codes and probes identical
@@ -295,6 +297,13 @@ class StreamingIvfPqSpec extends SparkTestBase {
         corpus.filter($"vec_id" >= 150L), kc, m, subLen, kCb, 2L))
     assert(codeSet(StreamingIvfPq.readIndex(spark, state).get._3) ===
       codeSet(StreamingIvfPq.readIndex(spark, twin).get._3))
+    // the next compaction's writer-entry GC collects the grace window
+    assert(StreamingIvfPq.compact(spark, state))
+    assert(ptr() === "g2")
+    assert(!new File(codes, "g0").exists(),
+      "the grace-window generation must fall to the writer-entry GC")
+    assert(new File(codes, "g1").exists(),
+      "g1 is the new grace window after the second swap")
   }
 
   test("randomized drain/compact/crash/loss walk: the served codes always " +
@@ -428,7 +437,7 @@ class StreamingIvfPqSpec extends SparkTestBase {
           // the manifest check's drill — StreamingIvfSpec rationale)
           val mf = new File(codesDir, "MANIFEST")
           val isManifestGen = mf.exists() &&
-            scala.io.Source.fromFile(mf).mkString.trim == top
+            java.nio.file.Files.readString(mf.toPath).trim == top
           if (marker.exists() && !isManifestGen) {
             val dAside = new File(base.toFile, s"sfx-$step")
             val mAside = new File(base.toFile, s"sfxm-$step")

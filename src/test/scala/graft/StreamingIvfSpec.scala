@@ -415,7 +415,7 @@ class StreamingIvfSpec extends SparkTestBase {
           // it, so marker presence alone does not rule this out)
           val mf = new File(lists, "MANIFEST")
           val isManifestGen = mf.exists() &&
-            scala.io.Source.fromFile(mf).mkString.trim == top
+            java.nio.file.Files.readString(mf.toPath).trim == top
           if (marker.exists() && !isManifestGen) {
             val dAside = new File(base.toFile, s"sfx-$step")
             val mAside = new File(base.toFile, s"sfxm-$step")
@@ -536,7 +536,7 @@ class StreamingIvfSpec extends SparkTestBase {
       assert(StreamingIvf.appendBatch(spark, st,
         corpus.filter($"vec_id" >= lo && $"vec_id" < hi), 8, bid))
     val lists = new File(state, "lists")
-    def ptr() = scala.io.Source.fromFile(new File(lists, "PTR")).mkString.trim
+    def ptr() = java.nio.file.Files.readString(new File(lists, "PTR").toPath).trim
     def genDirs(g: String) = new File(lists, g).list()
       .filter(_.startsWith("v")).sorted.toSeq
     // appends land inside the g0 generation (per-batch dirs + applog)
@@ -547,12 +547,14 @@ class StreamingIvfSpec extends SparkTestBase {
     val served = clusterMap(StreamingIvf.readIndex(spark, state).get._2)
     assert(served === clusterMap(StreamingIvf.readIndex(spark, twin).get._2))
     // compact both modes: pointer mode stages g1 (clobbering the stale
-    // partial) and publishes it with one PTR rewrite; g0 is GC'd
+    // partial) and publishes it with one PTR rewrite; g0 is KEPT as
+    // the in-flight-reader grace window (ADVICE r15) and falls to the
+    // next writer-entry GC
     assert(StreamingIvf.compact(spark, state))
     assert(StreamingIvf.compact(spark, twin))
     assert(ptr() === "g1")
-    assert(!new File(lists, "g0").exists(),
-      "the previous generation must be GC'd after the pointer swap")
+    assert(new File(lists, "g0").exists(),
+      "the superseded generation must survive the swap (reader grace window)")
     assert(genDirs("g1") === Seq(f"v${1L}%020d"))
     assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) === served)
     // probes identical across modes (partition-pruned compacted layout)
@@ -582,11 +584,16 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(ptr() === "g1")
     assert(!new File(lists, "g2").exists(),
       "the aborted target generation must be discarded")
+    assert(!new File(lists, "g0").exists(),
+      "the grace-window generation must fall to the writer-entry GC")
     assert(genDirs("g1") === (1L to 3L).map(i => f"v$i%020d"))
-    // the next clean compaction folds everything and advances to g2
+    // the next clean compaction folds everything and advances to g2,
+    // leaving g1 as the new grace window
     assert(StreamingIvf.compact(spark, state))
     assert(ptr() === "g2")
     assert(genDirs("g2") === Seq(f"v${3L}%020d"))
+    assert(new File(lists, "g1").exists(),
+      "the superseded generation must survive the swap (reader grace window)")
   }
 
   test("marker+dir co-loss is loud (dense id chain); empty batches log " +
@@ -637,7 +644,7 @@ class StreamingIvfSpec extends SparkTestBase {
         corpus.filter($"vec_id" >= lo && $"vec_id" < hi), 8, bid))
     val lists = new File(state, "lists")
     val ff = new File(lists, "FRONTIER")
-    def frontier() = scala.io.Source.fromFile(ff).mkString.trim.toLong
+    def frontier() = java.nio.file.Files.readString(ff.toPath).trim.toLong
     assert(frontier() === 2L)
     // the witness LAGS, never leads: a manually-regressed frontier
     // (the marker-to-frontier crash window) must not alarm, and the
@@ -711,7 +718,7 @@ class StreamingIvfSpec extends SparkTestBase {
       StreamingIvf.appendBatch(spark, state, corpus.filter($"vec_id" < 60), 8, 3L)
     }
     assert(e2.getMessage.contains("unreadable"), e2.getMessage)
-    assert(scala.io.Source.fromFile(new File(lists, "FRONTIER")).mkString.trim
+    assert(java.nio.file.Files.readString(new File(lists, "FRONTIER").toPath).trim
       === "not-a-number", "the corrupt witness must not be rewritten")
   }
 
