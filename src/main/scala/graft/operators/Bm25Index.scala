@@ -69,13 +69,21 @@ import graft.util.StateFs
   * `dl` probes join on (doc_id, chunk_id) after the postings filter
   * has already shrunk the left side to matching chunks only.
   *
-  * Object-store note (r15): the merged `df`/`stats` store already IS
-  * a version-pointer layout (`merged/CURRENT` — no rename is
-  * load-bearing there), so only the two family swaps depend on
-  * rename atomicity; they could adopt
-  * [[graft.util.StateFs.enablePointerMode]] exactly as the streamed
-  * vector indexes do (their spec-pinned wiring is the template) when
-  * an s3a:// deployment needs it.
+  * Object-store note (r15/r16): the merged `df`/`stats` store already
+  * IS a version-pointer layout (`merged/CURRENT` — no rename is
+  * load-bearing there), and since r16 the two family stores can opt
+  * into the same discipline via [[enablePointerMode]]
+  * ([[graft.util.StateFs.enablePointerMode]] per family dir, the
+  * streamed-vector-index wiring): each family dir becomes a container
+  * of `g<k>` generation dirs plus a one-line `PTR` file, compaction
+  * stages its rewrite in the UNPUBLISHED next generation and
+  * publishes with one atomic small-file rewrite, and the superseded
+  * generation survives as an in-flight-reader grace window until the
+  * next compaction entry's GC. With that mode on, NO directory rename
+  * anywhere in this index is load-bearing — the s3a://-safe shape.
+  * Rename mode stays the default (one fewer indirection on
+  * rename-atomic filesystems); the two layouts must not mix, so the
+  * mode is chosen once on a virgin state dir.
   */
 object Bm25Index {
 
@@ -139,6 +147,30 @@ object Bm25Index {
   // the driver's local disk (review r12).
   private def mergedDir(stateDir: String) = new Path(stateDir, "merged")
 
+  private def familyBase(stateDir: String, sub: String) = new Path(stateDir, sub)
+
+  /** The live tree of one append family: the family dir itself in the
+    * default rename-swap mode; the PTR-named generation dir under it
+    * in pointer mode ([[graft.util.StateFs.resolveLive]] — the
+    * [[graft.streaming.StreamingIvf]] device). */
+  private def familyLive(spark: SparkSession, stateDir: String, sub: String): Path = {
+    val base = familyBase(stateDir, sub)
+    StateFs.resolveLive(StateFs.fs(spark, base), base)
+  }
+
+  /** Opt this index's two append families (`postings/`, `dl/`) into
+    * the version-pointer swap mode — the object-store-safe layout
+    * where [[compact]] publishes each family via one atomic `PTR`
+    * rewrite instead of a directory rename (header scaladoc; the
+    * merged `df`/`stats` store is already pointer-based, so with this
+    * on no rename in the index is load-bearing). Call ONCE on a
+    * virgin state dir, before the first batch; the mode is recorded
+    * per family dir and every later read/append/compact follows it
+    * transparently. */
+  def enablePointerMode(spark: SparkSession, stateDir: String): Unit =
+    for (sub <- Seq("postings", "dl"))
+      StateFs.enablePointerMode(spark, familyBase(stateDir, sub))
+
   /** The committed merged version name, or None before the first
     * fully-committed batch. A version is served only if the pointer
     * names it AND both its frames finished writing. */
@@ -171,7 +203,7 @@ object Bm25Index {
   private def visibleAppendDirs(spark: SparkSession, stateDir: String,
       sub: String, lastBatch: Long): Seq[String] = {
     val frontier = f"v$lastBatch%020d"
-    val dir = new Path(stateDir, sub)
+    val dir = familyLive(spark, stateDir, sub)
     StateFs.committedVDirs(StateFs.fs(spark, dir), dir)
       .filter(_.getName <= frontier).map(_.toString)
   }
@@ -195,7 +227,7 @@ object Bm25Index {
     // WAL also committed that batch.
     if (cur.isEmpty) {
       val gens = Seq("postings", "dl").flatMap { sub =>
-        val d = new Path(stateDir, sub)
+        val d = familyLive(spark, stateDir, sub)
         val f = StateFs.fs(spark, d)
         StateFs.committedVDirs(f, d).map(p =>
           (p.getName, f.exists(new Path(p, "_COMPACTED"))))
@@ -214,14 +246,14 @@ object Bm25Index {
       // in place, genuine external loss fails loudly).
       val pDirs = resolveFamily(spark, stateDir, "postings", "p_dirs",
         st, stats.columns)._1
-        .map(n => new Path(new Path(stateDir, "postings"), n).toString)
+        .map(n => new Path(familyLive(spark, stateDir, "postings"), n).toString)
       val postings =
         if (pDirs.isEmpty) emptyPostings(spark)
         else pDirs.map(d => spark.read.option("basePath", d).parquet(d))
           .reduce(_ unionByName _)
       val dlDirs = resolveFamily(spark, stateDir, "dl", "dl_dirs",
         st, stats.columns)._1
-        .map(n => new Path(new Path(stateDir, "dl"), n).toString)
+        .map(n => new Path(familyLive(spark, stateDir, "dl"), n).toString)
       val dl =
         if (dlDirs.isEmpty) emptyDl(spark)
         else dlDirs.map(readDlDir(spark, _)).reduce(_ unionByName _)
@@ -250,7 +282,7 @@ object Bm25Index {
   private def resolveFamily(spark: SparkSession, stateDir: String,
       sub: String, manifestCol: String, st: org.apache.spark.sql.Row,
       statsCols: Seq[String]): (Seq[String], Boolean) = {
-    val sdir = new Path(stateDir, sub)
+    val sdir = familyLive(spark, stateDir, sub)
     val last = st.getLong(st.fieldIndex("last_batch"))
     if (statsCols.contains(manifestCol)) {
       val names = st.getSeq[String](st.fieldIndex(manifestCol))
@@ -348,7 +380,7 @@ object Bm25Index {
     // compacted union of ALL batches with this batch alone.
     if (cur.isEmpty) {
       val stray = Seq("postings", "dl").flatMap { sub =>
-        val d = new Path(stateDir, sub)
+        val d = familyLive(spark, stateDir, sub)
         val f = StateFs.fs(spark, d)
         StateFs.committedVDirs(f, d).map(p =>
           (p.getName, f.exists(new Path(p, "_COMPACTED"))))
@@ -393,10 +425,10 @@ object Bm25Index {
         // wants at any scale.
         postings.repartition(col("tkb"))
           .write.mode("overwrite").partitionBy("tkb")
-          .parquet(new Path(new Path(stateDir, "postings"), vname).toString)
+          .parquet(new Path(familyLive(spark, stateDir, "postings"), vname).toString)
         dl.repartition(col("dhb"))
           .write.mode("overwrite").partitionBy("dhb")
-          .parquet(new Path(new Path(stateDir, "dl"), vname).toString)
+          .parquet(new Path(familyLive(spark, stateDir, "dl"), vname).toString)
         val bDf = postings.groupBy("token").agg(count(lit(1)).as("df"))
         val bStats = dl.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("t_tok"))
@@ -430,7 +462,7 @@ object Bm25Index {
   private def appendDirNames(spark: SparkSession, stateDir: String,
       sub: String, lastBatch: Long): Seq[String] = {
     val frontier = f"v$lastBatch%020d"
-    val dir = new Path(stateDir, sub)
+    val dir = familyLive(spark, stateDir, sub)
     StateFs.committedVDirs(StateFs.fs(spark, dir), dir)
       .map(_.getName).filter(_ <= frontier)
   }
@@ -454,16 +486,19 @@ object Bm25Index {
     * readers only restore a mid-swap-crashed family so its data is
     * visible; writers additionally drop stale `.bak`/orphan `.tmp`
     * dirs. Readers running the full destructive heal could delete a
-    * live compaction's `.tmp` out from under it (review r12). */
+    * live compaction's `.tmp` out from under it (review r12). In
+    * pointer mode both are structural no-ops — a generation dir never
+    * has `.bak`/`.tmp` siblings; its crash states are GC'd at compact
+    * entry instead ([[graft.util.StateFs.gcStaleGens]]). */
   private def healReaderAll(spark: SparkSession, stateDir: String): Unit =
     for (sub <- Seq("postings", "dl")) {
-      val live = new Path(stateDir, sub)
+      val live = familyLive(spark, stateDir, sub)
       StateFs.healReader(StateFs.fs(spark, live), live)
     }
 
   private def healWriterAll(spark: SparkSession, stateDir: String): Unit =
     for (sub <- Seq("postings", "dl")) {
-      val live = new Path(stateDir, sub)
+      val live = familyLive(spark, stateDir, sub)
       StateFs.healWriter(StateFs.fs(spark, live), live)
     }
 
@@ -521,7 +556,7 @@ object Bm25Index {
     * concurrent [[appendBatch]] commit changes. */
   private def familySnapshot(spark: SparkSession, stateDir: String): Set[String] = {
     val fams = Seq("postings", "dl").flatMap { sub =>
-      val d = new Path(stateDir, sub)
+      val d = familyLive(spark, stateDir, sub)
       StateFs.committedVDirs(StateFs.fs(spark, d), d).map(p => s"$sub/${p.getName}")
     }
     val md = mergedDir(stateDir)
@@ -536,7 +571,19 @@ object Bm25Index {
     * Compactor/StreamingIvf device). */
   private[graft] def compactImpl(spark: SparkSession, stateDir: String,
       beforeSwap: () => Unit): Boolean = {
-    healWriterAll(spark, stateDir)
+    // writer-entry repair, per swap mode: rename mode heals the
+    // rename-aside crash windows; pointer mode GCs stale generations
+    // — a crashed compaction's partial unpublished target, or the
+    // superseded generation kept as the reader grace window
+    // ([[graft.util.StateFs.gcStaleGens]]). Resolve AFTER the GC so a
+    // half-enabled dir cannot change resolution mid-call.
+    for (sub <- Seq("postings", "dl")) {
+      val base = familyBase(stateDir, sub)
+      val f = StateFs.fs(spark, base)
+      if (StateFs.pointerMode(f, base))
+        StateFs.gcStaleGens(f, base, StateFs.resolveLive(f, base).getName)
+      else StateFs.healWriter(f, StateFs.resolveLive(f, base))
+    }
     // the concurrency snapshot is taken at ENTRY, before readMerged /
     // resolveFamily / the migration schema probes (review r15 — taken
     // after them, a batch committing inside those several Spark
@@ -558,8 +605,10 @@ object Bm25Index {
       resolveFamily(spark, stateDir, "postings", "p_dirs", st, stats0.columns)
     val (dlNames, dlStale) =
       resolveFamily(spark, stateDir, "dl", "dl_dirs", st, stats0.columns)
-    val pPaths = pNames.map(n => new Path(new Path(stateDir, "postings"), n).toString)
-    val dlPaths = dlNames.map(n => new Path(new Path(stateDir, "dl"), n).toString)
+    val pLive = familyLive(spark, stateDir, "postings")
+    val dlLive = familyLive(spark, stateDir, "dl")
+    val pPaths = pNames.map(n => new Path(pLive, n).toString)
+    val dlPaths = dlNames.map(n => new Path(dlLive, n).toString)
     // a SINGLE pre-dhb dl generation still needs the bucketed rewrite
     // (review r12: the dir-count guard alone left such a state
     // permanently unmigrated and its dl scans permanently unpruned)
@@ -571,30 +620,39 @@ object Bm25Index {
     // layout → true no-op; a stale manifest alone still needs the
     // completion commit below
     if (!doP && !doDl && !pStale && !dlStale) return false
-    val pLive = new Path(stateDir, "postings")
-    val dlLive = new Path(stateDir, "dl")
+    // per-family staging target: rename mode stages under
+    // `<family>.tmp` and installs by rename-aside swap; pointer mode
+    // stages in the UNPUBLISHED next generation and installs with one
+    // atomic PTR rewrite — no directory rename is load-bearing, the
+    // object-store-safe path (StateFs pointer-mode scaladoc)
+    def stageTarget(sub: String, live: Path): Path = {
+      val base = familyBase(stateDir, sub)
+      if (StateFs.pointerMode(StateFs.fs(spark, base), base))
+        StateFs.nextGen(base, live)
+      else StateFs.tmpOf(live)
+    }
+    val pTarget = stageTarget("postings", pLive)
+    val dlTarget = stageTarget("dl", dlLive)
     // stage BOTH rewrites before either family swaps, so the single
     // pre-swap re-check below covers the whole rewrite window (header
     // scaladoc — with write-swap interleaved per family, a concurrent
     // batch landing during the dl rewrite would be caught only after
     // the postings swap had already destroyed its postings dir)
     if (doP) {
-      val pTmp = StateFs.tmpOf(pLive)
       pPaths.map(d => spark.read.option("basePath", d).parquet(d))
         .reduce(_ unionByName _)
         .repartition(col("tkb")) // bucket-aligned: ≤64 files, not tasks×64
         .write.mode("overwrite").partitionBy("tkb")
-        .parquet(new Path(pTmp, vname).toString)
-      StateFs.writeFolded(StateFs.fs(spark, pLive), new Path(pTmp, vname), pNames)
+        .parquet(new Path(pTarget, vname).toString)
+      StateFs.writeFolded(StateFs.fs(spark, pLive), new Path(pTarget, vname), pNames)
     }
     if (doDl) {
-      val dlTmp = StateFs.tmpOf(dlLive)
       dlPaths.map(readDlDir(spark, _))
         .reduce(_ unionByName _)
         .repartition(col("dhb"))
         .write.mode("overwrite").partitionBy("dhb")
-        .parquet(new Path(dlTmp, vname).toString)
-      StateFs.writeFolded(StateFs.fs(spark, dlLive), new Path(dlTmp, vname), dlNames)
+        .parquet(new Path(dlTarget, vname).toString)
+      StateFs.writeFolded(StateFs.fs(spark, dlLive), new Path(dlTarget, vname), dlNames)
     }
     beforeSwap()
     // pre-swap optimistic-concurrency re-check: a concurrent
@@ -604,17 +662,26 @@ object Bm25Index {
     val now = familySnapshot(spark, stateDir)
     if (now != snapshot) {
       val changed = ((now diff snapshot) ++ (snapshot diff now)).toSeq.sorted
-      for (live <- Seq(pLive, dlLive))
-        StateFs.deleteRec(StateFs.fs(spark, live), StateFs.tmpOf(live))
+      for (target <- Seq(pTarget, dlTarget))
+        StateFs.deleteRec(StateFs.fs(spark, target), target)
       sys.error(s"BM25 compact: $stateDir changed during the rewrite " +
         s"(concurrent writer; changed entries: ${changed.mkString(", ")}) " +
         "— rewrites discarded, live index intact including the concurrent " +
         "batch; rerun compaction in the no-writer maintenance slot")
     }
-    if (doP) StateFs.swapInKeepBak(StateFs.fs(spark, pLive), pLive,
-      StateFs.tmpOf(pLive))
-    if (doDl) StateFs.swapInKeepBak(StateFs.fs(spark, dlLive), dlLive,
-      StateFs.tmpOf(dlLive))
+    // install: one atomic PTR rewrite per pointer-mode family (the
+    // superseded generation survives as the reader grace window and
+    // falls to the next compact entry's GC); rename-aside with kept
+    // `.bak` otherwise (old generations must outlive the manifest
+    // re-commit below — ADVICE r12)
+    def install(sub: String, live: Path, target: Path): Unit = {
+      val base = familyBase(stateDir, sub)
+      val f = StateFs.fs(spark, base)
+      if (StateFs.pointerMode(f, base)) StateFs.pointerSwap(spark, base, live, target)
+      else StateFs.swapInKeepBak(f, live, target)
+    }
+    if (doP) install("postings", pLive, pTarget)
+    if (doDl) install("dl", dlLive, dlTarget)
     // Re-commit the merged generation so the manifest names the
     // compacted layout — without this every manifest-based read after
     // a compaction would take the crash-fallback path. Statistics are
@@ -630,9 +697,13 @@ object Bm25Index {
         .withColumn("dl_dirs", typedLit(newDl))
         .localCheckpoint(true))
     // only now is it safe to discard the swapped-away generations:
-    // the committed manifest no longer names them
+    // the committed manifest no longer names them. Rename mode only —
+    // in pointer mode there is no `.bak` (structural no-op here) and
+    // the superseded generation deliberately SURVIVES even past this
+    // commit as the in-flight-reader grace window, collected at the
+    // next compact entry's gcStaleGens.
     for (sub <- Seq("postings", "dl")) {
-      val live = new Path(stateDir, sub)
+      val live = familyLive(spark, stateDir, sub)
       StateFs.dropBak(StateFs.fs(spark, live), live)
     }
     true

@@ -434,6 +434,114 @@ class Bm25IndexSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq === want)
   }
 
+  test("pointer mode: family compaction publishes via one PTR rewrite per " +
+      "family; retrieval identical to rename mode; a crash before the " +
+      "manifest re-commit serves through the fallback; the concurrency " +
+      "guard discards only the staged generations") {
+    // VERDICT r15 #1: the object-store-safe swap mode (the
+    // StreamingIvfSpec pointer-mode template) adopted for the BM25
+    // family stores — with it, NO directory rename anywhere in this
+    // index is load-bearing. A rename-mode TWIN is fed the same
+    // batches so mode transparency is checked at every step.
+    import spark.implicits._
+    val baseDir = Fixtures.tempDir("bm25-ptr")
+    val state = baseDir.resolve("state").toString
+    val twin = baseDir.resolve("twin").toString // rename mode
+    val terms = Seq("spark", "vector", "customer")
+    Bm25Index.enablePointerMode(spark, state)
+    for (i <- 0 until 3; st <- Seq(state, twin))
+      assert(Bm25Index.appendBatch(spark, st,
+        docs.filter(bucket >= i * 25 && bucket < (i + 1) * 25), i.toLong))
+    def ptrOf(sub: String): String = java.nio.file.Files.readString(
+      new File(new File(state, sub), "PTR").toPath).trim
+    def genDirs(sub: String, g: String): Seq[String] =
+      Option(new File(new File(state, sub), g).list()).getOrElse(Array.empty)
+        .filter(_.startsWith("v")).sorted.toSeq
+    def serve(st: String): Seq[String] =
+      Bm25Index.retrieve(spark, st, terms).collect().map(_.toString).toSeq
+    // appends land inside the g0 generation of both families
+    assert(ptrOf("postings") === "g0" && ptrOf("dl") === "g0")
+    assert(genDirs("postings", "g0") === (0L to 2L).map(i => f"v$i%020d"))
+    val want = serve(twin)
+    assert(serve(state) === want, "pointer mode must be serving-transparent")
+    // a stale partial target from a crashed compaction is invisible
+    // (readers follow PTR) and falls to the next compact entry's GC
+    assert(new File(new File(new File(state, "postings"), "g1"), "junk").mkdirs())
+    assert(serve(state) === want)
+    // compact both modes: pointer mode publishes each family with ONE
+    // atomic PTR rewrite; the superseded g0 is KEPT (in-flight-reader
+    // grace window) and falls to the next writer-entry GC
+    assert(Bm25Index.compact(spark, state))
+    assert(Bm25Index.compact(spark, twin))
+    assert(ptrOf("postings") === "g1" && ptrOf("dl") === "g1")
+    assert(new File(new File(state, "postings"), "g0").exists(),
+      "the superseded generation must survive the swap (reader grace window)")
+    assert(genDirs("postings", "g1") === Seq(f"v${2L}%020d"))
+    assert(genDirs("dl", "g1") === Seq(f"v${2L}%020d"))
+    assert(serve(state) === serve(twin))
+    val st1 = Bm25Index.readState(spark, state).get._4.head()
+    assert(st1.getSeq[String](st1.fieldIndex("p_dirs")) === Seq(f"v${2L}%020d"),
+      "the manifest must name the compacted generation")
+    // appends continue into the published generation; replays no-op
+    for (st <- Seq(state, twin))
+      assert(Bm25Index.appendBatch(spark, st, docs.filter(bucket >= 75), 3L))
+    assert(!Bm25Index.appendBatch(spark, state, docs.filter(bucket >= 75), 3L))
+    assert(genDirs("postings", "g1") === (2L to 3L).map(i => f"v$i%020d"))
+    val full = serve(twin)
+    assert(serve(state) === full)
+    // crash between the family PTR swaps and the manifest re-commit
+    // (the bm25-cwedge drill in pointer mode): snapshot merged/,
+    // compact, restore — reads serve the full corpus via the
+    // folded-dirs fallback, and the next compact completes the
+    // interrupted manifest commit instead of wedging
+    val merged = new File(state, "merged")
+    val saved = new File(state, "merged_saved")
+    Fixtures.copyRec(merged, saved)
+    assert(Bm25Index.compact(spark, state))
+    Fixtures.deleteRec(merged)
+    assert(saved.renameTo(merged))
+    assert(ptrOf("postings") === "g2")
+    assert(serve(state) === full, "fallback must serve the whole corpus")
+    assert(Bm25Index.compact(spark, state), "completion commit")
+    assert(!Bm25Index.compact(spark, state), "then the no-op")
+    assert(serve(state) === full)
+    // the concurrency guard in pointer mode: the abort discards ONLY
+    // the staged target generations; neither family PTR moves; the
+    // concurrent batch — its v-dirs AND its merged-pointer move —
+    // survives intact
+    assert(Bm25Index.appendBatch(spark, state,
+      Seq((900001L, "spark vector pointer doc")).toDF("doc_id", "text"), 4L))
+    val e = intercept[RuntimeException] {
+      Bm25Index.compactImpl(spark, state, () =>
+        assert(Bm25Index.appendBatch(spark, state,
+          Seq((900002L, "customer concurrent doc")).toDF("doc_id", "text"), 5L)))
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    assert(ptrOf("postings") === "g2" && ptrOf("dl") === "g2")
+    assert(!new File(new File(state, "postings"), "g3").exists(),
+      "the aborted target generation must be discarded")
+    val st2 = Bm25Index.readState(spark, state).get._4.head()
+    assert(st2.getLong(st2.fieldIndex("last_batch")) === 5L,
+      "the concurrent batch's manifest commit must survive the abort")
+    // the next clean compaction folds everything and advances to g3,
+    // leaving g2 as the new grace window and GC'ing everything older
+    assert(Bm25Index.compact(spark, state))
+    assert(ptrOf("postings") === "g3" && ptrOf("dl") === "g3")
+    assert(genDirs("postings", "g3") === Seq(f"v${5L}%020d"))
+    assert(new File(new File(state, "postings"), "g2").exists(),
+      "the superseded generation must survive the swap (reader grace window)")
+    assert(!new File(new File(state, "postings"), "g1").exists() &&
+      !new File(new File(state, "postings"), "g0").exists(),
+      "older generations must have fallen to the writer-entry GC")
+    // still serving the union of every applied batch
+    assert(Bm25Index.retrieve(spark, state, terms).count() > 0)
+    // converting a LIVE rename-mode index in place is refused loudly
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25Index.enablePointerMode(spark, twin)
+    }
+    assert(e2.getMessage.contains("VIRGIN"), e2.getMessage)
+  }
+
   test("compact: a concurrent batch between listing and swap aborts loudly; " +
       "the batch's dirs, applog... pointer move survive; the next clean " +
       "compact folds it") {
