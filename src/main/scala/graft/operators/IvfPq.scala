@@ -122,6 +122,28 @@ object IvfPq {
         .select(lit(i).as("sub"), col("c_id"), col("cv").as("c_sv"))
     }.reduce(_ unionByName _)
 
+  /** Freeze-time codebook degeneracy check (VERDICT r15 #2 — the 1M
+    * ablation's failure made enforceable): when the coarse quantizer
+    * happens to MATCH the corpus's cluster structure, the
+    * smallest-id seed rows are the centroids' own vectors, their
+    * residuals are all-zero, and the frozen `pqRounds = 0` codebooks
+    * collapse at the origin — every ADC distance then degenerates to
+    * the same value and the index silently serves recall-0 results
+    * (measured 0.000 vs 1.000 trained at 1M, PLANS.md). The collapse
+    * is directly measurable on the seed batch at freeze time: the
+    * codebooks carry ZERO total residual energy while the batch's
+    * residuals do not. Returns true exactly in that state; all-zero
+    * BATCH residuals (the corpus IS the centroid set — zero codebooks
+    * are then exact, not degenerate) stay legal. Cost: one
+    * constant-size aggregate over the kCb·m codebook rows, plus one
+    * pass over the seed batch's residuals ONLY in the suspect case. */
+  def degenerateCodebooks(codebooks: DataFrame, residualQv: DataFrame): Boolean = {
+    def energy(df: DataFrame, c: String): Long =
+      df.agg(coalesce(sum(expr(s"aggregate($c, 0L, (a, x) -> a + abs(x))")),
+        lit(0L))).head().getLong(0)
+    energy(codebooks, "c_sv") == 0L && energy(residualQv, "qv") > 0L
+  }
+
   /** Incremental maintenance — encode an ARRIVING batch against the
     * FROZEN coarse quantizer and codebooks and return its code-table
     * rows, ready to union into the stored codes (the IVF-PQ analogue

@@ -217,7 +217,9 @@ object StreamingIvfPq {
       // smallest ids' residuals are the centroids' own ~zero
       // residuals, 256 codewords collapsed at the origin, and ADC
       // recall@10 measured 0.000 at 1M; two Lloyd rounds on the seed
-      // drain took it to 1.000 for a one-time ~38 s surcharge.
+      // drain took it to 1.000 for a one-time ~38 s surcharge. Since
+      // r16 that regime is ENFORCED at freeze time, not just
+      // documented — see the degeneracy guard below the pair write.
       val cb =
         if (pqRounds == 0) {
           val seedRes = IvfPq.residuals(sb, qb.orderBy("vec_id").limit(kCb), ceRead)
@@ -229,6 +231,29 @@ object StreamingIvfPq {
             .select(col("vec_id"), col("rv").as("qv"))
           IvfPq.codebooksFor(res, m, subLen, kCb, pqRounds)
         }
+      // Freeze-time degeneracy guard (VERDICT r15 #2): a collapsed
+      // codebook must not freeze — frozen, it serves recall-0 ADC
+      // results SILENTLY and forever (fold ≡ one-shot still holds, so
+      // no equality gate ever fires; the failure is invisible until
+      // someone measures recall). Detected here, before the pair
+      // commits, the crash is loud, names the remedy, and leaves an
+      // uncommitted quantizer the replay simply re-attempts. The
+      // guard triggers only when the codebooks carry zero residual
+      // energy while the seed batch's residuals do not
+      // ([[IvfPq.degenerateCodebooks]]) — an all-zero-residual batch
+      // (corpus == centroid set, zero codebooks exact) stays legal.
+      require(!IvfPq.degenerateCodebooks(cb,
+          IvfPq.residuals(sb, qb, ceRead)
+            .select(col("vec_id"), col("rv").as("qv"))),
+        s"IVF-PQ seed codebooks are DEGENERATE under $stateDir: every " +
+          "codeword has zero residual energy while the seed batch's " +
+          "residuals do not — the coarse quantizer matches the corpus's " +
+          "cluster structure, so the kCb-smallest-id seed rows are the " +
+          "centroids' own (zero) residuals and every ADC distance " +
+          "collapses to one value (recall 0.000 at 1M, PLANS.md). " +
+          "Refusing to freeze the pair: seed with pqRounds >= 1 " +
+          "(Lloyd-trained codebooks on the first batch's residuals) or " +
+          "use a coarse quantizer the corpus does not match")
       cb.coalesce(1).write.mode("overwrite")
         .parquet(codebooksDir(stateDir).toString)
       // the PAIR commit (readQuantizer scaladoc): both frames are in
