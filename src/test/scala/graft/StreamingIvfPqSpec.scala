@@ -309,6 +309,21 @@ class StreamingIvfPqSpec extends SparkTestBase {
   test("randomized drain/compact/crash/loss walk: the served codes always " +
       "equal the one-shot encode of the applied union, or fail loudly " +
       "naming exactly the induced loss") {
+    pqFuzzWalk(ptrMode = false)
+  }
+
+  test("randomized drain/compact/crash/loss walk in POINTER mode: same walk, " +
+      "same seed — stale unpublished targets, grace windows, and entry GC " +
+      "compose with the quantizer-pair and chain-loss states") {
+    // VERDICT r15 #3, the IVF-PQ half: the pointer-mode crash states
+    // (partial `g<k+1>` targets planted before a third of the
+    // compactions, the moved-PTR-with-kept-predecessor state after
+    // every swap, stale-generation GC at writer entry) composed into
+    // the seeded fuzz rather than pinned once each.
+    pqFuzzWalk(ptrMode = true)
+  }
+
+  private def pqFuzzWalk(ptrMode: Boolean): Unit = {
     // The StreamingIvfSpec composition fuzz ported to the IVF-PQ
     // store (VERDICT r14 #6), with the states only THIS index has
     // composed in: the frozen-PAIR loss pair (commit marker without a
@@ -319,9 +334,16 @@ class StreamingIvfPqSpec extends SparkTestBase {
     // — asserting after EVERY step that the served code table is
     // exactly the one-shot encode of the applied batches against the
     // frozen pair, and that unrestored loss is loud naming its victim.
-    val base = Fixtures.tempDir("sivfpq-fuzz")
+    val base = Fixtures.tempDir(if (ptrMode) "sivfpq-fuzz-ptr" else "sivfpq-fuzz")
     val state = base.resolve("state").toString
-    val codesDir = new File(state, "codes")
+    val codesBase = new File(state, "codes")
+    if (ptrMode) StreamingIvfPq.enablePointerMode(spark, state)
+    // file-level drills target the LIVE tree (PTR-resolved per use in
+    // pointer mode — compactions move it)
+    def codesDir: File =
+      if (ptrMode) new File(codesBase, java.nio.file.Files.readString(
+        new File(codesBase, "PTR").toPath).trim)
+      else codesBase
     def batchOf(id: Long) =
       corpus.filter($"vec_id" >= id * 5 && $"vec_id" < (id + 1) * 5)
     def unionOf(ids: Seq[Long]) =
@@ -366,7 +388,16 @@ class StreamingIvfPqSpec extends SparkTestBase {
                   // WAL can re-deliver — possibly an empty batch): no-op
           assert(!StreamingIvfPq.appendBatch(spark, state,
             lastBatch, kc, m, subLen, kCb, lastId))
-        case 3 => // compaction (no-ops when ≤1 committed dir)
+        case 3 => // compaction (no-ops when ≤1 committed dir). Pointer
+                  // mode: a third of the time, first plant a crashed
+                  // earlier compaction's partial unpublished target —
+                  // invisible to reads, clobbered by the entry GC
+          if (ptrMode && rnd.nextInt(3) == 0) {
+            val next = new File(codesBase,
+              "g" + (codesDir.getName.drop(1).toLong + 1))
+            new File(next, "junk-partial").mkdirs()
+            checkServed() // the stale target is invisible
+          }
           StreamingIvfPq.compact(spark, state)
         case 4 => // benign under-log window: replay re-logs the entry —
                   // only legal for the LAST delivered id (WAL contract)
@@ -458,8 +489,25 @@ class StreamingIvfPqSpec extends SparkTestBase {
       }
       checkServed()
     }
-    // settle: a final compaction and one more append keep serving the union
-    StreamingIvfPq.compact(spark, state)
+    // settle: a final compaction and one more append keep serving the
+    // union; pointer mode additionally pins the post-swap crash shape
+    // (moved PTR + undeleted predecessor = the grace window) and its
+    // collection by the next writer-entry GC
+    val swapped = StreamingIvfPq.compact(spark, state)
+    if (ptrMode && swapped) {
+      val live = codesDir
+      val prev = new File(codesBase, "g" + (live.getName.drop(1).toLong - 1))
+      assert(prev.exists(),
+        "the superseded generation must survive the swap (grace window)")
+      checkServed()
+      assert(StreamingIvfPq.appendBatch(spark, state, batchOf(nextId),
+        kc, m, subLen, kCb, nextId))
+      applied :+= nextId; nextId += 1
+      checkServed()
+      assert(StreamingIvfPq.compact(spark, state))
+      assert(!prev.exists(),
+        "the old grace window must fall to the writer-entry GC")
+    }
     assert(StreamingIvfPq.appendBatch(spark, state, batchOf(nextId),
       kc, m, subLen, kCb, nextId))
     applied :+= nextId
@@ -522,6 +570,55 @@ class StreamingIvfPqSpec extends SparkTestBase {
       5, 2, m, subLen, excludeSelf = true)
       .collect().map(_.toString).sorted.toSeq
     assert(got === want)
+  }
+
+  test("freeze-time degeneracy guard: collapsed seed codebooks refuse to " +
+      "freeze, naming the pqRounds remedy; the remedy works on the same " +
+      "config; an all-zero-residual batch stays legal") {
+    // VERDICT r15 #2: the 1M ablation's matched-coarse failure
+    // (PLANS.md — pqRounds=0 seed codebooks collapsed at the origin,
+    // ADC recall 0.000, served SILENTLY) made an enforced freeze-time
+    // guard. Cheapest deterministic instantiation of the regime:
+    // kCb <= kc puts every codebook seed row AT a centroid (its own
+    // nearest, residual exactly zero) while the rest of the batch
+    // carries real residual energy.
+    val base = Fixtures.tempDir("sivfpq-degen")
+    val state = base.resolve("state").toString
+    val e = intercept[IllegalArgumentException] {
+      StreamingIvfPq.appendBatch(spark, state, corpus, kc, m, subLen,
+        kCb = kc, batchId = 0L)
+    }
+    assert(e.getMessage.contains("DEGENERATE") &&
+      e.getMessage.contains("pqRounds >= 1"), e.getMessage)
+    // nothing froze: no committed quantizer, no committed codes, no
+    // consumed batch id — the replay re-attempts (and refuses again)
+    assert(StreamingIvfPq.readIndex(spark, state).isEmpty)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingIvfPq.appendBatch(spark, state, corpus, kc, m, subLen,
+        kCb = kc, batchId = 0L)
+    }
+    assert(e2.getMessage.contains("DEGENERATE"))
+    // the named remedy on the SAME corpus and geometry: Lloyd-trained
+    // codebooks have residual energy, freeze, fold, and serve
+    assert(StreamingIvfPq.appendBatch(spark, state, corpus, kc, m, subLen,
+      kCb = kc, batchId = 0L, pqRounds = 1))
+    val (cents, cbs, codes) = StreamingIvfPq.readIndex(spark, state).get
+    assert(codeSet(codes) ===
+      codeSet(IvfPq.append(spark, quantized(corpus), cents, cbs, m, subLen)))
+    assert(StreamingIvfPq.probe(spark, state,
+      corpus.filter($"vec_id" >= 1000), k = 3, nProbe = 2, m, subLen)
+      .count() > 0)
+    // all-zero-residual batch — the corpus IS the centroid set, so
+    // zero codebooks are EXACT, not degenerate: the guard must not
+    // false-alarm (it would otherwise brick every corpus that
+    // legitimately sits on its quantizer)
+    val state2 = base.resolve("state2").toString
+    assert(StreamingIvfPq.appendBatch(spark, state2,
+      corpus.filter($"vec_id" < kc), kc, m, subLen, kCb = kc, batchId = 0L))
+    assert(StreamingIvfPq.readIndex(spark, state2).isDefined)
+    // the driver-oracle geometry (kCb > kc: codebook seeds include
+    // non-centroid rows with real residuals) is unaffected — pinned
+    // by every other case in this suite at (kc=8, kCb=16).
   }
 
   test("compact: a concurrent append between listing and swap aborts loudly; " +

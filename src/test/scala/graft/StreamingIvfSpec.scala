@@ -319,6 +319,24 @@ class StreamingIvfSpec extends SparkTestBase {
 
   test("randomized drain/compact/crash/loss sequences: the served index always " +
       "equals the applied union, or fails loudly naming exactly the induced loss") {
+    fuzzWalk(ptrMode = false)
+  }
+
+  test("randomized drain/compact/crash/loss sequences in POINTER mode: same " +
+      "walk, same seed — crash states are the pointer-mode ones (stale " +
+      "unpublished targets, kept-predecessor grace windows, entry GC)") {
+    // VERDICT r15 #3: pointer mode had directed end-to-end cases but
+    // was not composed into the seeded state-machine fuzz — here the
+    // SAME 30-step walk runs with the lists store in pointer mode, so
+    // partial `g<k+1>` targets (planted before a third of the
+    // compactions), the moved-PTR-with-undeleted-predecessor state
+    // (every successful swap leaves it — the grace window), and
+    // stale-generation GC compose with every other crash/loss state
+    // under random interleaving.
+    fuzzWalk(ptrMode = true)
+  }
+
+  private def fuzzWalk(ptrMode: Boolean): Unit = {
     // The composition fuzz for the r14 loss machinery (the StateFsSpec
     // / CompactionSpec discipline applied to the INDEX state machine):
     // the directed cases above pin each window once; here 30 seeded
@@ -332,9 +350,17 @@ class StreamingIvfSpec extends SparkTestBase {
     // message prescribes. Batches are id-disjoint slices so the union
     // is checkable by construction.
     import java.io.File
-    val base = Fixtures.tempDir("sivf-fuzz")
+    val base = Fixtures.tempDir(if (ptrMode) "sivf-fuzz-ptr" else "sivf-fuzz")
     val state = base.resolve("state").toString
-    val lists = new File(state, "lists")
+    val listsBase = new File(state, "lists")
+    if (ptrMode) StreamingIvf.enablePointerMode(spark, state)
+    // the walk's file-level drills target the LIVE tree — the lists
+    // dir itself in rename mode, the PTR-named generation in pointer
+    // mode (re-resolved each use: compactions move it)
+    def lists: File =
+      if (ptrMode) new File(listsBase, java.nio.file.Files.readString(
+        new File(listsBase, "PTR").toPath).trim)
+      else listsBase
     // 5-id-wide disjoint slices: 40 batches cover vec_ids 0..199, more
     // than the walk's worst-case append count, so the union stays
     // duplicate-free by construction
@@ -370,7 +396,16 @@ class StreamingIvfSpec extends SparkTestBase {
                   // WAL can re-deliver; its dir survives compaction)
           assert(!StreamingIvf.appendBatch(spark, state,
             batchOf(applied.last), 4, applied.last))
-        case 3 => // compaction (no-ops when ≤1 committed dir)
+        case 3 => // compaction (no-ops when ≤1 committed dir). Pointer
+                  // mode: a third of the time, first plant a crashed
+                  // earlier compaction's partial unpublished target —
+                  // invisible to reads, clobbered by the entry GC
+          if (ptrMode && rnd.nextInt(3) == 0) {
+            val next = new File(listsBase,
+              "g" + (lists.getName.drop(1).toLong + 1))
+            new File(next, "junk-partial").mkdirs()
+            checkServed() // the stale target is invisible
+          }
           StreamingIvf.compact(spark, state)
         case 4 => // benign applog under-log window: drop the frontier's
                   // log entry — reads stay fine, the replay re-logs it
@@ -433,18 +468,45 @@ class StreamingIvfSpec extends SparkTestBase {
       checkServed()
     }
     // post-compaction crash states compose with whatever the walk
-    // left: mid-swap crash heals on read, orphan tmp cleaned by the
-    // next writer, union intact throughout
+    // left — per mode: rename's mid-swap crash heals on read and the
+    // orphan tmp is cleaned by the next writer; pointer's swap leaves
+    // the moved-PTR-with-undeleted-predecessor state (the grace
+    // window) plus a planted partial target, both collected by the
+    // next compaction's entry GC. Union intact throughout.
     if (StreamingIvf.compact(spark, state)) {
-      val bak = new File(state, "lists.bak")
-      assert(lists.renameTo(bak))
-      new File(state, "lists.tmp/junk").mkdirs()
-      checkServed() // reader heal restored the live tree
-      assert(lists.exists() && !bak.exists())
-      assert(StreamingIvf.appendBatch(spark, state, batchOf(nextId), 4, nextId))
-      applied :+= nextId
-      assert(!new File(state, "lists.tmp").exists())
-      checkServed()
+      if (!ptrMode) {
+        val bak = new File(state, "lists.bak")
+        assert(lists.renameTo(bak))
+        new File(state, "lists.tmp/junk").mkdirs()
+        checkServed() // reader heal restored the live tree
+        assert(lists.exists() && !bak.exists())
+        assert(StreamingIvf.appendBatch(spark, state, batchOf(nextId), 4, nextId))
+        applied :+= nextId
+        assert(!new File(state, "lists.tmp").exists())
+        checkServed()
+      } else {
+        val live = lists
+        val prev = new File(listsBase, "g" + (live.getName.drop(1).toLong - 1))
+        assert(prev.exists(),
+          "the superseded generation must survive the swap (grace window)")
+        val next = new File(listsBase, "g" + (live.getName.drop(1).toLong + 1))
+        new File(next, "junk-partial").mkdirs()
+        checkServed() // both the grace window and the partial are invisible
+        assert(StreamingIvf.appendBatch(spark, state, batchOf(nextId), 4, nextId))
+        applied :+= nextId
+        checkServed()
+        // the next compaction's entry GC collects the predecessor and
+        // clobbers the partial (whose g-name it then REUSES as the
+        // fresh staging target and publishes)
+        assert(StreamingIvf.compact(spark, state))
+        assert(!prev.exists(),
+          "the old grace window must fall to the writer-entry GC")
+        assert(lists.getName === next.getName,
+          "the swap publishes the regenerated target generation")
+        assert(new File(listsBase, live.getName).exists(),
+          s"${live.getName} is the new grace window")
+        checkServed()
+      }
     }
   }
 
