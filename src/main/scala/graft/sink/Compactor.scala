@@ -41,10 +41,52 @@ import graft.util.StateFs
   * would be dropped by the swap; [[compact]]'s pre-swap listing
   * re-check turns that violation into a loud abort (its scaladoc has
   * the full contract).
-  * Note renames are atomic on HDFS/local fs; on an object store, pair
-  * this with a version-pointer (manifest) layout instead.
+  * Note renames are atomic on HDFS/local fs; on an object store that
+  * prescription — "pair this with a version-pointer layout" — is REAL
+  * since r16: [[enablePointerMode]] opts a table into the
+  * [[graft.util.StateFs]] pointer layout (`PTRMODE`/`PTR`/`g<k>`),
+  * where [[compact]] stages its rewrite in the UNPUBLISHED next
+  * generation and publishes with one atomic `PTR` rewrite — no
+  * directory rename is load-bearing, the superseded generation
+  * survives as an in-flight-reader grace window until the next
+  * compact entry's GC, and the whole `_COMPACTOR_GEN`/`.bak`
+  * refusal matrix becomes moot (nothing is ever renamed aside).
+  * The DISCIPLINE pointer mode asks of out-of-band writers: resolve
+  * the write target through [[writeDir]] per job, never cache it
+  * across a compaction — a writer holding a pre-swap path would land
+  * its rows in the grace-window generation and lose them to the GC.
+  * Readers go through [[read]] (PTR-resolving) as they already should.
   */
 object Compactor {
+
+  /** Opt `dir` into the version-pointer swap mode (object-store-safe
+    * compaction — header scaladoc). Call ONCE on a VIRGIN table dir,
+    * before the first write: an existing plain-layout table would
+    * become invisible to pointer-mode readers (the files sit next to,
+    * not inside, the generation dirs), so a non-empty dir is refused
+    * loudly — migrate by rewriting the table into [[writeDir]] after
+    * enabling, or keep rename mode (the default, one less
+    * indirection on rename-atomic filesystems). */
+  def enablePointerMode(spark: SparkSession, dir: String): Unit = {
+    val base = new Path(dir)
+    val fs = StateFs.fs(spark, base)
+    if (StateFs.pointerMode(fs, base)) return
+    require(!fs.exists(base) || fs.listStatus(base).isEmpty,
+      s"pointer mode must be enabled on a VIRGIN table dir: $dir already " +
+        "holds data in the plain layout, which pointer-mode readers would " +
+        "not see — rewrite it into writeDir(...) after enabling on a fresh " +
+        "dir, or keep rename mode")
+    StateFs.enablePointerMode(spark, base)
+  }
+
+  /** The directory writers must target: the table dir itself in the
+    * default rename mode; the PTR-named live generation in pointer
+    * mode. Resolve per job (header scaladoc) — never cache across a
+    * compaction. */
+  def writeDir(spark: SparkSession, dir: String): String = {
+    val base = new Path(dir)
+    StateFs.resolveLive(StateFs.fs(spark, base), base).toString
+  }
 
   /** The healReader-aware read path for compacted tables: restore a
     * mid-swap-crashed table from its `.bak` first (the one repair a
@@ -61,8 +103,16 @@ object Compactor {
     * Fails loudly with the same decision procedure, deleting nothing
     * (a reader never cleans writer-owned state). */
   def read(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val live = new Path(dir)
-    val fs = StateFs.fs(spark, live)
+    val base = new Path(dir)
+    val baseFs = StateFs.fs(spark, base)
+    if (StateFs.pointerMode(baseFs, base))
+      // pointer mode: follow PTR — no heal and no refusal matrix
+      // apply (nothing is ever renamed aside; a mid-compaction
+      // reader sees the old generation, protected by the grace
+      // window until the next compact entry's GC)
+      return spark.read.parquet(StateFs.resolveLive(baseFs, base).toString)
+    val live = base
+    val fs = baseFs
     StateFs.healReader(fs, live)
     if (fs.exists(live) && fs.exists(StateFs.bakOf(live)) &&
         !fs.exists(new Path(live, GenMarker)))
@@ -76,10 +126,13 @@ object Compactor {
     spark.read.parquet(dir)
   }
 
-  /** Data-file count, recursing into partition directories. */
+  /** Data-file count of the LIVE table (PTR-resolved in pointer mode
+    * — a base-dir recursion there would double-count the grace-window
+    * generation), recursing into partition directories. */
   def fileCount(spark: SparkSession, dir: String): Int = {
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = StateFs.resolveLive(fs, base)
     val it = fs.listFiles(p, true)
     var n = 0
     while (it.hasNext) {
@@ -170,7 +223,19 @@ object Compactor {
     * caught by [[graft.util.StateFs.swapInKeepBak]]'s own existence
     * re-checks. Schedule compaction in a no-writer slot regardless;
     * the guard turns a violation into a loud retry instead of lost
-    * rows. */
+    * rows.
+    *
+    * CONTRACT RESIDUAL (ADVICE r14, accepted — part of this method's
+    * contract, not an implementation detail): the snapshot keys files
+    * by (path, length, mtime), so an in-place SAME-NAME, SAME-LENGTH
+    * replace landing within one mtime tick of the original escapes
+    * the re-check and its content is dropped with the old generation.
+    * No Spark or Hadoop committer produces that pattern (part files
+    * get fresh UUID names; committers rename, never rewrite in
+    * place), and closing it would cost a second full byte-level read
+    * of the table per compaction — a deployment whose out-of-band
+    * writers CAN rewrite files in place must not run this compactor
+    * concurrently with them, no-writer slot or not. */
   def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long,
       clusterBy: Seq[String] = Nil, partitionBy: Seq[String] = Nil): Int =
     compactImpl(spark, dir, targetRowsPerFile, clusterBy, partitionBy, () => ())
@@ -181,11 +246,18 @@ object Compactor {
   private[graft] def compactImpl(spark: SparkSession, dir: String,
       targetRowsPerFile: Long, clusterBy: Seq[String],
       partitionBy: Seq[String], beforeSwap: () => Unit): Int = {
-    val live = new Path(dir)
-    val fs = StateFs.fs(spark, live)
-    healEntry(fs, live)
+    val base = new Path(dir)
+    val fs = StateFs.fs(spark, base)
+    val ptrMode = StateFs.pointerMode(fs, base)
+    val live = StateFs.resolveLive(fs, base)
+    // entry repair per swap mode: rename heals the rename-aside crash
+    // windows behind the out-of-band-recreate guard; pointer GCs
+    // stale generations — a crashed compaction's partial unpublished
+    // target, or the superseded grace-window generation
+    if (ptrMode) StateFs.gcStaleGens(fs, base, live.getName)
+    else healEntry(fs, live)
     val snapshot = fileSnapshot(fs, live)
-    val df = spark.read.parquet(dir)
+    val df = spark.read.parquet(live.toString)
     require(partitionBy.forall(df.columns.contains),
       s"partitionBy ${partitionBy.mkString(",")} not all present in table")
     val rows = df.count()
@@ -197,11 +269,17 @@ object Compactor {
       else if (partitionBy.nonEmpty)
         df.repartition(nFiles, partitionBy.map(col): _*)
       else df.repartition(nFiles)
-    val tmp = StateFs.tmpOf(live)
+    // rename mode stages under `<dir>.tmp` and installs by the
+    // rename-aside swap; pointer mode stages in the UNPUBLISHED next
+    // generation and installs with one atomic PTR rewrite (header
+    // scaladoc) — the `_COMPACTOR_GEN` marker is rename-only (it
+    // disambiguates the rename crash windows, which pointer mode
+    // does not have)
+    val target = if (ptrMode) StateFs.nextGen(base, live) else StateFs.tmpOf(live)
     val writer = arranged.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(tmp.toString)
-    fs.create(new Path(tmp, GenMarker), true).close()
+      .parquet(target.toString)
+    if (!ptrMode) fs.create(new Path(target, GenMarker), true).close()
     beforeSwap()
     // Optimistic-concurrency re-check (scaladoc): a writer landed in
     // the live dir while we rewrote — swapping now would drop its
@@ -210,13 +288,14 @@ object Compactor {
     val now = fileSnapshot(fs, live)
     if (now != snapshot) {
       val changed = ((now diff snapshot) ++ (snapshot diff now)).map(_._1)
-      StateFs.deleteRec(fs, tmp)
+      StateFs.deleteRec(fs, target)
       sys.error(s"compact: $live changed during the rewrite " +
         s"(concurrent writer; changed files: ${changed.mkString(", ")}) — " +
         "rewrite discarded, live table intact including the concurrent " +
         "write; rerun compaction in a no-writer maintenance slot")
     }
-    StateFs.swapIn(fs, live, tmp)
+    if (ptrMode) StateFs.pointerSwap(spark, base, live, target)
+    else StateFs.swapIn(fs, live, target)
     fileCount(spark, dir)
   }
 }

@@ -248,6 +248,73 @@ class CompactionSpec extends SparkTestBase {
     }
   }
 
+  test("pointer mode: compaction publishes via one PTR rewrite, data identical; " +
+      "stale targets invisible and GC'd; the concurrency guard aborts loudly; " +
+      "a non-virgin dir is refused") {
+    // VERDICT r15 #4: the StateFs pointer layout extended to TABLE
+    // compaction — the same rationale as the index stores (on an
+    // object store the rename-aside swap's renames are per-object
+    // copies, non-atomic), with rename mode staying the default.
+    import java.io.File
+    val dir = Fixtures.tempDir("compact-ptr").resolve("t").toString
+    Compactor.enablePointerMode(spark, dir)
+    Compactor.enablePointerMode(spark, dir) // idempotent
+    // writers resolve the live generation per job (the pointer-mode
+    // writer discipline — header scaladoc)
+    (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(40).write.mode("append")
+      .parquet(Compactor.writeDir(spark, dir))
+    assert(Compactor.fileCount(spark, dir) >= 10)
+    val before = Compactor.read(spark, dir).collect().map(_.toString).sorted.toSeq
+    def ptr(): String =
+      java.nio.file.Files.readString(new File(dir, "PTR").toPath).trim
+    assert(ptr() === "g0")
+    // a stale partial target from a crashed compaction is invisible
+    // to reads (they follow PTR) and clobbered by the entry GC
+    assert(new File(new File(dir), "g1/junk").mkdirs())
+    assert(Compactor.read(spark, dir).collect().map(_.toString).sorted.toSeq
+      === before)
+    val n = Compactor.compact(spark, dir, targetRowsPerFile = 20)
+    assert(n === 2, s"expected 2 files, got $n")
+    assert(ptr() === "g1")
+    assert(new File(dir, "g0").exists(),
+      "the superseded generation must survive the swap (reader grace window)")
+    assert(Compactor.read(spark, dir).collect().map(_.toString).sorted.toSeq
+      === before)
+    // the concurrency guard in pointer mode: the abort discards ONLY
+    // the staged generation; PTR never moves; the concurrent append
+    // (in the live generation) survives
+    val e = intercept[RuntimeException] {
+      Compactor.compactImpl(spark, dir, targetRowsPerFile = 20, Nil, Nil,
+        beforeSwap = () =>
+          Seq((999L, "landed-mid-compact")).toDF("id", "v")
+            .write.mode("append").parquet(Compactor.writeDir(spark, dir)))
+    }
+    assert(e.getMessage.contains("changed during the rewrite") &&
+      e.getMessage.contains("no-writer maintenance slot"))
+    assert(ptr() === "g1")
+    assert(!new File(dir, "g2").exists(),
+      "the aborted target generation must be discarded")
+    val after = Compactor.read(spark, dir).collect().map(_.toString).sorted.toSeq
+    assert(after.size === before.size + 1 &&
+      after.contains("[999,landed-mid-compact]"))
+    // the next clean compact publishes g2; the old grace window (g0)
+    // falls to its entry GC and g1 becomes the new grace window
+    assert(Compactor.compact(spark, dir, targetRowsPerFile = 41) === 1)
+    assert(ptr() === "g2")
+    assert(!new File(dir, "g0").exists() && new File(dir, "g1").exists())
+    assert(Compactor.read(spark, dir).collect().map(_.toString).sorted.toSeq
+      === after)
+    // a non-virgin plain-layout table is refused loudly (its files
+    // would become invisible to pointer-mode readers)
+    val dir2 = Fixtures.tempDir("compact-ptr2").resolve("t").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir2)
+    val e2 = intercept[IllegalArgumentException] {
+      Compactor.enablePointerMode(spark, dir2)
+    }
+    assert(e2.getMessage.contains("VIRGIN"))
+  }
+
   test("schema evolution: mergeSchema unions batch schemas") {
     val dir = Fixtures.tempDir("evolve").resolve("t").toString
     Seq((1L, "a")).toDF("id", "v").write.parquet(dir + "/b1")
