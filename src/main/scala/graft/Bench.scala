@@ -129,138 +129,45 @@ object Bench {
         timedRun(name)
       }.min
     }.toMap
-    // The harness that reads this line keeps only the LAST ~2000 chars of
-    // the run's output (an sbt [success] line eats ~85 of them). Full float
-    // precision over 70+ queries produced a ~3400-char line whose start fell
-    // outside that window, so the metric was unparseable in rounds 1-2.
-    // Two-decimal timings keep the whole line comfortably under the window.
-    def fmt(v: Double): String =
-      if (!java.lang.Double.isFinite(v)) "-1" // query failed every sample
-      else java.math.BigDecimal.valueOf(v)
-        .setScale(2, java.math.RoundingMode.HALF_UP)
-        .stripTrailingZeros.toPlainString
-    // Key compaction (round-8 headroom fix): drop the uniform "q_" prefix,
-    // then drop vowels after the first character of each underscore token
-    // ("dedup_ngram_jaccard" -> "ddp_ngrm_jccrd"). Deterministic, human-
-    // decodable, and checked unique at runtime — on any collision the full
-    // keys are emitted instead (correct but longer). Buys ~270 chars at 96
-    // queries: 1894 -> ~1630, i.e. ~17 more queries of headroom before the
-    // harness's 2000-char tail window truncates the line.
-    def abbrev(k: String): String =
-      k.stripPrefix("q_").split('_').map { t =>
-        if (t.matches("q?\\d+")) t
-        else t.head +: t.tail.filterNot("aeiou".contains(_))
-      }.mkString("_")
-    // Stage-2 compaction (round-9: 106 keys overflowed the window at
-    // sf0.1 value widths and the old fallback dropped the whole map):
-    // additionally drop underscores and compact the uniform "tpch"
-    // prefix to "t" ("ddp_ngrm_jccrd" -> "ddpngrmjccrd", "tpch_q14"
-    // -> "tq14"). Still deterministic and decodable (tokens keep
-    // their first letter + consonants; digits survive).
-    def abbrev2(k: String): String =
-      abbrev(k).split('_').map {
-        case "tpch" => "t"
-        case t => t
-      }.mkString
-    // Stage-3 compaction (round-10: the 121st entry — simhash_cold —
-    // pushed stage 2 to ~1880 chars and the whole map fell to the
-    // empty fallback at sf0.001): additionally cap every token at 4
-    // chars (first letter + first 3 remaining consonants;
-    // "ddpngrmjccrd" -> "ddpngrmjccr"). Measured at 121 entries:
-    // 1883 -> 1789 chars at 2-decimal values — per-query data
-    // survives at full precision. Runtime-checked unique like the
-    // other stages.
-    def abbrev3(k: String): String =
-      abbrev(k).split('_').map {
-        case "tpch" => "t"
-        case t => t.take(4)
-      }.mkString
-    // Stage-4 (round-10: at 125 entries stage 3 measures EXACTLY the
-    // 1850-char guard with synthetic 4-char values — zero slack
-    // against real value widths): token cap 3. Measured 1745 chars
-    // at 125 entries, still collision-free and still decodable.
-    def abbrev4(k: String): String =
-      abbrev(k).split('_').map {
-        case "tpch" => "t"
-        case t => t.take(3)
-      }.mkString
+    // Key compaction + line rendering live in graft.BenchKeys (r16:
+    // factored out so BenchKeysSpec measures headroom at SYNTHETIC
+    // entry counts before the real surface consumes it — the round-9
+    // and round-10 overflows were both discovered the hard way). The
+    // harness keeps only the LAST ~2000 chars of the run's output and
+    // trailing sbt status lines eat ~100 of them, hence the 1850-char
+    // guard; the first encoding that fits wins — stage 1 first for
+    // key continuity with prior rounds, coarser stages as the surface
+    // grows, the stage-6 TOTAL encoding and the 1-decimal precision
+    // shave before anything falls to the empty-map fallback. n5 is
+    // the 5-sample-set COUNT (ADVICE r7 / round-9: membership is
+    // recoverable — a query is in the set iff its value is ≥ 1.5 s).
     val emitted = results ++ cold
-    def shorten(f: String => String): Option[Map[String, String]] = {
-      val m = emitted.keys.map(k => k -> f(k)).toMap
-      if (m.values.toSet.size == m.size) Some(m) else None
-    }
-    // Stage-5 (round-10: the 137-entry surface overflowed even the
-    // stage-4 1-decimal line and the whole map fell to the empty
-    // fallback): token cap 2, but cap-2 collision groups fall back
-    // PER KEY to their UNCAPPED stage-2 form instead of discarding
-    // the whole encoding (capped fallbacks can still collide —
-    // ann_ivf vs ann_ivfpq share every 3-char prefix; the uncapped
-    // forms are distinct whenever the full names are). ~20 long keys
-    // among ~117 2-char-token ones; measured 1732 chars at 137
-    // entries. Whole-map uniqueness still runtime-checked.
-    def abbrev5: Option[Map[String, String]] = {
-      def cap2(k: String): String = abbrev(k).split('_').map {
-        case "tpch" => "t"
-        case t => t.take(2)
-      }.mkString
-      val groups = emitted.keys.groupBy(cap2)
-      val m: Map[String, String] = groups.iterator.flatMap {
-        case (short, ks) =>
-          if (ks.size == 1) ks.map(_ -> short)
-          else ks.map(k => k -> abbrev2(k))
-      }.toMap
-      if (m.values.toSet.size == m.size) Some(m) else None
-    }
     val total = if (results.nonEmpty) results.values.filter(java.lang.Double.isFinite).sum else 0.0
     // sf as basename: the full path spent 15 chars of the line budget
     // restating a constant prefix the driver already knows.
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    def lineWith(short: Map[String, String]): String = {
-      val qs = emitted.map { case (k, v) =>
-        s"\"" + short(k) + "\":" + fmt(v)
-      }.mkString("{", ",", "}")
-      // Sample-count transparency (ADVICE r7): queries whose min of the
-      // first three passes is ≥ 1.5 s get 5 timed samples instead of 3.
-      // Emitted as a COUNT (round-9: the explicit key list cost ~140
-      // chars at 118 queries and overflowed the tail window): membership
-      // is recoverable from the line itself — a query is in the 5-sample
-      // set iff its emitted value is ≥ 1.5 s, modulo the rare boundary
-      // query whose extra samples dropped its min below the cut, which
-      // the count exposes (PLANS.md "Bench protocol").
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n5":${slow.size},"lf":${fmt(lf)},"lfs":${fmt(lfs)},"sf":"$sfTag"}"""
-    }
-    // First encoding that fits the window wins — stage 1 first for key
-    // continuity with prior rounds, stage 2 when stage 1 overflows,
-    // full keys as a collision-proof fallback. The harness keeps only
-    // the LAST ~2000 chars of output, and trailing sbt status lines eat
-    // ~100 more, so the fit threshold stays well inside that: a line
-    // that doesn't fit is worse than a coarser-keyed line that does.
-    // Last-resort precision shave (still per-query data, unlike the
-    // empty-map fallback): 1-decimal values for EVERY query (round
-    // 10 — shaving only the ≥1 s values saved too little once the
-    // sub-second entries dominated the count).
-    def lineCoarse(short: Map[String, String]): String = {
-      def fmtc(v: Double): String =
-        if (!java.lang.Double.isFinite(v)) "-1"
-        else java.math.BigDecimal.valueOf(v)
-          .setScale(1, java.math.RoundingMode.HALF_UP)
-          .stripTrailingZeros.toPlainString
-      val qs = emitted.map { case (k, v) => s"\"" + short(k) + "\":" + fmtc(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n5":${slow.size},"lf":${fmt(lf)},"lfs":${fmt(lfs)},"sf":"$sfTag"}"""
-    }
+    val keys = emitted.keys
+    def lineAt(decimals: Int)(short: Map[String, String]): String =
+      BenchKeys.render(short, emitted, decimals, total, slow.size, lf, lfs, sfTag)
+    val fineMaps =
+      BenchKeys.shorten(keys, BenchKeys.abbrev) ++
+        BenchKeys.shorten(keys, BenchKeys.abbrev2) ++
+        BenchKeys.shorten(keys, BenchKeys.abbrev3) ++
+        BenchKeys.shorten(keys, BenchKeys.abbrev4) ++
+        BenchKeys.abbrev5(keys) ++
+        Seq(BenchKeys.abbrev6(keys), BenchKeys.abbrev7(keys)) ++
+        BenchKeys.shorten(keys, (k: String) => k.stripPrefix("q_"))
+    val coarseMaps =
+      BenchKeys.shorten(keys, BenchKeys.abbrev4) ++
+        BenchKeys.abbrev5(keys) ++
+        Seq(BenchKeys.abbrev6(keys), BenchKeys.abbrev7(keys))
     val candidates =
-      (shorten(abbrev) ++ shorten(abbrev2) ++ shorten(abbrev3) ++
-        shorten(abbrev4) ++ abbrev5 ++ shorten(_.stripPrefix("q_")))
-        .map(lineWith).toSeq ++
-        (shorten(abbrev4) ++ abbrev5).map(lineCoarse).toSeq
+      fineMaps.map(lineAt(2)).toSeq ++ coarseMaps.map(lineAt(1)).toSeq
     if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
       System.err.println(s"[bench-debug] candidate lengths: " +
-        s"${candidates.map(_.length).mkString(",")} " +
-        s"(stages present: a=${shorten(abbrev).isDefined} a2=${shorten(abbrev2).isDefined} " +
-        s"a3=${shorten(abbrev3).isDefined} a4=${shorten(abbrev4).isDefined} a5=${abbrev5.isDefined})")
+        s"${candidates.map(_.length).mkString(",")}")
     val safe = candidates.find(_.length <= 1850).getOrElse(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"lf":${fmt(lf)},"lfs":${fmt(lfs)},"sf":"$sfTag"}""")
+      s"""{"metric":"total","value":${BenchKeys.fmt(total)},"unit":"sec","queries":{},"lf":${BenchKeys.fmt(lf)},"lfs":${BenchKeys.fmt(lfs)},"sf":"$sfTag"}""")
     // Stop Spark BEFORE printing: shutdown logging would otherwise land
     // after the metric line and push it away from the end of the tail
     // window the harness captures.
