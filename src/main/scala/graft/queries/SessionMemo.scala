@@ -57,8 +57,12 @@ private[graft] object SessionMemo {
     // next SAFE POINT (an explicit drop/resetAll, whose contract is
     // "no in-flight queries") — the callback must not run at eviction
     // time because another thread of the same session may be mid-query
-    // against the evicted state dir (review r15)
-    private val pending = scala.collection.mutable.ArrayBuffer.empty[V]
+    // against the evicted state dir (review r15). PER SESSION (review
+    // r16): the safe-point contract is a property of the session being
+    // dropped — a global queue let session B's drop run the callbacks
+    // on values session A was still querying.
+    private val pending = new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.ArrayBuffer[V]]()
 
     // registration is the LAST initializer (ADVICE r15): publishing
     // `this` before the fields above exist let a concurrent resetAll()
@@ -94,8 +98,16 @@ private[graft] object SessionMemo {
             if (perSession.size > 8) {
               val (oldKey, oldRef) = perSession.head
               perSession.remove(oldKey)
-              Option(oldRef.get()).foreach(v =>
-                pending.synchronized { pending += v; () })
+              Option(oldRef.get()).foreach { v =>
+                pending.synchronized {
+                  Option(pending.get(s)).getOrElse {
+                    val b = scala.collection.mutable.ArrayBuffer.empty[V]
+                    pending.put(s, b)
+                    b
+                  } += v
+                }
+                ()
+              }
             }
             val v = compute
             perSession.put(key, new java.lang.ref.SoftReference(v))
@@ -114,10 +126,11 @@ private[graft] object SessionMemo {
         m.values.flatMap(r => Option(r.get())).foreach(onEvict)
         m.clear()
       })
-      // the safe point for size-bound evictions queued by apply()
-      // (same no-in-flight-queries contract as the entries above)
+      // the safe point for THIS session's size-bound evictions queued
+      // by apply() (same no-in-flight-queries contract as the entries
+      // above; other sessions' queues are untouched — review r16)
       val flushed = pending.synchronized {
-        val vs = pending.toSeq; pending.clear(); vs
+        Option(pending.remove(s)).map(_.toSeq).getOrElse(Seq.empty)
       }
       flushed.foreach(onEvict)
     }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.queries.SessionMemo
+
+/** The session-memo device (graft.queries.SessionMemo): the ADVICE
+  * r15 fixes pinned — single-oldest FIFO eviction instead of a
+  * whole-map clear, and eviction callbacks deferred to the next safe
+  * point (an explicit drop/resetAll) — plus the review-r16 refinement
+  * that the pending-eviction queue is PER SESSION, so one session's
+  * drop can never run the delete callbacks on state another session
+  * may still be querying. */
+class SessionMemoSpec extends SparkTestBase {
+
+  private def newMemo(evicted: scala.collection.mutable.Buffer[String]) =
+    new SessionMemo.Memo[String](v => { evicted += v; () })
+
+  test("computes once per (session, key); resetAll forces the rebuild") {
+    val evicted = scala.collection.mutable.Buffer.empty[String]
+    val memo = newMemo(evicted)
+    var computes = 0
+    def get(k: String): String = memo(spark, k) { computes += 1; s"v-$k" }
+    assert(get("a") === "v-a" && get("a") === "v-a" && computes === 1)
+    SessionMemo.resetAll(spark)
+    assert(evicted === Seq("v-a"), "drop must run the eviction callback")
+    assert(get("a") === "v-a" && computes === 2)
+    SessionMemo.resetAll(spark)
+  }
+
+  test("size bound evicts ONE oldest entry, not the whole map; the evicted " +
+      "value's callback is deferred to the next safe point") {
+    // ADVICE r15: perSession.clear() dropped all 8 hot entries at once
+    // (alternating >8 keys rebuilt everything every time) and for
+    // dir-valued memos the evicted dirs leaked until JVM exit.
+    val evicted = scala.collection.mutable.Buffer.empty[String]
+    val memo = newMemo(evicted)
+    var computes = 0
+    def get(k: String): String = memo(spark, k) { computes += 1; s"v-$k" }
+    for (i <- 1 to 10) get(s"k$i") // the 10th insert evicts k1 (oldest)
+    assert(computes === 10)
+    assert(evicted.isEmpty,
+      "the eviction callback must NOT run at eviction time — a query of " +
+        "this session may be in flight against the evicted state")
+    // the surviving entries are all still hot — no recompute
+    for (i <- 2 to 10) get(s"k$i")
+    assert(computes === 10, "surviving entries must stay memoized")
+    // only the evicted oldest recomputes
+    get("k1")
+    assert(computes === 11)
+    // the safe point flushes the deferred callback (k1's ORIGINAL
+    // value) along with the live entries'
+    SessionMemo.resetAll(spark)
+    assert(evicted.count(_ === "v-k1") >= 1,
+      s"the deferred eviction callback must run at the safe point: $evicted")
+  }
+
+  test("the pending-eviction queue is per session: dropping one session " +
+      "never runs another session's deferred callbacks") {
+    // review r16: with a global queue, session B's drop flushed the
+    // values size-evicted under session A — deleting state dirs A
+    // could still be querying, the exact race the deferral exists to
+    // prevent.
+    val evicted = scala.collection.mutable.Buffer.empty[String]
+    val memo = newMemo(evicted)
+    val other = spark.newSession()
+    for (i <- 1 to 10) memo(spark, s"k$i") { s"a-k$i" } // evicts a-k1 → pending
+    memo(other, "x") { "b-x" }
+    assert(evicted.isEmpty)
+    memo.drop(other)
+    assert(evicted === Seq("b-x"),
+      s"dropping the other session must not flush this session's queue: $evicted")
+    memo.drop(spark)
+    assert(evicted.contains("a-k1"),
+      s"this session's drop must flush its own queue: $evicted")
+  }
+}
