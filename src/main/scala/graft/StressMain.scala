@@ -1159,6 +1159,15 @@ object StressMain {
       }
       val terms = Seq("spark", "vector", "customer")
       val inc = fresh("inc")
+      // r16: SPARK_GRAFT_STRESS_PTR=1 runs the same fold sequence with
+      // the two family stores in pointer mode — the 1M regression for
+      // the BM25 pointer rollout (VERDICT r15 #1): folds must stay
+      // flat (appends land inside the live generation; only the
+      // compaction swap differs) and compact() must publish each
+      // family via its PTR rewrite, keeping the predecessor as the
+      // grace window.
+      val ptrMode = sys.env.contains("SPARK_GRAFT_STRESS_PTR")
+      if (ptrMode) operators.Bm25Index.enablePointerMode(spark, inc)
       for (b <- 0 until 10) {
         val lo = b * 100000L; val hi = lo + 100000L
         time(f"bm25inc batch $b%02d (100k)")({
@@ -1172,6 +1181,14 @@ object StressMain {
       time("bm25inc compact")({ operators.Bm25Index.compact(spark, inc); 1L })
       time("bm25inc retrieve compacted")(
         operators.Bm25Index.retrieve(spark, inc, terms).count())
+      if (ptrMode)
+        for (sub <- Seq("postings", "dl")) {
+          val ptr = java.nio.file.Files.readString(
+            java.nio.file.Path.of(inc, sub, "PTR")).trim
+          val gens = new java.io.File(inc, sub).list()
+            .filter(_.startsWith("g")).sorted.mkString(",")
+          println(s"[stress] bm25inc $sub: PTR=$ptr gens=[$gens]")
+        }
       val full = fresh("full")
       time("bm25inc full rebuild 1M")({
         operators.Bm25Index.appendBatch(spark, full, docs, 0L); 1000000L

@@ -80,6 +80,50 @@ class StreamingBm25Spec extends SparkTestBase {
     assert(served(state) === servedBefore)
   }
 
+  test("pointer mode through the REAL stream machinery: drains fold inside " +
+      "the live generation, compaction moves both family PTRs, served " +
+      "ranking identical to a rename-mode twin") {
+    // r16: the Bm25Index pointer rollout exercised end-to-end through
+    // foreachBatch + AvailableNow + the offsets WAL (Bm25IndexSpec has
+    // the deep state-machine walk; this pins that the STREAM layer —
+    // whose foreachBatch hands appendBatch the outer session — resolves
+    // the pointer-mode layout transparently).
+    val base = Fixtures.tempDir("sbm25-ptr")
+    val data = base.resolve("docs").toString
+    val state = base.resolve("state").toString
+    val twin = base.resolve("twin").toString
+    Bm25Index.enablePointerMode(spark, state)
+    def drain(st: String, ck: String): Unit = {
+      val src = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .parquet(data)
+      StreamingBm25.fit(spark, src, st, base.resolve(ck).toString)
+        .awaitTermination()
+    }
+    docs.filter(bucket < 60).coalesce(1).write.mode("append").parquet(data)
+    drain(state, "ckpt-p"); drain(twin, "ckpt-r")
+    docs.filter(bucket >= 60).coalesce(1).write.mode("append").parquet(data)
+    drain(state, "ckpt-p"); drain(twin, "ckpt-r")
+    def ptrOf(sub: String): String = java.nio.file.Files.readString(
+      new File(new File(state, sub), "PTR").toPath).trim
+    assert(ptrOf("postings") === "g0" && ptrOf("dl") === "g0")
+    assert(served(state) === served(twin),
+      "pointer mode must be serving-transparent through the stream")
+    // compact in the between-drains slot: both family PTRs advance
+    assert(Bm25Index.compact(spark, state))
+    assert(ptrOf("postings") === "g1" && ptrOf("dl") === "g1")
+    assert(served(state) === served(twin))
+    // and the stream keeps folding into the published generation
+    import spark.implicits._
+    Seq((900011L, "spark vector pointer stream doc"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(data)
+    drain(state, "ckpt-p"); drain(twin, "ckpt-r")
+    assert(served(state) === served(twin))
+    assert(Option(new File(new File(state, "postings"), "g1").list())
+      .getOrElse(Array.empty).count(_.startsWith("v")) === 2,
+      "the post-compaction drain must land inside the live generation")
+  }
+
   test("PINNED TRAP: a recreated checkpoint against a kept state dir silently drops new files") {
     // the header scaladoc's 'reset both or neither' contract, proven
     // through the real machinery: a fresh checkpoint restarts batch
