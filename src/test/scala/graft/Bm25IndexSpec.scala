@@ -582,4 +582,155 @@ class Bm25IndexSpec extends SparkTestBase {
     assert(Bm25Index.retrieve(spark, state, terms)
       .collect().map(_.toString).toSeq === before)
   }
+
+  test("randomized append/compact/crash/loss walk: served ranking always equals " +
+      "a plain twin fed the same batches, or fails loudly naming the loss") {
+    bm25FuzzWalk(ptrMode = false)
+  }
+
+  test("randomized append/compact/crash/loss walk in POINTER mode: same walk, " +
+      "same seed — crash states are the pointer-mode ones (stale unpublished " +
+      "family targets, kept-predecessor grace windows, entry GC)") {
+    bm25FuzzWalk(ptrMode = true)
+  }
+
+  /** The composition fuzz the vector indexes already have
+    * (StreamingIvfSpec/StreamingIvfPqSpec), applied to the BM25 state
+    * machine — harder here because TWO append families plus the
+    * merged df/stats store must stay mutually consistent through
+    * every interleaving. The directed cases above pin each crash
+    * window once; 30 seeded steps interleave appends, crashed
+    * appends (partial family v-dirs), frontier replays, compactions
+    * (pointer mode: a third of them over a planted stale target),
+    * the between-swaps-and-manifest-recommit crash, and move-aside
+    * external loss of random committed family generations — asserting
+    * after EVERY step that the served ranking is row-identical to a
+    * plain rename-mode TWIN fed the same batches (mode AND state-
+    * machine transparency in one gate), and that an unrestored loss
+    * is loud on read, append, and compact, naming the missing dir. */
+  private def bm25FuzzWalk(ptrMode: Boolean): Unit = {
+    val base = Fixtures.tempDir(if (ptrMode) "bm25-fuzz-ptr" else "bm25-fuzz")
+    val state = base.resolve("state").toString
+    val twin = base.resolve("twin").toString
+    val terms = Seq("spark", "vector", "customer")
+    if (ptrMode) Bm25Index.enablePointerMode(spark, state)
+    // the walk's file-level drills target each family's LIVE tree —
+    // the family dir itself in rename mode, the PTR-named generation
+    // in pointer mode (re-resolved each use: compactions move it)
+    def fam(sub: String): File = {
+      val f = new File(state, sub)
+      if (ptrMode) new File(f, java.nio.file.Files.readString(
+        new File(f, "PTR").toPath).trim)
+      else f
+    }
+    // width-2 bucket slices: 50 disjoint 10-doc batches (sf0.001 has
+    // exactly 5 docs in every bucket), more than the walk's
+    // worst-case append count, so the union stays duplicate-free by
+    // construction; batch id == slice id keeps the WAL frontier
+    // monotone
+    def batchOf(id: Long) =
+      docs.filter(bucket >= id * 2 && bucket < (id + 1) * 2)
+    def checkServed(): Unit = {
+      val got = Bm25Index.retrieve(spark, state, terms)
+        .collect().map(_.toString).toSeq
+      val want = Bm25Index.retrieve(spark, twin, terms)
+        .collect().map(_.toString).toSeq
+      assert(got === want, "served ranking diverges from the plain twin")
+    }
+    def appendBoth(id: Long): Unit = {
+      assert(Bm25Index.appendBatch(spark, state, batchOf(id), id))
+      assert(Bm25Index.appendBatch(spark, twin, batchOf(id), id))
+    }
+    appendBoth(0L)
+    var nextId = 1L
+    val rnd = new scala.util.Random(20260816)
+    // coverage self-check: a later seed/step change must not silently
+    // hollow the walk into one that never fires a drill
+    val fired = scala.collection.mutable.Set.empty[Int]
+    for (step <- 1 to 30) {
+      val c = rnd.nextInt(6)
+      fired += c
+      c match {
+        case 0 => // plain append
+          appendBoth(nextId); nextId += 1
+        case 1 => // crashed append: a partial v-dir in ONE family (no
+                  // merged commit) is invisible, then the WAL replay
+                  // of the same id completes it
+          val sub = if (rnd.nextBoolean()) "postings" else "dl"
+          val d = new File(fam(sub), f"v$nextId%020d")
+          d.mkdirs()
+          assert(new File(d, "part-junk").createNewFile())
+          checkServed() // the partial is invisible
+          appendBoth(nextId); nextId += 1
+        case 2 => // replay of the frontier id: no-op (the only id the
+                  // WAL can re-deliver)
+          assert(!Bm25Index.appendBatch(spark, state,
+            batchOf(nextId - 1), nextId - 1))
+        case 3 => // compaction. Pointer mode: a third of the time,
+                  // first plant a crashed earlier compaction's partial
+                  // unpublished target in one family — invisible to
+                  // reads, clobbered by the entry GC
+          if (ptrMode && rnd.nextInt(3) == 0) {
+            val sub = if (rnd.nextBoolean()) "postings" else "dl"
+            val next = new File(new File(state, sub),
+              "g" + (fam(sub).getName.drop(1).toLong + 1))
+            assert(new File(next, "junk-partial").mkdirs())
+            checkServed() // the stale target is invisible
+          }
+          Bm25Index.compact(spark, state)
+        case 4 => // external loss of a RANDOM committed generation in
+                  // a RANDOM family: loud everywhere (read, append,
+                  // compact) naming it; restore recovers
+          val sub = if (rnd.nextBoolean()) "postings" else "dl"
+          val gens = Option(fam(sub).listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith("v"))
+          val victim = gens(rnd.nextInt(gens.length))
+          val aside = new File(base.toFile, s"aside-$step")
+          assert(victim.renameTo(aside))
+          for (op <- Seq(
+              () => Bm25Index.readState(spark, state),
+              () => Bm25Index.appendBatch(spark, state, batchOf(nextId), nextId),
+              () => Bm25Index.compact(spark, state))) {
+            val e = intercept[IllegalArgumentException] { op() }
+            assert(e.getMessage.contains(victim.getName) &&
+              e.getMessage.contains("removed externally"),
+              s"step $step: loss of $sub/${victim.getName} not loud: ${e.getMessage}")
+          }
+          assert(aside.renameTo(victim))
+        case 5 => // crash between the family swaps and the manifest
+                  // re-commit: the stale manifest's missing names fall
+                  // inside the frontier generation's _COMPACTED list,
+                  // so reads serve through the fallback and the next
+                  // compact completes the interrupted commit
+          val merged = new File(state, "merged")
+          val saved = new File(base.toFile, s"msave-$step")
+          Fixtures.copyRec(merged, saved)
+          if (Bm25Index.compact(spark, state)) {
+            Fixtures.deleteRec(merged)
+            assert(saved.renameTo(merged))
+            checkServed() // served via the fallback
+            assert(Bm25Index.compact(spark, state), "completion commit")
+          } else Fixtures.deleteRec(saved)
+      }
+      checkServed()
+    }
+    assert(fired === Set(0, 1, 2, 3, 4, 5),
+      s"the seed must exercise every walk case, got $fired — rotate it")
+    // tail composition: one clean compact + append on whatever the
+    // walk left, then the pointer-mode grace-window/GC contract on
+    // the final state (rename mode's tail windows are the directed
+    // crash-heal cases above)
+    if (Bm25Index.compact(spark, state)) checkServed()
+    appendBoth(nextId)
+    checkServed()
+    if (ptrMode) {
+      val liveGen = fam("postings").getName
+      assert(Bm25Index.compact(spark, state))
+      assert(new File(new File(state, "postings"), liveGen).exists(),
+        s"$liveGen must survive the swap as the reader grace window")
+      assert(fam("postings").getName != liveGen,
+        "the swap must publish a new generation")
+      checkServed()
+    }
+  }
 }
