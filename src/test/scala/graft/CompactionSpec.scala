@@ -315,6 +315,103 @@ class CompactionSpec extends SparkTestBase {
     assert(e2.getMessage.contains("VIRGIN"))
   }
 
+  test("pointer-mode randomized walk: appends, compactions, planted crash " +
+      "states, orphan tmp files, and concurrent aborts interleaved — reads " +
+      "always serve the full union, never a torn generation") {
+    // The healEntry refusal-matrix fuzz above is rename-only by
+    // nature (pointer mode never renames aside, so the ambiguous
+    // states it disambiguates cannot arise); this is pointer mode's
+    // own composition walk — the directed case above pins each state
+    // once, here 30 seeded steps interleave them: out-of-band appends
+    // through writeDir, compactions, stale unpublished targets
+    // planted before compactions, orphan `PTR.tmp` files (the crash
+    // between writeFileAtomic's create and rename, collected by the
+    // entry GC since r16), and concurrent-append aborts through the
+    // pre-swap seam. After every step a read must serve exactly the
+    // accumulated union.
+    import java.io.File
+    val dir = Fixtures.tempDir("compact-ptr-fuzz").resolve("t").toString
+    Compactor.enablePointerMode(spark, dir)
+    def ptr(): String =
+      java.nio.file.Files.readString(new File(dir, "PTR").toPath).trim
+    var expected = Vector.empty[String]
+    var nextRow = 0L
+    def append(n: Int): Unit = {
+      val rows = (0 until n).map { _ => nextRow += 1; (nextRow, s"r$nextRow") }
+      rows.toDF("id", "v").coalesce(1).write.mode("append")
+        .parquet(Compactor.writeDir(spark, dir))
+      expected ++= rows.map { case (i, v) => s"[$i,$v]" }
+    }
+    def checkRead(): Unit =
+      assert(Compactor.read(spark, dir).collect().map(_.toString).sorted.toSeq
+        === expected.sorted, "read diverges from the accumulated union")
+    append(4)
+    val rnd = new scala.util.Random(20260817)
+    val fired = scala.collection.mutable.Set.empty[Int]
+    for (step <- 1 to 30) {
+      val c = rnd.nextInt(5)
+      fired += c
+      c match {
+        case 0 => // out-of-band append, writer discipline: resolve per job
+          append(1 + rnd.nextInt(3))
+        case 1 => // compaction publishes one PTR move; the superseded
+                  // generation survives as the reader grace window
+          val liveGen = ptr()
+          assert(Compactor.compact(spark, dir, targetRowsPerFile = 1000) === 1)
+          assert(ptr() != liveGen, "compact must publish a new generation")
+          assert(new File(dir, liveGen).exists(),
+            s"step $step: $liveGen must survive as the grace window")
+        case 2 => // a crashed compaction's partial unpublished target:
+                  // invisible to reads, clobbered by the next entry GC
+          val next = new File(dir, "g" + (ptr().drop(1).toLong + 1))
+          assert(new File(next, "junk-partial").mkdirs())
+          checkRead()
+          assert(Compactor.compact(spark, dir, targetRowsPerFile = 1000) === 1)
+          assert(!new File(next, "junk-partial").exists(),
+            s"step $step: the entry GC must clobber the stale target")
+        case 3 => // orphan tmp FILE under the base (crash between
+                  // writeFileAtomic's create and rename): invisible,
+                  // collected by the next compact's entry GC
+          val orphan = new File(dir, "PTR.tmp")
+          val w = new java.io.FileWriter(orphan)
+          try w.write("g999") finally w.close()
+          checkRead()
+          assert(Compactor.compact(spark, dir, targetRowsPerFile = 1000) === 1)
+          assert(!orphan.exists(),
+            s"step $step: the entry GC must collect the orphan tmp file")
+        case 4 => // concurrent append mid-compact: loud abort, PTR
+                  // unmoved, ONLY the staged generation discarded, the
+                  // concurrent rows intact
+          val liveGen = ptr()
+          val e = intercept[RuntimeException] {
+            Compactor.compactImpl(spark, dir, targetRowsPerFile = 1000,
+              Nil, Nil, beforeSwap = () => append(1))
+          }
+          assert(e.getMessage.contains("changed during the rewrite"),
+            s"step $step: ${e.getMessage}")
+          assert(ptr() === liveGen, "an aborted compact must not move PTR")
+          assert(!new File(dir, "g" + (liveGen.drop(1).toLong + 1)).exists(),
+            s"step $step: the aborted target generation must be discarded")
+      }
+      checkRead()
+      // never more than live + one grace window, and no stray tmp dirs
+      // once a compaction has run this step
+      val gens = Option(new File(dir).list()).getOrElse(Array.empty)
+        .filter(_.startsWith("g")).sorted
+      assert(gens.contains(ptr()), s"step $step: PTR names a missing gen")
+    }
+    assert(fired === Set(0, 1, 2, 3, 4),
+      s"the seed must exercise every walk case, got $fired — rotate it")
+    // tail: one clean compact collects everything stale; exactly the
+    // live generation and its grace window remain
+    assert(Compactor.compact(spark, dir, targetRowsPerFile = 1000) === 1)
+    checkRead()
+    val gens = Option(new File(dir).list()).getOrElse(Array.empty)
+      .filter(f => f.startsWith("g") && new File(dir, f).isDirectory).sorted
+    assert(gens.length === 2 && gens.last === ptr(),
+      s"expected live + grace window only, got ${gens.mkString(",")}")
+  }
+
   test("schema evolution: mergeSchema unions batch schemas") {
     val dir = Fixtures.tempDir("evolve").resolve("t").toString
     Seq((1L, "a")).toDF("id", "v").write.parquet(dir + "/b1")
