@@ -95,7 +95,11 @@ private[graft] object SessionMemo {
             // point (an explicit [[drop]]/[[SessionMemo.resetAll]],
             // whose contract is "no in-flight queries"), with the
             // JVM-exit hook as the backstop for dirs never dropped.
-            if (perSession.size > 8) {
+            // ...and only for a NEW key (review r16): a cleared
+            // SoftReference recompute re-puts an EXISTING key, the
+            // map does not grow, and evicting the oldest for it would
+            // needlessly drop a hot entry
+            if (perSession.size > 8 && !perSession.contains(key)) {
               val (oldKey, oldRef) = perSession.head
               perSession.remove(oldKey)
               Option(oldRef.get()).foreach { v =>
@@ -114,6 +118,20 @@ private[graft] object SessionMemo {
             v
         }
       }
+    }
+
+    /** Test seam: clear `key`'s SoftReference IN PLACE (what the GC
+      * does under memory pressure) without changing the map's shape —
+      * lets the spec drive the existing-key-recompute miss path
+      * deterministically. */
+    private[graft] def clearRefForTest(s: SparkSession, key: String): Unit = {
+      val perSession = memo.synchronized { Option(memo.get(s)) }
+      perSession.foreach(m => m.synchronized {
+        if (m.contains(key))
+          m.update(key,
+            new java.lang.ref.SoftReference[V](null.asInstanceOf[V]))
+        ()
+      })
     }
 
     /** Drop `s`'s entries, running the eviction callback on each

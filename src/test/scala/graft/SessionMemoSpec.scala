@@ -53,6 +53,42 @@ class SessionMemoSpec extends SparkTestBase {
       s"the deferred eviction callback must run at the safe point: $evicted")
   }
 
+  test("a cleared-reference recompute of an EXISTING key does not evict " +
+      "the oldest entry (the map is not growing)") {
+    // review r16: the size check ran on every miss, but a miss can be
+    // a SoftReference-cleared EXISTING key whose re-put keeps the map
+    // at the same size — evicting the oldest for it dropped a hot
+    // entry (and queued its delete) for no capacity gain. The cleared
+    // ref is planted deterministically through the test seam.
+    val evicted = scala.collection.mutable.Buffer.empty[String]
+    val memo = newMemo(evicted)
+    var computes = 0
+    // fill to the 9-entry high-water mark (one past the >8 bound)
+    for (i <- 1 to 10) memo(spark, s"k$i") { computes += 1; s"v-k$i" }
+    assert(computes === 10) // k1 was evicted at the 10th insert
+    // recompute an existing key repeatedly as the GC would force it:
+    // nothing may be size-evicted — the map is not growing
+    for (n <- 1 to 5) {
+      memo.clearRefForTest(spark, "k5")
+      memo(spark, "k5") { computes += 1; s"v$n-k5" }
+    }
+    assert(computes === 15)
+    // the oldest surviving entry (k2) must still be memoized — under
+    // the pre-fix code each k5 recompute evicted the head, so this
+    // would recompute
+    memo(spark, "k2") { computes += 1; "recomputed-k2" }
+    assert(computes === 15,
+      "existing-key recomputes must not have evicted the oldest entry")
+    // a genuinely NEW key at the bound still evicts the oldest (k2)
+    memo(spark, "k11") { computes += 1; "v-k11" }
+    assert(computes === 16)
+    memo(spark, "k3") { computes += 1; "recomputed-k3" }
+    assert(computes === 16, "k3 must have survived the k11 eviction")
+    memo.drop(spark)
+    assert(evicted.contains("v-k2"),
+      s"the new key's eviction must have queued the oldest (k2): $evicted")
+  }
+
   test("the pending-eviction queue is per session: dropping one session " +
       "never runs another session's deferred callbacks") {
     // review r16: with a global queue, session B's drop flushed the
