@@ -949,6 +949,28 @@ object StressMain {
       for ((tag, rounds) <- Seq(("seed", 0), ("trained", 2))) {
         val state = s"/tmp/stress/ivfpq_trained_$tag"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state))
+        // The seed arm is the r15 ablation's recall-0 regime — since
+        // r16 the freeze-time degeneracy guard REFUSES it (the guard
+        // demonstrating itself at 1M scale), so this arm's expected
+        // outcome is the loud refusal, not a recall table.
+        if (rounds == 0) {
+          val refused =
+            try {
+              StreamingIvfPq.appendBatch(spark, state,
+                corpus.filter(col("vec_id") < 100000L),
+                kc, m, subLen, kCb, 0L, pqRounds = rounds)
+              false
+            } catch {
+              case e: IllegalArgumentException
+                  if e.getMessage.contains("DEGENERATE") =>
+                println(s"[stress] ivfpq-$tag REFUSED at freeze " +
+                  "(degeneracy guard, expected): pqRounds >= 1 remedy named")
+                true
+            }
+          assert(refused,
+            "the matched-coarse seed arm must trip the degeneracy guard")
+          () // no probes: nothing froze
+        } else {
         time(s"ivfpq-$tag seed-drain 100k")({
           StreamingIvfPq.appendBatch(spark, state,
             corpus.filter(col("vec_id") < 100000L),
@@ -967,6 +989,7 @@ object StressMain {
             { adc = topk(StreamingIvfPq.probe(spark, state, queries, k, np,
                 m, subLen, excludeSelf = true)); adc.size.toLong })
           println(f"[stress] ivfpq-$tag recall@$k np=$np  ${recall(adc)}%.3f")
+        }
         }
       }
       corpus.unpersist(); corpusQ.unpersist(); qs.unpersist(): Unit

@@ -98,6 +98,22 @@ object IvfPq {
     val res = residuals(s, qvecs, cents)
     val resQv = res.select(col("vec_id"), col("cell"), col("rv").as("qv"))
     val codebooks = codebooksFor(resQv, m, subLen, kCb, pqRounds, mat)
+    // The same freeze-time degeneracy guard the streamed seeder runs
+    // (VERDICT r15 #2): a batch build whose codebooks collapsed at
+    // the origin serves recall-0 ADC results just as silently as a
+    // frozen streaming pair — refuse it here too, naming the remedy.
+    // The all-zero-residual corpus (every vector IS a centroid — zero
+    // codebooks exact) stays legal; cost is one constant-size
+    // aggregate, plus one residual pass only in the suspect case.
+    require(!degenerateCodebooks(codebooks, resQv),
+      "IVF-PQ codebooks are DEGENERATE: every codeword has zero " +
+        "residual energy while the corpus's residuals do not — the " +
+        "coarse quantizer matches the corpus's cluster structure, so " +
+        "the kCb-smallest-id seed rows are the centroids' own (zero) " +
+        "residuals and every ADC distance collapses to one value " +
+        "(recall 0.000 at 1M, PLANS.md). Build with pqRounds >= 1 " +
+        "(Lloyd-trained codebooks on the residuals) or use a coarse " +
+        "quantizer the corpus does not match")
     val codes = ProductQuantizer.encode(s, resQv, codebooks, m, subLen)
       .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
     (cents, codebooks, codes)

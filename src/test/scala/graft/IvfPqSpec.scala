@@ -315,4 +315,38 @@ class IvfPqSpec extends SparkTestBase {
     assert(a == run())
     assert(a.groupBy(_._1).size == 8 && a.size == 80)
   }
+
+  test("batch-build degeneracy guard: a matched-coarse pqRounds=0 build " +
+      "refuses, the pqRounds remedy works on the same geometry, and an " +
+      "all-zero-residual corpus stays legal") {
+    // The StreamingIvfPq freeze-time guard (VERDICT r15 #2) mirrored
+    // on the BATCH path: kCb = kc on this corpus puts every codebook
+    // seed row AT a centroid (ids 0..7 ARE the cluster centers, their
+    // residuals exactly zero) while the rest of the corpus carries
+    // real residual energy — the silent recall-0 regime.
+    val e = quantized
+    val eDegen = intercept[IllegalArgumentException] {
+      IvfPq.build(spark, e, kc = 8, coarseRounds = 0,
+        m = 4, subLen = 16, kCb = 8, pqRounds = 0)._3.count()
+    }
+    assert(eDegen.getMessage.contains("DEGENERATE") &&
+      eDegen.getMessage.contains("pqRounds >= 1"), eDegen.getMessage)
+    // the named remedy on the SAME geometry: Lloyd-trained codebooks
+    // carry residual energy and the build serves
+    val (ce, cb, co) = IvfPq.build(spark, e, kc = 8, coarseRounds = 0,
+      m = 4, subLen = 16, kCb = 8, pqRounds = 1)
+    assert(co.count() === e.count() * 4) // m=4 code rows per vector
+    assert(IvfPq.probe(spark, ce, cb, co,
+      e.filter(col("vec_id") < 2).select(col("vec_id").as("q_id"), col("qv")),
+      k = 5, nProbe = 2, m = 4, subLen = 16, excludeSelf = true).count() > 0)
+    // all-zero-residual corpus: every vector IS a centroid, zero
+    // codebooks are exact — the guard must not false-alarm
+    val centersOnly = e.filter(col("vec_id") < 8)
+    val (_, _, co0) = IvfPq.build(spark, centersOnly, kc = 8,
+      coarseRounds = 0, m = 4, subLen = 16, kCb = 8, pqRounds = 0)
+    assert(co0.count() === 8 * 4)
+    // the oracle geometry (kCb=16 > kc=8: codebook seeds include
+    // non-centroid rows with real residuals) is unaffected — pinned
+    // by q_ann_ivfpq's own CORRECTNESS row and the suite above.
+  }
 }
