@@ -1238,6 +1238,16 @@ object StressMain {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       val terms = Seq("spark", "vector", "customer")
       val qs = vecs1m.filter(col("vec_id") < 8)
+      // r16: SPARK_GRAFT_STRESS_PTR=1 runs the whole alternation with
+      // ALL THREE stored-state indexes in pointer mode — the
+      // object-store-shape capstone: every compaction below publishes
+      // via PTR rewrites, no directory rename load-bearing anywhere.
+      val ptrMode = sys.env.contains("SPARK_GRAFT_STRESS_PTR")
+      if (ptrMode) {
+        operators.Bm25Index.enablePointerMode(spark, s"$base/bm/state")
+        streaming.StreamingIvf.enablePointerMode(spark, s"$base/iv/state")
+        streaming.StreamingIvfPq.enablePointerMode(spark, s"$base/pq/state")
+      }
       for (b <- 0 until 10) {
         val lo = b * 100000L; val hi = lo + 100000L
         docs1m.filter(col("doc_id") >= lo && col("doc_id") < hi)
@@ -1265,11 +1275,16 @@ object StressMain {
         vecs1m.filter(col("vec_id") >= lo && col("vec_id") < hi)
           .coalesce(4).write.mode("append").parquet(s"$base/pq/src")
         time(f"alt ivfpq drain $b%02d (100k)")({
+          // pqRounds = 2 since r16: this kc=2000 matched-coarse
+          // geometry is the degeneracy guard's refusal regime at
+          // pqRounds = 0 (the IVFPQ_TRAINED seed arm pins the
+          // refusal) — the alternation runs the guard's own remedy,
+          // the trained-codebook production configuration
           streaming.StreamingIvfPq.fit(spark,
             spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
               .parquet(s"$base/pq/src"),
             s"$base/pq/state", s"$base/pq/ckpt",
-            kc = 2000, m = 4, subLen = 16, kCb = 256)
+            kc = 2000, m = 4, subLen = 16, kCb = 256, pqRounds = 2)
             .awaitTermination()
           100000L
         })
@@ -1298,6 +1313,17 @@ object StressMain {
       time("alt ivfpq serve final (1 compacted + 1 append dir)")(
         streaming.StreamingIvfPq.probe(spark, s"$base/pq/state", qs,
           k = 10, nProbe = 1, m = 4, subLen = 16).count())
+      if (ptrMode)
+        for ((tag, dir) <- Seq(("bm25/postings", s"$base/bm/state/postings"),
+            ("bm25/dl", s"$base/bm/state/dl"),
+            ("ivf/lists", s"$base/iv/state/lists"),
+            ("ivfpq/codes", s"$base/pq/state/codes"))) {
+          val ptr = java.nio.file.Files.readString(
+            java.nio.file.Path.of(dir, "PTR")).trim
+          val gens = new java.io.File(dir).list()
+            .filter(_.startsWith("g")).sorted.mkString(",")
+          println(s"[stress] alt $tag: PTR=$ptr gens=[$gens]")
+        }
     }
     // q_rag_incremental cost profile (round-12): the bench's slowest
     // query — two in-query Bm25Index batches + one served retrieve.
