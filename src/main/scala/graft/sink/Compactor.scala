@@ -64,9 +64,9 @@ object Compactor {
     * before the first write: an existing plain-layout table would
     * become invisible to pointer-mode readers (the files sit next to,
     * not inside, the generation dirs), so a non-empty dir is refused
-    * loudly — migrate by rewriting the table into [[writeDir]] after
-    * enabling, or keep rename mode (the default, one less
-    * indirection on rename-atomic filesystems). */
+    * loudly — a LIVE table adopts the layout in place with
+    * [[migrateToPointerMode]] instead, or keeps rename mode (the
+    * default, one less indirection on rename-atomic filesystems). */
   def enablePointerMode(spark: SparkSession, dir: String): Unit = {
     val base = new Path(dir)
     val fs = StateFs.fs(spark, base)
@@ -74,9 +74,35 @@ object Compactor {
     require(!fs.exists(base) || fs.listStatus(base).isEmpty,
       s"pointer mode must be enabled on a VIRGIN table dir: $dir already " +
         "holds data in the plain layout, which pointer-mode readers would " +
-        "not see — rewrite it into writeDir(...) after enabling on a fresh " +
-        "dir, or keep rename mode")
+        "not see — use Compactor.migrateToPointerMode, the crash-safe " +
+        "in-place migration, or keep rename mode")
     StateFs.enablePointerMode(spark, base)
+  }
+
+  /** In-place rename→pointer migration of a LIVE plain-layout table
+    * (VERDICT r16 #1 — [[enablePointerMode]] is virgin-dir-only, so a
+    * deployed table could previously adopt the object-store-safe
+    * layout only by a full rewrite into a fresh dir): the table's
+    * files are staged as a COPY under generation `g0` and the mode
+    * flipped with one atomic marker create
+    * ([[graft.util.StateFs.migrateToPointerMode]] — full crash matrix
+    * there: any crash leaves either the untouched rename-mode table
+    * or a fully-published pointer one; rerunning completes either
+    * way). Entry runs [[healEntry]] first, so the rename-mode
+    * refusal matrix (an ambiguous `.bak`) still protects the only
+    * full copy. Run in the no-reader/no-writer maintenance slot —
+    * enforced by the staging snapshot re-check; note that unlike the
+    * index stores, a MID-MIGRATION crash leaves staged `g0`/`PTR`
+    * children a plain `spark.read.parquet(dir)` would choke on
+    * (loudly, never silently) — [[read]] serves the live table
+    * through them, and [[compact]] refuses with the rerun remedy
+    * until the migration is completed or abandoned. */
+  def migrateToPointerMode(spark: SparkSession, dir: String): Unit = {
+    val base = new Path(dir)
+    val fs = StateFs.fs(spark, base)
+    if (!fs.exists(base)) { enablePointerMode(spark, dir); return } // virgin
+    if (!StateFs.pointerMode(fs, base)) healEntry(fs, base)
+    StateFs.migrateToPointerMode(spark, base)
   }
 
   /** The directory writers must target: the table dir itself in the
@@ -87,6 +113,16 @@ object Compactor {
     val base = new Path(dir)
     StateFs.resolveLive(StateFs.fs(spark, base), base).toString
   }
+
+  /** Names a crashed [[migrateToPointerMode]] stages under a
+    * rename-mode table dir — reserved by the pointer layout, excluded
+    * from rename-mode reads ([[read]]) and counted loads
+    * ([[fileCount]]) so the live table stays servable through the
+    * crash window. `_MIGRATING`/`PTRMODE` are underscore-/marker-
+    * files parquet ignores anyway; `PTR` and `g<k>` are not. */
+  private def migrationJunk(name: String, isDir: Boolean): Boolean =
+    name == "PTR" || name == "PTR.tmp" || name == "_MIGRATING" ||
+      (isDir && name.matches("g\\d+"))
 
   /** The healReader-aware read path for compacted tables: restore a
     * mid-swap-crashed table from its `.bak` first (the one repair a
@@ -123,6 +159,24 @@ object Compactor {
         "serve a possibly-partial table: compare the two directories " +
         "(see Compactor.compact's refusal message for the procedure), " +
         "reconcile, then reread")
+    // crashed-migration tolerance (VERDICT r16 #1): a mid-migration
+    // crash leaves staged `g0`/`PTR` children the whole-dir parquet
+    // read would choke on — the live table (everything else) is still
+    // authoritative, so serve it through explicit child paths. Readers
+    // never repair: completing or abandoning the migration is the
+    // writer's move (compact names the remedy).
+    val kids = fs.listStatus(live).toSeq
+    if (kids.exists(s => migrationJunk(s.getPath.getName, s.isDirectory))) {
+      val good = kids.filterNot(s =>
+          migrationJunk(s.getPath.getName, s.isDirectory) ||
+            s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith(".") ||
+            s.getPath.getName.endsWith(".tmp"))
+        .map(_.getPath.toString)
+      require(good.nonEmpty, s"read: $live holds only crashed-migration " +
+        "staging — complete it (Compactor.migrateToPointerMode) first")
+      return spark.read.option("basePath", dir).parquet(good: _*)
+    }
     spark.read.parquet(dir)
   }
 
@@ -133,10 +187,22 @@ object Compactor {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val p = StateFs.resolveLive(fs, base)
-    val it = fs.listFiles(p, true)
+    // rename mode with crashed-migration staging present: count only
+    // the live table's children, not the staged g0 copy of them
+    val roots: Seq[Path] = {
+      val kids = fs.listStatus(p).toSeq
+      if (p == base && kids.exists(s =>
+          migrationJunk(s.getPath.getName, s.isDirectory)))
+        kids.filterNot(s => migrationJunk(s.getPath.getName, s.isDirectory))
+          .map(_.getPath)
+      else Seq(p)
+    }
     var n = 0
-    while (it.hasNext) {
-      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    for (r <- roots) {
+      val it = fs.listFiles(r, true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
     }
     n
   }
@@ -237,15 +303,23 @@ object Compactor {
     * writers CAN rewrite files in place must not run this compactor
     * concurrently with them, no-writer slot or not. */
   def compact(spark: SparkSession, dir: String, targetRowsPerFile: Long,
-      clusterBy: Seq[String] = Nil, partitionBy: Seq[String] = Nil): Int =
-    compactImpl(spark, dir, targetRowsPerFile, clusterBy, partitionBy, () => ())
+      clusterBy: Seq[String] = Nil, partitionBy: Seq[String] = Nil,
+      retainGens: Int = 0): Int =
+    compactImpl(spark, dir, targetRowsPerFile, clusterBy, partitionBy,
+      () => (), retainGens)
 
   /** [[compact]] with an injectable pre-swap hook — the test seam the
     * concurrent-append guard is pinned through (CompactionSpec); the
-    * public entry point passes a no-op. */
+    * public entry point passes a no-op. `retainGens` deepens the
+    * pointer-mode reader grace window: that many of the newest
+    * superseded generations survive each writer-entry GC, so a
+    * reader's scan may span `retainGens + 1` compactions (the
+    * [[graft.util.StateFs.pointerSwap]] contract; default 0 = one
+    * compaction) at the cost of that many stale generations of disk. */
   private[graft] def compactImpl(spark: SparkSession, dir: String,
       targetRowsPerFile: Long, clusterBy: Seq[String],
-      partitionBy: Seq[String], beforeSwap: () => Unit): Int = {
+      partitionBy: Seq[String], beforeSwap: () => Unit,
+      retainGens: Int = 0): Int = {
     val base = new Path(dir)
     val fs = StateFs.fs(spark, base)
     val ptrMode = StateFs.pointerMode(fs, base)
@@ -254,8 +328,19 @@ object Compactor {
     // windows behind the out-of-band-recreate guard; pointer GCs
     // stale generations — a crashed compaction's partial unpublished
     // target, or the superseded grace-window generation
-    if (ptrMode) StateFs.gcStaleGens(fs, base, live.getName)
-    else healEntry(fs, live)
+    if (ptrMode) StateFs.gcStaleGens(fs, base, live.getName, retainGens)
+    else {
+      healEntry(fs, live)
+      // a crashed rename→pointer migration left its staging here: the
+      // whole-dir read below would choke on the staged g0/PTR, and
+      // compacting around them would race a rerun of the migration —
+      // refuse with the remedy (reads stay served via Compactor.read)
+      if (fs.exists(new Path(base, "_MIGRATING")))
+        sys.error(s"compact: $base carries a staged or crashed " +
+          "rename->pointer migration (_MIGRATING) — rerun " +
+          "Compactor.migrateToPointerMode to complete it, or delete the " +
+          "staged g*/PTR/_MIGRATING children to abandon it, then rerun")
+    }
     val snapshot = fileSnapshot(fs, live)
     val df = spark.read.parquet(live.toString)
     require(partitionBy.forall(df.columns.contains),

@@ -85,9 +85,12 @@ import graft.util.StateFs
   * [[graft.util.StateFs.logAppend]]): one small atomic file recording
   * the max delivered id, which every listing requires the surviving
   * chain to reach — co-loss of the newest generation(s) with their
-  * markers no longer reads as a shorter history. Remaining residuals
-  * (documented, both under-detect-only): removal of the FRONTIER
-  * file together with the suffix it witnesses, and the single
+  * markers no longer reads as a shorter history — and since r16,
+  * removing FRONTIER itself (alone or together with that suffix) is
+  * loud too: the write order FRONTIER-before-GENESIS makes
+  * GENESIS-without-FRONTIER impossible benignly, so every listing
+  * refuses it naming the witness ([[graft.util.StateFs.checkedVDirs]]).
+  * Remaining residual (documented, under-detect-only): the single
   * newest id inside its marker-to-frontier write instant (which the
   * WAL replay repairs anyway).
   *
@@ -130,6 +133,27 @@ object StreamingIvf {
     * the compaction swap differs. */
   def enablePointerMode(spark: SparkSession, stateDir: String): Unit =
     StateFs.enablePointerMode(spark, listsBase(stateDir))
+
+  /** In-place rename→pointer migration of a LIVE lists store (VERDICT
+    * r16 #1): the whole lists tree — v-dirs, applog, MANIFEST and the
+    * witness files — is staged as a COPY under generation `g0` and
+    * the mode flipped with one atomic marker create
+    * ([[graft.util.StateFs.migrateToPointerMode]] — full crash matrix
+    * there: any crash leaves either the untouched rename-mode store
+    * or a fully-published pointer one; a rerun completes either way).
+    * Run between drains (the no-reader/no-writer maintenance slot,
+    * enforced by the staging snapshot re-check). The centroids dir is
+    * untouched: it is written once and never swapped, so it needs no
+    * pointer layout. */
+  def migrateToPointerMode(spark: SparkSession, stateDir: String): Unit = {
+    val base = listsBase(stateDir)
+    val f = StateFs.fs(spark, base)
+    if (!f.exists(base)) StateFs.enablePointerMode(spark, base) // virgin
+    else {
+      if (!StateFs.pointerMode(f, base)) StateFs.healWriter(f, base)
+      StateFs.migrateToPointerMode(spark, base)
+    }
+  }
 
   /** [[graft.util.StateFs.logAppend]] on the lists dir — one O(1)
     * atomic empty-file create per committed batch (header scaladoc). */

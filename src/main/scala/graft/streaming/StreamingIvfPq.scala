@@ -75,6 +75,21 @@ object StreamingIvfPq {
   def enablePointerMode(spark: SparkSession, stateDir: String): Unit =
     StateFs.enablePointerMode(spark, codesBase(stateDir))
 
+  /** In-place rename→pointer migration of a LIVE codes store (VERDICT
+    * r16 #1 — [[StreamingIvf.migrateToPointerMode]] has the full
+    * rationale; [[graft.util.StateFs.migrateToPointerMode]] the crash
+    * matrix). Run between drains; idempotent; the frozen quantizer
+    * pair is untouched (written once, never swapped). */
+  def migrateToPointerMode(spark: SparkSession, stateDir: String): Unit = {
+    val base = codesBase(stateDir)
+    val f = StateFs.fs(spark, base)
+    if (!f.exists(base)) StateFs.enablePointerMode(spark, base) // virgin
+    else {
+      if (!StateFs.pointerMode(f, base)) StateFs.healWriter(f, base)
+      StateFs.migrateToPointerMode(spark, base)
+    }
+  }
+
   private def quantizerDir(stateDir: String) = new Path(stateDir, "quantizer")
   private def centroidsDir(stateDir: String) =
     new Path(quantizerDir(stateDir), "centroids")

@@ -185,11 +185,14 @@ object StateFs {
   // the old generation; a moved PTR serves the new one while the
   // predecessor idles; stale generations are GC'd at the next
   // compaction entry. The mode is a per-state-dir property recorded by a
-  // `PTRMODE` marker, chosen ONCE on a virgin dir — the two layouts
-  // must not mix, so in-place conversion is refused.
+  // `PTRMODE` marker, chosen on a virgin dir (enablePointerMode) or
+  // adopted IN PLACE by a live rename-mode store via the crash-safe
+  // migrateToPointerMode (VERDICT r16 #1) — the two layouts must not
+  // mix, so silent in-place conversion stays refused.
 
   private val PtrModeMarker = "PTRMODE"
   private val PtrFile = "PTR"
+  private val MigratingMarker = "_MIGRATING"
 
   def pointerMode(fs: FileSystem, base: Path): Boolean =
     fs.exists(new Path(base, PtrModeMarker))
@@ -209,9 +212,9 @@ object StateFs {
     require(committedVDirs(f, base).isEmpty && !f.exists(bakOf(base)) &&
         !f.exists(tmpOf(base)),
       s"pointer mode must be enabled on a VIRGIN state dir: $base already " +
-        "holds rename-mode generations — migrate them explicitly (rebuild " +
-        "or move them under the g0 generation) instead of converting in " +
-        "place, which would hide them from pointer-mode readers")
+        "holds rename-mode generations — a silent conversion would hide " +
+        "them from pointer-mode readers; use migrateToPointerMode, the " +
+        "crash-safe in-place migration, instead")
     f.mkdirs(base)
     f.create(new Path(base, PtrModeMarker), true).close()
     writeFileAtomic(spark, new Path(base, PtrFile), "g0")
@@ -261,7 +264,18 @@ object StateFs {
     * swap as a grace window. It is collected by [[gcStaleGens]] at the
     * next compaction entry, which by the single-writer discipline is
     * the next point guaranteed free of readers mid-scan on it; the
-    * cost is one stale generation of disk between compactions. */
+    * cost is one stale generation of disk between compactions.
+    *
+    * GRACE-WINDOW CONTRACT (review r16 — previously implicit): with
+    * the default retention the window is exactly ONE generation deep,
+    * so a reader's scan must not span TWO compactions — a reader that
+    * resolved generation `g<k>` keeps it through the swap to `g<k+1>`
+    * but loses it to the writer-entry GC of the compaction that
+    * publishes `g<k+2>`. Deployments whose scans can outlive a full
+    * compaction cadence deepen the window with [[gcStaleGens]]'s
+    * `retainPredecessors` (a scan may then span
+    * `retainPredecessors + 1` compactions), at the cost of that many
+    * stale generations of disk. */
   def pointerSwap(spark: SparkSession, base: Path, prev: Path, next: Path): Unit =
     writeFileAtomic(spark, new Path(base, PtrFile), next.getName)
 
@@ -272,15 +286,188 @@ object StateFs {
     * (ADVICE r15: a crash between [[writeFileAtomicFs]]'s create and
     * rename strands a `PTR.tmp` nothing else cleans — healWriter is a
     * no-op in pointer mode and the generation GC only removes
-    * directories). */
-  def gcStaleGens(fs: FileSystem, base: Path, keep: String): Unit =
-    if (fs.exists(base))
-      fs.listStatus(base).toSeq
-        .filter(s =>
-          (s.isDirectory && s.getPath.getName.startsWith("g") &&
-            s.getPath.getName != keep) ||
-          (s.isFile && s.getPath.getName.endsWith(".tmp")))
-        .foreach(s => deleteRec(fs, s.getPath))
+    * directories).
+    *
+    * `retainPredecessors` (review r16 — the [[pointerSwap]]
+    * grace-window contract's knob) keeps that many of the NEWEST
+    * superseded generations BELOW the live one alive past this GC, so
+    * a reader's scan may safely span `retainPredecessors + 1`
+    * compactions; the default 0 is the one-compaction contract.
+    * Crashed-compaction targets ABOVE the live generation are always
+    * collected — they are partial garbage, never a reader's.
+    *
+    * When the base carries a crashed [[migrateToPointerMode]]'s
+    * `_MIGRATING` sentinel (publish completed, old-layout GC did not),
+    * this also finishes that migration's cleanup: every child that is
+    * not part of the pointer layout is the superseded rename-mode
+    * layout — already invisible to pointer-mode readers — and is
+    * collected, the sentinel last. */
+  def gcStaleGens(fs: FileSystem, base: Path, keep: String,
+      retainPredecessors: Int = 0): Unit = {
+    if (!fs.exists(base)) return
+    val entries = fs.listStatus(base).toSeq
+    val migrating = entries.exists(_.getPath.getName == MigratingMarker)
+    def genId(n: String): Option[Long] =
+      if (n.matches("g\\d+")) Some(n.drop(1).toLong) else None
+    val keepId = genId(keep).getOrElse(Long.MaxValue)
+    val retained: Set[String] = entries
+      .flatMap(s => genId(s.getPath.getName).filter(_ < keepId)
+        .map(id => (id, s.getPath.getName)))
+      .sortBy(-_._1).take(math.max(0, retainPredecessors)).map(_._2).toSet
+    entries.foreach { s =>
+      val n = s.getPath.getName
+      val stale =
+        if (n == keep || retained.contains(n) || n == PtrModeMarker ||
+          n == PtrFile || n == MigratingMarker) false
+        else if (s.isDirectory && n.startsWith("g")) true
+        else if (s.isFile && n.endsWith(".tmp")) true
+        else migrating // crashed-migration rename-layout residue
+      if (stale) deleteRec(fs, s.getPath)
+    }
+    if (migrating) deleteRec(fs, new Path(base, MigratingMarker))
+  }
+
+  /** In-place rename→pointer migration of a LIVE state dir (VERDICT
+    * r16 #1 — [[enablePointerMode]] is virgin-dir-only, so a deployed
+    * store could previously adopt the object-store-safe layout only by
+    * full rebuild): stage a COPY of the live tree's children as
+    * generation `g0`, write `PTR`, then flip the mode with one atomic
+    * `PTRMODE` create, and GC the superseded rename-mode children
+    * (finished by the next writer entry's [[gcStaleGens]] if this call
+    * crashes first). The live tree itself is never renamed or moved —
+    * staging is copy-only — so a crash at ANY point leaves one of two
+    * servable stores:
+    *
+    *  - before the `PTRMODE` create: the UNTOUCHED rename-mode store.
+    *    The staged extras (`_MIGRATING`, a partial or complete `g0`,
+    *    `PTR`) are invisible to every rename-mode code path — v-dir
+    *    listings filter them out, witness files are read by exact name
+    *    — and a rerun of this method restarts the staging from scratch
+    *    (staged copies are never authoritative before the publish).
+    *  - at or after it: a FULLY-published pointer store — `PTR` and
+    *    the complete `g0` are in place before the marker by
+    *    construction — with at worst the old rename-layout children
+    *    left as invisible junk behind the `_MIGRATING` sentinel, which
+    *    the next [[gcStaleGens]] (any writer entry) or a rerun of this
+    *    method collects.
+    *
+    * NO CONCURRENT READERS OR WRITERS — enforced, not assumed (the
+    * [[graft.sink.Compactor]] discipline): the live tree is
+    * snapshotted at entry and re-checked immediately before the
+    * `PTRMODE` create; a writer landing mid-copy would otherwise
+    * split its output between the copied `g0` and the about-to-be-GC'd
+    * old layout. Any difference aborts loudly with the staging
+    * discarded and the rename-mode store intact.
+    *
+    * PRECONDITIONS, refused loudly: the base must exist (a virgin
+    * store wants [[enablePointerMode]]); any `.bak`/`.tmp` sibling
+    * (an unresolved rename-mode crash state) must have been repaired
+    * by the store's own writer-entry heal first; and `g*`/`PTR`
+    * children with NO `_MIGRATING` sentinel are foreign content under
+    * reserved pointer-layout names, not a crashed attempt — refused
+    * rather than clobbered. Idempotent: a completed migration returns
+    * after finishing any leftover cleanup. */
+  def migrateToPointerMode(spark: SparkSession, base: Path): Unit =
+    migrateToPointerModeImpl(spark, base, () => (), () => ())
+
+  /** [[migrateToPointerMode]] with injectable crash/test seams — the
+    * Compactor device: `afterStage` fires with `g0` fully copied but
+    * nothing published; `afterPtr` fires with `PTR` written but the
+    * mode not yet flipped. */
+  private[graft] def migrateToPointerModeImpl(spark: SparkSession, base: Path,
+      afterStage: () => Unit, afterPtr: () => Unit): Unit = {
+    val f = fs(spark, base)
+    val mig = new Path(base, MigratingMarker)
+    if (pointerMode(f, base)) {
+      // published already; finish a crashed run's old-layout GC
+      if (f.exists(mig)) gcStaleGens(f, base, resolveLive(f, base).getName)
+      return
+    }
+    require(f.exists(base),
+      s"migrate: $base does not exist — a virgin store opts in with " +
+        "enablePointerMode instead")
+    require(!f.exists(bakOf(base)) && !f.exists(tmpOf(base)),
+      s"migrate: $base has unresolved rename-mode swap state " +
+        s"(${bakOf(base).getName}/${tmpOf(base).getName}) — run the " +
+        "store's writer-entry repair first, then rerun the migration")
+    val g0 = new Path(base, "g0")
+    val ptr = new Path(base, PtrFile)
+    if (!f.exists(mig)) {
+      val reserved = f.listStatus(base).toSeq.map(_.getPath.getName)
+        .filter(n => n == PtrFile || n.matches("g\\d+")).sorted
+      require(reserved.isEmpty,
+        s"migrate: $base already contains pointer-layout name(s) " +
+          s"[${reserved.mkString(", ")}] with no migration in progress — " +
+          "these are reserved (g<k>/PTR); foreign content under them " +
+          "would be clobbered by the staging, so move it aside first")
+      f.create(mig, true).close()
+    }
+    // restart any crashed staging: pre-publish copies are never
+    // authoritative, and a partial g0 is indistinguishable from a
+    // complete one without the publish
+    deleteRec(f, g0)
+    deleteRec(f, ptr)
+    deleteRec(f, new Path(base, PtrFile + ".tmp"))
+    // children of the live rename-mode tree = everything that is not a
+    // staging artifact of this migration
+    val ours = Set(MigratingMarker, "g0", PtrFile, PtrFile + ".tmp",
+      PtrModeMarker)
+    def liveKids(): Seq[Path] = f.listStatus(base).toSeq.map(_.getPath)
+      .filterNot(p => ours.contains(p.getName))
+    // no-writer guard snapshot: every file under the live tree, keyed
+    // (path, len, mtime) — the Compactor snapshot discipline. Re-listed
+    // per call so a brand-new child (a concurrent append's fresh v-dir)
+    // is visible to the re-check too.
+    def snap(): Set[(String, Long, Long)] = {
+      val b = Set.newBuilder[(String, Long, Long)]
+      for (k <- liveKids() if f.exists(k)) {
+        // listFiles handles files and directories alike: a file path
+        // yields its own status, a directory its recursive contents
+        val it = f.listFiles(k, true)
+        while (it.hasNext) {
+          val s = it.next()
+          b += ((s.getPath.toString, s.getLen, s.getModificationTime))
+        }
+      }
+      b.result()
+    }
+    val entrySnap = snap()
+    f.mkdirs(g0)
+    for (k <- liveKids())
+      if (!org.apache.hadoop.fs.FileUtil.copy(f, k, f, new Path(g0, k.getName),
+          false, f.getConf))
+        sys.error(s"migrate: copying $k into $g0 failed — staged copy " +
+          "incomplete; rerun the migration")
+    afterStage()
+    writeFileAtomic(spark, ptr, "g0")
+    afterPtr()
+    // pre-publish no-writer re-check: a writer landed in the live tree
+    // while we copied — its output is split between the copy and the
+    // layout about to be GC'd. Abort loudly, discarding only the
+    // staging; the rename-mode store (the concurrent write included)
+    // stays authoritative and untouched.
+    val now = snap()
+    if (now != entrySnap) {
+      val changed = ((now diff entrySnap) ++ (entrySnap diff now)).map(_._1)
+        .toSeq.sorted
+      deleteRec(f, g0)
+      deleteRec(f, ptr)
+      deleteRec(f, mig)
+      sys.error(s"migrate: $base changed during the staging copy " +
+        s"(concurrent writer; changed files: ${changed.mkString(", ")}) — " +
+        "staging discarded, rename-mode store intact including the " +
+        "concurrent write; rerun the migration in a no-reader/no-writer " +
+        "maintenance slot")
+    }
+    // THE atomic mode switch: until this create every reader and writer
+    // resolves the untouched rename-mode tree; from it, PTR and the
+    // complete g0 are already in place
+    f.create(new Path(base, PtrModeMarker), true).close()
+    // GC the superseded rename-mode layout (invisible junk from here on;
+    // a crash mid-GC is finished by the next writer entry's gcStaleGens
+    // behind the _MIGRATING sentinel, or by a rerun of this method)
+    gcStaleGens(f, base, "g0")
+  }
 
   // ---- crash-interrupted-compaction marker ----
 
@@ -364,13 +551,27 @@ object StateFs {
     // indistinguishable from a shorter history — is loud. Runs on
     // every logged id (v and s alike); O(1) per batch (one read, one
     // small-file rewrite when the frontier advances).
+    //
+    // Order (review r16 — closes the FRONTIER-plus-suffix co-loss
+    // residual): FRONTIER is written BEFORE GENESIS, so in the r16+
+    // regime GENESIS-without-FRONTIER cannot arise benignly (the
+    // crash between the two leaves FRONTIER-without-GENESIS, which
+    // merely skips the dense check until the same id's WAL replay
+    // writes GENESIS). [[checkedVDirs]] can then treat a missing
+    // FRONTIER next to a present GENESIS as certain external removal
+    // of the witness — previously it had to read as legacy state and
+    // skip, which let FRONTIER be removed TOGETHER with the suffix it
+    // witnesses, silently. Upgrade note: a store whose r15-era first
+    // append crashed exactly between its genesis and frontier writes
+    // (the old order, a one-instant window) trips the new check once;
+    // the named repair is the one-line FRONTIER restore.
     for (id <- idOf(name)) {
-      val gf = genesisFile(dir)
-      if (!fs.exists(gf)) writeFileAtomicFs(fs, gf, id.toString)
       val ff = frontierFile(dir)
       val cur =
         if (fs.exists(ff)) readWitness(fs, ff, "frontier") else -1L
       if (id > cur) writeFileAtomicFs(fs, ff, id.toString)
+      val gf = genesisFile(dir)
+      if (!fs.exists(gf)) writeFileAtomicFs(fs, gf, id.toString)
     }
   }
 
@@ -520,8 +721,13 @@ object StateFs {
     // FRONTIER is the O(1) witness: the chain must reach it. It lags
     // only inside the marker-to-frontier instant of the newest id
     // (WAL-replay-repaired), so maxSeen < frontier is certain loss.
-    // A dir without FRONTIER (legacy state, or its own external
-    // removal) skips the check — under-detects, never false-alarms.
+    // A dir with NEITHER witness (pre-r15 legacy state) skips the
+    // check — under-detects, never false-alarms. A dir with GENESIS
+    // but no FRONTIER is loud since r16 ([[logAppend]]'s write order:
+    // FRONTIER strictly precedes GENESIS, so this state cannot arise
+    // benignly): it means the witness was removed externally —
+    // possibly TOGETHER with the chain suffix it recorded, the one
+    // co-loss that was previously silent.
     val ff = frontierFile(dir)
     if (fs.exists(ff)) {
       val frontier = readWitness(fs, ff, "frontier")
@@ -534,7 +740,13 @@ object StateFs {
           "suffix (the newest committed generation(s) and their log " +
           "markers) was removed externally; restore them or rebuild the " +
           "index from the raw vectors")
-    }
+    } else require(!fs.exists(gf),
+      s"$what state inconsistent: the FRONTIER witness under $dir is " +
+        "missing but GENESIS exists — FRONTIER is written before GENESIS " +
+        "and consumed by nothing, so it was removed externally, possibly " +
+        "together with the newest committed generation(s) it witnessed; " +
+        "restore it (one line holding the max delivered batch id) or " +
+        "rebuild the index from the raw vectors")
     dirs
   }
 
