@@ -594,6 +594,16 @@ class Bm25IndexSpec extends SparkTestBase {
     bm25FuzzWalk(ptrMode = true)
   }
 
+  test("randomized walk with a MID-WALK in-place rename->pointer migration " +
+      "(step 12): served ranking stays equal to the rename-mode twin across " +
+      "the flip of both families; pointer crash states compose after it") {
+    // VERDICT r16 #1: the migration composed into the hardest state
+    // machine (two families + the merged stats store) — rename-mode
+    // states first, the in-place flip mid-walk against an unmigrated
+    // twin, pointer-mode states over the migrated store after.
+    bm25FuzzWalk(ptrMode = false, migrateAt = 12)
+  }
+
   /** The composition fuzz the vector indexes already have
     * (StreamingIvfSpec/StreamingIvfPqSpec), applied to the BM25 state
     * machine — harder here because TWO append families plus the
@@ -608,18 +618,23 @@ class Bm25IndexSpec extends SparkTestBase {
     * plain rename-mode TWIN fed the same batches (mode AND state-
     * machine transparency in one gate), and that an unrestored loss
     * is loud on read, append, and compact, naming the missing dir. */
-  private def bm25FuzzWalk(ptrMode: Boolean): Unit = {
-    val base = Fixtures.tempDir(if (ptrMode) "bm25-fuzz-ptr" else "bm25-fuzz")
+  private def bm25FuzzWalk(ptrMode: Boolean, migrateAt: Int = -1): Unit = {
+    val base = Fixtures.tempDir(
+      if (migrateAt >= 0) "bm25-fuzz-mig"
+      else if (ptrMode) "bm25-fuzz-ptr" else "bm25-fuzz")
     val state = base.resolve("state").toString
     val twin = base.resolve("twin").toString
     val terms = Seq("spark", "vector", "customer")
     if (ptrMode) Bm25Index.enablePointerMode(spark, state)
+    // the swap mode can flip MID-WALK (the migrateAt step); every
+    // mode-sensitive branch reads this var, not the entry parameter
+    var ptr = ptrMode
     // the walk's file-level drills target each family's LIVE tree —
     // the family dir itself in rename mode, the PTR-named generation
     // in pointer mode (re-resolved each use: compactions move it)
     def fam(sub: String): File = {
       val f = new File(state, sub)
-      if (ptrMode) new File(f, java.nio.file.Files.readString(
+      if (ptr) new File(f, java.nio.file.Files.readString(
         new File(f, "PTR").toPath).trim)
       else f
     }
@@ -648,6 +663,19 @@ class Bm25IndexSpec extends SparkTestBase {
     // hollow the walk into one that never fires a drill
     val fired = scala.collection.mutable.Set.empty[Int]
     for (step <- 1 to 30) {
+      if (step == migrateAt) {
+        // in-place rename->pointer migration mid-walk (VERDICT r16 #1):
+        // both family trees ride into their g0 generations; the served
+        // ranking must not move against the still-rename-mode TWIN,
+        // and the remaining steps run the pointer-mode states over the
+        // migrated store
+        Bm25Index.migrateToPointerMode(spark, state)
+        ptr = true
+        for (sub <- Seq("postings", "dl"))
+          assert(new File(new File(state, sub), "PTRMODE").exists() &&
+            fam(sub).getName == "g0", s"step $step: migration did not publish")
+        checkServed()
+      }
       val c = rnd.nextInt(6)
       fired += c
       c match {
@@ -670,7 +698,7 @@ class Bm25IndexSpec extends SparkTestBase {
                   // first plant a crashed earlier compaction's partial
                   // unpublished target in one family — invisible to
                   // reads, clobbered by the entry GC
-          if (ptrMode && rnd.nextInt(3) == 0) {
+          if (ptr && rnd.nextInt(3) == 0) {
             val sub = if (rnd.nextBoolean()) "postings" else "dl"
             val next = new File(new File(state, sub),
               "g" + (fam(sub).getName.drop(1).toLong + 1))
@@ -723,7 +751,7 @@ class Bm25IndexSpec extends SparkTestBase {
     if (Bm25Index.compact(spark, state)) checkServed()
     appendBoth(nextId)
     checkServed()
-    if (ptrMode) {
+    if (ptr) {
       val liveGen = fam("postings").getName
       assert(Bm25Index.compact(spark, state))
       assert(new File(new File(state, "postings"), liveGen).exists(),

