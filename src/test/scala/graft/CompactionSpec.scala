@@ -439,6 +439,54 @@ class CompactionSpec extends SparkTestBase {
       s"expected live + grace window only, got ${gens.mkString(",")}")
   }
 
+  test("grace-window contract: a reader's resolved generation survives ONE " +
+      "compaction but not two; retainGens deepens the window") {
+    // VERDICT r16 #3 — the one-generation contract made explicit
+    // (StateFs.pointerSwap scaladoc) and pinned: a reader that
+    // resolved the live generation keeps it through the next swap
+    // (the grace window) but loses it to the writer-entry GC of the
+    // compaction after that. Deployments whose scans outlive a full
+    // compaction cadence pass retainGens=N to span N+1 compactions.
+    import java.io.File
+    def freshTable(tag: String): String = {
+      val dir = Fixtures.tempDir(tag).resolve("t").toString
+      Compactor.enablePointerMode(spark, dir)
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(Compactor.writeDir(spark, dir))
+      dir
+    }
+    // default retention: the reader's generation is gone after the
+    // SECOND compaction — a scan must not span two
+    val d1 = freshTable("grace-default")
+    val readerGen = new File(Compactor.writeDir(spark, d1)) // resolves g0
+    assert(Compactor.compact(spark, d1, targetRowsPerFile = 1000) === 1)
+    assert(readerGen.exists(), "g0 must survive the first swap (grace window)")
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(Compactor.writeDir(spark, d1))
+    assert(Compactor.compact(spark, d1, targetRowsPerFile = 1000) === 1)
+    assert(!readerGen.exists(),
+      "the second compaction's entry GC collects the reader's generation " +
+        "— the documented loss mode of a scan spanning two compactions")
+    // retainGens = 1: the same scan survives two compactions, falls to
+    // the third
+    val d2 = freshTable("grace-retain")
+    val readerGen2 = new File(Compactor.writeDir(spark, d2))
+    for (i <- 0 until 2) {
+      Seq((10L + i, s"x$i")).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(Compactor.writeDir(spark, d2))
+      assert(Compactor.compact(spark, d2, targetRowsPerFile = 1000,
+        retainGens = 1) === 1)
+      assert(readerGen2.exists(),
+        s"retainGens=1 must keep g0 through compaction ${i + 1}")
+    }
+    Seq((20L, "y")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(Compactor.writeDir(spark, d2))
+    assert(Compactor.compact(spark, d2, targetRowsPerFile = 1000,
+      retainGens = 1) === 1)
+    assert(!readerGen2.exists(),
+      "beyond the retained depth the generation is collected")
+  }
+
   test("schema evolution: mergeSchema unions batch schemas") {
     val dir = Fixtures.tempDir("evolve").resolve("t").toString
     Seq((1L, "a")).toDF("id", "v").write.parquet(dir + "/b1")

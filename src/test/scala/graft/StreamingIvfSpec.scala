@@ -721,7 +721,7 @@ class StreamingIvfSpec extends SparkTestBase {
   }
 
   test("suffix co-loss is loud via the FRONTIER witness; the witness lags, " +
-      "never leads; its own removal degrades to the documented under-detect") {
+      "never leads; its own removal is loud too via the GENESIS pairing") {
     // r15: the dense chain cannot see loss of its own SUFFIX — the
     // newest generation(s) removed together with their markers read
     // as a shorter history. FRONTIER (one small atomic file recording
@@ -760,9 +760,21 @@ class StreamingIvfSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("suffix") &&
       e.getMessage.contains("records delivered batch id 3"), e.getMessage)
-    // removing the witness TOO degrades to the documented under-detect
-    // (serves the shorter history) — never a false alarm
+    // removing the witness TOO is loud since r16 (VERDICT r16 #4 —
+    // this was the one documented co-loss that stayed silent):
+    // FRONTIER is written before GENESIS and consumed by nothing, so
+    // GENESIS-without-FRONTIER cannot arise benignly and reads refuse
+    // it naming the witness, instead of serving the shorter history
     assert(ff.delete())
+    val eW = intercept[IllegalArgumentException] {
+      StreamingIvf.readIndex(spark, state)
+    }
+    assert(eW.getMessage.contains("FRONTIER") &&
+      eW.getMessage.contains("GENESIS exists"), eW.getMessage)
+    // the message's named repair — restore the witness at the
+    // surviving chain's frontier — recovers the readable prefix (the
+    // lost suffix stays lost, as it must: its data is gone)
+    setFrontier(lists, "2")
     assert(clusterMap(StreamingIvf.readIndex(spark, state).get._2) ===
       clusterMap(Similarity.ivfAssign(
         StreamingIvf.readCentroids(spark, state).get, corpus)))
