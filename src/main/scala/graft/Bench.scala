@@ -167,7 +167,7 @@ object Bench {
       System.err.println(s"[bench-debug] candidate lengths: " +
         s"${candidates.map(_.length).mkString(",")}")
     val safe = candidates.find(_.length <= 1850).getOrElse(
-      s"""{"metric":"total","value":${BenchKeys.fmt(total)},"unit":"sec","queries":{},"lf":${BenchKeys.fmt(lf)},"lfs":${BenchKeys.fmt(lfs)},"sf":"$sfTag"}""")
+      s"""{"metric":"total","value":${BenchKeys.fmt(total)},"unit":"sec","vlf":${BenchKeys.fmt(if (lf > 0) total / lf else -1.0)},"queries":{},"lf":${BenchKeys.fmt(lf)},"lfs":${BenchKeys.fmt(lfs)},"sf":"$sfTag"}""")
     // Stop Spark BEFORE printing: shutdown logging would otherwise land
     // after the metric line and push it away from the end of the tail
     // window the harness captures.

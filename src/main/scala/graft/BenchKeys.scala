@@ -154,13 +154,21 @@ object BenchKeys {
     * measure real line lengths at synthetic entry counts (header
     * scaladoc). `decimals` is the per-query precision — 2 normally,
     * 1 for the last-resort precision shave; the headline numbers
-    * stay at 2 either way. */
+    * stay at 2 either way.
+    *
+    * `vlf` (VERDICT r16 #5) is the sentinel-NORMALIZED total —
+    * `value / lf`, dimensionless — emitted beside the raw total so a
+    * cross-round comparison needs no manual sentinel arithmetic: the
+    * scan-bound host band moves `value` and `lf` together and leaves
+    * `vlf` flat, while a genuine code regression moves `vlf` itself.
+    * -1 when the sentinel failed. */
   def render(short: Map[String, String], emitted: Map[String, Double],
       decimals: Int, total: Double, n5: Int, lf: Double, lfs: Double,
       sfTag: String): String = {
     val qs = emitted.map { case (k, v) =>
       s"\"" + short(k) + "\":" + fmt(v, decimals)
     }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n5":$n5,"lf":${fmt(lf)},"lfs":${fmt(lfs)},"sf":"$sfTag"}"""
+    val vlf = if (lf > 0) total / lf else -1.0
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","vlf":${fmt(vlf)},"queries":$qs,"n5":$n5,"lf":${fmt(lf)},"lfs":${fmt(lfs)},"sf":"$sfTag"}"""
   }
 }

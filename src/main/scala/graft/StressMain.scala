@@ -961,8 +961,12 @@ object StressMain {
                 kc, m, subLen, kCb, 0L, pqRounds = rounds)
               false
             } catch {
+              // the printed claim is verified, not assumed (ADVICE
+              // r16): the catch matches the REMEDY text too, so a
+              // reworded guard that dropped it would fail this arm
               case e: IllegalArgumentException
-                  if e.getMessage.contains("DEGENERATE") =>
+                  if e.getMessage.contains("DEGENERATE") &&
+                    e.getMessage.contains("pqRounds >= 1") =>
                 println(s"[stress] ivfpq-$tag REFUSED at freeze " +
                   "(degeneracy guard, expected): pqRounds >= 1 remedy named")
                 true
@@ -1314,13 +1318,19 @@ object StressMain {
         streaming.StreamingIvfPq.probe(spark, s"$base/pq/state", qs,
           k = 10, nProbe = 1, m = 4, subLen = 16).count())
       if (ptrMode)
+        // through the Hadoop FileSystem API like the product code
+        // (ADVICE r16): a java.nio verification would silently break
+        // the moment this stress base models a non-local scheme —
+        // exactly what this capstone section claims to cover
         for ((tag, dir) <- Seq(("bm25/postings", s"$base/bm/state/postings"),
             ("bm25/dl", s"$base/bm/state/dl"),
             ("ivf/lists", s"$base/iv/state/lists"),
             ("ivfpq/codes", s"$base/pq/state/codes"))) {
-          val ptr = java.nio.file.Files.readString(
-            java.nio.file.Path.of(dir, "PTR")).trim
-          val gens = new java.io.File(dir).list()
+          val basePath = new org.apache.hadoop.fs.Path(dir)
+          val fs = graft.util.StateFs.fs(spark, basePath)
+          val ptr = graft.util.StateFs.readString(fs,
+            new org.apache.hadoop.fs.Path(basePath, "PTR"))
+          val gens = fs.listStatus(basePath).toSeq.map(_.getPath.getName)
             .filter(_.startsWith("g")).sorted.mkString(",")
           println(s"[stress] alt $tag: PTR=$ptr gens=[$gens]")
         }

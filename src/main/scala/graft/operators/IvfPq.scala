@@ -96,6 +96,14 @@ object IvfPq {
       m: Int, subLen: Int, kCb: Int, pqRounds: Int,
       mat: Materializer = Materializer.Local): (DataFrame, DataFrame, DataFrame) = {
     val res = residuals(s, qvecs, cents)
+    // resQv feeds codebooksFor, the guard below, and encode — three
+    // consumers, deliberately NOT persisted (ADVICE r16 reviewed):
+    // residuals are CORPUS-sized, so pinning them trades one broadcast
+    // argmin recompute (cheap, scan-local) for corpus-scale
+    // memory/disk pressure in exactly the build that runs at full
+    // data scale; the guard's residual pass runs only in the suspect
+    // case anyway (the && short-circuits on the constant-size
+    // codebook aggregate).
     val resQv = res.select(col("vec_id"), col("cell"), col("rv").as("qv"))
     val codebooks = codebooksFor(resQv, m, subLen, kCb, pqRounds, mat)
     // The same freeze-time degeneracy guard the streamed seeder runs

@@ -31,17 +31,34 @@ class BenchKeysSpec extends AnyFunSuite {
       total = 123.45, n5 = 25, lf = 1.23, lfs = 2.34, "sf0.1").length
 
   test("current real surface: a candidate fits the 1850 guard (the r15 " +
-      "real line was the 1-decimal stage at 1741 chars — continuity)") {
-    val keys = realKeys
-    assert(keys.size >= 147, s"surface shrank? ${keys.size}")
-    val coarse = Seq(
-      BenchKeys.shorten(keys, BenchKeys.abbrev4),
-      BenchKeys.abbrev5(keys),
-      Some(BenchKeys.abbrev6(keys))).flatten
-    val lens = coarse.map(m => lineLen(keys, m, 1))
-    assert(lens.exists(_ <= 1850),
-      s"no coarse stage fits at ${keys.size} entries: ${lens.mkString(",")}")
-    info(s"coarse lengths at ${keys.size} entries: ${lens.mkString(",")}")
+      "real line was the 1-decimal stage at 1741 chars — continuity), " +
+      "and still does at 148 entries with the r17 vlf field aboard") {
+    // the VERDICT r16 #5 re-check: the sentinel-normalized `vlf`
+    // headline costs ~12 chars on every candidate; headroom re-pinned
+    // at the current surface PLUS one future query
+    for (keys <- Seq(realKeys, realKeys :+ "q_future_addition_x")) {
+      val coarse = Seq(
+        BenchKeys.shorten(keys, BenchKeys.abbrev4),
+        BenchKeys.abbrev5(keys),
+        Some(BenchKeys.abbrev6(keys))).flatten
+      val lens = coarse.map(m => lineLen(keys, m, 1))
+      assert(lens.exists(_ <= 1850),
+        s"no coarse stage fits at ${keys.size} entries: ${lens.mkString(",")}")
+      info(s"coarse lengths at ${keys.size} entries: ${lens.mkString(",")}")
+    }
+    assert(realKeys.size >= 147, s"surface shrank? ${realKeys.size}")
+  }
+
+  test("the emitted line carries the sentinel-normalized total: " +
+      "vlf = value/lf, -1 when the sentinel failed") {
+    val keys = Seq("q_a", "q_b")
+    val short = keys.map(k => k -> k).toMap
+    val line = BenchKeys.render(short, keys.map(_ -> 1.0).toMap, 2,
+      total = 24.6, n5 = 1, lf = 1.23, lfs = 2.0, "sf0.1")
+    assert(line.contains("\"vlf\":20"), line)
+    val noLf = BenchKeys.render(short, keys.map(_ -> 1.0).toMap, 2,
+      total = 24.6, n5 = 1, lf = -1.0, lfs = 2.0, "sf0.1")
+    assert(noLf.contains("\"vlf\":-1"), noLf)
   }
 
   test("157 synthetic entries: stages 6 and 7 are unique total maps and " +
