@@ -215,6 +215,37 @@ class PointerMigrationSpec extends SparkTestBase {
     assert(served(state) === served(twin))
   }
 
+  test("bm25: the mixed per-family crash state (postings migrated, dl not) " +
+      "serves correctly — swap mode is resolved per family — and a rerun " +
+      "completes the flip") {
+    val base = Fixtures.tempDir("mig-bm25-mixed")
+    val state = base.resolve("state").toString
+    val twin = base.resolve("twin").toString
+    val terms = Seq("spark", "vector", "customer")
+    def served(s: String) =
+      Bm25Index.retrieve(spark, s, terms).collect().map(_.toString).toSeq
+    for (s <- Seq(state, twin)) {
+      assert(Bm25Index.appendBatch(spark, s,
+        bm25Docs.filter(bm25Bucket < 50), 0L))
+      assert(Bm25Index.appendBatch(spark, s,
+        bm25Docs.filter(bm25Bucket >= 50), 1L))
+    }
+    // the wrapper migrates postings first, dl second — crash between
+    // the two is this state, constructed directly
+    StateFs.migrateToPointerMode(spark, new Path(new File(state, "postings").toString))
+    assert(new File(new File(state, "postings"), "PTRMODE").exists() &&
+      !new File(new File(state, "dl"), "PTRMODE").exists())
+    assert(served(state) === served(twin),
+      "a half-migrated index must serve through per-family resolution")
+    // appends and compaction work in the mixed state too
+    Bm25Index.migrateToPointerMode(spark, state) // rerun completes dl
+    assert(new File(new File(state, "dl"), "PTRMODE").exists())
+    assert(served(state) === served(twin))
+    assert(Bm25Index.compact(spark, state))
+    assert(Bm25Index.compact(spark, twin))
+    assert(served(state) === served(twin))
+  }
+
   private lazy val vecCorpus = {
     val rnd = new Random(7)
     (0 until 120).map { i =>
