@@ -573,8 +573,9 @@ object Bm25Index {
     * Returns true iff it changed state — a rewrite, or the
     * manifest-completion of a crash-interrupted earlier run (false =
     * nothing to merge). */
-  def compact(spark: SparkSession, stateDir: String): Boolean =
-    compactImpl(spark, stateDir, () => ())
+  def compact(spark: SparkSession, stateDir: String,
+      retainGens: Int = 0): Boolean =
+    compactImpl(spark, stateDir, () => (), retainGens)
 
   /** Name-level concurrency snapshot: committed postings/dl v-dir
     * names plus the raw `merged/CURRENT` value — everything a
@@ -594,8 +595,11 @@ object Bm25Index {
 
   /** [[compact]] with the injectable pre-swap test seam (the
     * Compactor/StreamingIvf device). */
+  /** `retainGens` deepens the pointer-mode reader grace window per
+    * family (the [[graft.util.StateFs.pointerSwap]] contract: a scan
+    * may span `retainGens + 1` compactions; default 0 = one). */
   private[graft] def compactImpl(spark: SparkSession, stateDir: String,
-      beforeSwap: () => Unit): Boolean = {
+      beforeSwap: () => Unit, retainGens: Int = 0): Boolean = {
     // writer-entry repair, per swap mode: rename mode heals the
     // rename-aside crash windows; pointer mode GCs stale generations
     // — a crashed compaction's partial unpublished target, or the
@@ -606,7 +610,8 @@ object Bm25Index {
       val base = familyBase(stateDir, sub)
       val f = StateFs.fs(spark, base)
       if (StateFs.pointerMode(f, base))
-        StateFs.gcStaleGens(f, base, StateFs.resolveLive(f, base).getName)
+        StateFs.gcStaleGens(f, base, StateFs.resolveLive(f, base).getName,
+          retainGens)
       else StateFs.healWriter(f, StateFs.resolveLive(f, base))
     }
     // the concurrency snapshot is taken at ENTRY, before readMerged /

@@ -353,15 +353,19 @@ object StreamingIvf {
     * guard turns a discipline violation into a loud retry instead of
     * silent loss.
     * Returns true iff a rewrite happened. */
-  def compact(spark: SparkSession, stateDir: String): Boolean =
-    compactImpl(spark, stateDir, () => ())
+  def compact(spark: SparkSession, stateDir: String,
+      retainGens: Int = 0): Boolean =
+    compactImpl(spark, stateDir, () => (), retainGens)
 
   /** [[compact]] with an injectable pre-swap hook — the test seam the
     * concurrent-append guard is pinned through (the
     * CompactionSpec/Compactor device); the public entry passes a
     * no-op. */
+  /** `retainGens` deepens the pointer-mode reader grace window (the
+    * [[graft.util.StateFs.pointerSwap]] contract: a scan may span
+    * `retainGens + 1` compactions; default 0 = one). */
   private[graft] def compactImpl(spark: SparkSession, stateDir: String,
-      beforeSwap: () => Unit): Boolean = {
+      beforeSwap: () => Unit, retainGens: Int = 0): Boolean = {
     val base = listsBase(stateDir)
     val fs = StateFs.fs(spark, base)
     val ptrMode = StateFs.pointerMode(fs, base)
@@ -370,7 +374,7 @@ object StreamingIvf {
       // writer-entry GC: stale generations from crashed compactions —
       // a partial target, or a previous generation whose post-publish
       // delete crashed (the pointer-mode analogue of healWriter)
-      StateFs.gcStaleGens(fs, base, live.getName)
+      StateFs.gcStaleGens(fs, base, live.getName, retainGens)
     else StateFs.healWriter(fs, live)
     // the concurrency snapshot is taken BEFORE the fold-set listing
     // (review r15 — taken after, an append committing between the two

@@ -296,18 +296,22 @@ object StreamingIvfPq {
     * swap, loud abort discarding only the rewrite (the
     * [[StreamingIvf.compact]] scaladoc has the full argument).
     * Returns true iff a rewrite happened. */
-  def compact(spark: SparkSession, stateDir: String): Boolean =
-    compactImpl(spark, stateDir, () => ())
+  def compact(spark: SparkSession, stateDir: String,
+      retainGens: Int = 0): Boolean =
+    compactImpl(spark, stateDir, () => (), retainGens)
 
   /** [[compact]] with the injectable pre-swap test seam (the
-    * Compactor/StreamingIvf device). */
+    * Compactor/StreamingIvf device). `retainGens` deepens the
+    * pointer-mode reader grace window (the
+    * [[graft.util.StateFs.pointerSwap]] contract: a scan may span
+    * `retainGens + 1` compactions; default 0 = one). */
   private[graft] def compactImpl(spark: SparkSession, stateDir: String,
-      beforeSwap: () => Unit): Boolean = {
+      beforeSwap: () => Unit, retainGens: Int = 0): Boolean = {
     val base = codesBase(stateDir)
     val fs = StateFs.fs(spark, base)
     val ptrMode = StateFs.pointerMode(fs, base)
     val live = StateFs.resolveLive(fs, base)
-    if (ptrMode) StateFs.gcStaleGens(fs, base, live.getName)
+    if (ptrMode) StateFs.gcStaleGens(fs, base, live.getName, retainGens)
     else StateFs.healWriter(fs, live)
     // snapshot BEFORE the fold-set listing (review r15 — the
     // StreamingIvf.compactImpl rationale: an append landing between
