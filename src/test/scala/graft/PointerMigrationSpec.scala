@@ -323,6 +323,29 @@ class PointerMigrationSpec extends SparkTestBase {
       new File(new File(state, "codes"), "PTR").toPath).trim === "g1")
   }
 
+  test("compactor: a PARTITIONED table serves through a crashed migration " +
+      "(partition dirs survive the staged-junk filter) and migrates whole") {
+    val dir = Fixtures.tempDir("mig-part").resolve("t").toString
+    Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p")
+      .write.partitionBy("p").mode("append").parquet(dir)
+    val before = Compactor.read(spark, dir).select("id", "v", "p")
+      .collect().map(_.toString).sorted.toSeq
+    intercept[RuntimeException] {
+      StateFs.migrateToPointerModeImpl(spark, new Path(dir),
+        afterStage = () => (), afterPtr = () => sys.error("injected crash"))
+    }
+    assert(Compactor.read(spark, dir).select("id", "v", "p")
+      .collect().map(_.toString).sorted.toSeq === before,
+      "the partitioned live table must serve through the crash window " +
+        "with its partition columns intact")
+    Compactor.migrateToPointerMode(spark, dir)
+    assert(Compactor.read(spark, dir).select("id", "v", "p")
+      .collect().map(_.toString).sorted.toSeq === before)
+    // the Hive layout survived the copy: partition pruning still works
+    val pruned = Compactor.read(spark, dir).filter(col("p") === "x")
+    assert(pruned.count() === 1)
+  }
+
   test("compactor: a live plain-layout table migrates in place; a crashed " +
       "migration keeps the table served (read/fileCount) while compact " +
       "refuses with the rerun remedy") {

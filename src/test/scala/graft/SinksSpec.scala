@@ -111,6 +111,57 @@ class SinksSpec extends SparkTestBase {
       == t2.map { case (k, v) => k -> v._1 })
   }
 
+  test("embedded-Derby: a failing statement batch rolls back WHOLE — the " +
+      "per-batch transaction is atomic, no partial rows land") {
+    // the jdbcExecutor contract pinned for real: one transaction per
+    // Batch, rollback on failure. A CHECK constraint rejects the 3rd
+    // row of a 3-row statement batch; the first two must vanish with
+    // the rollback instead of landing as a torn half-batch.
+    System.setProperty("derby.stream.error.file", "/tmp/derby-test.log")
+    val url = "jdbc:derby:memory:graftrollback;create=true"
+    def withConn[A](f: java.sql.Connection => A): A = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try f(c) finally c.close()
+    }
+    withConn { c =>
+      val st = c.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE consumptions (
+          |  "date" DATE NOT NULL,
+          |  client_id VARCHAR(128) NOT NULL,
+          |  client_name VARCHAR(256),
+          |  service_name VARCHAR(256),
+          |  total_consumed_tokens BIGINT CHECK (total_consumed_tokens >= 0),
+          |  created_at TIMESTAMP,
+          |  updated_at TIMESTAMP,
+          |  is_active BOOLEAN,
+          |  PRIMARY KEY ("date", client_id))""".stripMargin)
+      st.close()
+    }
+    def count(): Long = withConn { c =>
+      val rs = c.createStatement()
+        .executeQuery("SELECT COUNT(*) FROM consumptions")
+      rs.next(); rs.getLong(1)
+    }
+    val stmt = JdbcUpsertWriter.derby
+    val bad = batch(("2025-05-01", "A", 1L), ("2025-05-01", "B", 2L),
+      ("2025-05-01", "C", -5L)).coalesce(1)
+    val e = intercept[Exception] {
+      JdbcUpsertWriter.write(bad,
+        JdbcUpsertWriter.jdbcExecutor(url, stmt.sql),
+        batchSize = 3, statement = stmt)
+    }
+    assert(e.getMessage != null)
+    assert(count() == 0L,
+      "the failed batch must roll back whole — no torn half-batch")
+    // the same rows minus the violator commit cleanly afterwards
+    assert(JdbcUpsertWriter.write(
+      batch(("2025-05-01", "A", 1L), ("2025-05-01", "B", 2L)).coalesce(1),
+      JdbcUpsertWriter.jdbcExecutor(url, stmt.sql),
+      batchSize = 3, statement = stmt) == 2)
+    assert(count() == 2L)
+  }
+
   test("partitioned layout: per-date dirs, pruning, idempotent day rewrite") {
     val dir = Fixtures.tempDir("gold").resolve("t").toString
     PartitionedWriter.write(
