@@ -298,6 +298,36 @@ class StateFsSpec extends SparkTestBase {
     assert(e.getMessage.contains("VIRGIN state dir"))
   }
 
+  test("witness write order (r16): FRONTIER strictly precedes GENESIS, so " +
+      "the crash between them is quiet and the inverse state is loud") {
+    import graft.util.StateFs
+    val base = mk(new Path(Fixtures.tempDir("statefs-witness").resolve("d").toString))
+    val fs = StateFs.fs(spark, base)
+    val v0 = mk(new Path(base, f"v${0L}%020d"))
+    touch(v0, "_SUCCESS"); touch(v0, "data", "a")
+    StateFs.logAppend(fs, base, v0.getName)
+    assert(fs.exists(StateFs.frontierFile(base)) &&
+      fs.exists(StateFs.genesisFile(base)))
+    // the benign crash window: FRONTIER written, GENESIS not yet —
+    // the dense check is skipped (no GENESIS), the frontier check
+    // passes, listings stay quiet; the same id's WAL replay
+    // (logAppend again) completes the pair
+    assert(fs.delete(StateFs.genesisFile(base), false))
+    assert(StateFs.checkedVDirs(fs, base, "T").map(_.getName) === Seq(v0.getName))
+    StateFs.logAppend(fs, base, v0.getName)
+    assert(fs.exists(StateFs.genesisFile(base)),
+      "the replay must complete the missing GENESIS")
+    // the inverse — GENESIS present, FRONTIER gone — cannot arise
+    // benignly under the r16 order, so it is certain external removal
+    // of the witness and every listing refuses it naming the repair
+    assert(fs.delete(StateFs.frontierFile(base), false))
+    val e = intercept[IllegalArgumentException] {
+      StateFs.checkedVDirs(fs, base, "T")
+    }
+    assert(e.getMessage.contains("FRONTIER") &&
+      e.getMessage.contains("GENESIS exists"), e.getMessage)
+  }
+
   test("gcVersions deletes every v* generation except keep, committed or partial") {
     val base = new Path(Fixtures.tempDir("statefs-gc").toString)
     val fs = fsFor(base)
