@@ -123,12 +123,52 @@ object Bench {
       "q_rag_incremental", "q_ann_ivfpq", "q_ann_ivfpq_incr",
       "q_ann_ivfpq_served")
       .filter(SparkEntry.queries.contains)
+    // Cold-regime sentinel (VERDICT r17 #1): lf/lfs bracket the two
+    // WARM regimes (scan-bound, shuffle-bound), but the `_cold` keys
+    // live in a third — memo-reset iterative REBUILD (many short
+    // shuffle stages, per-round materialization, driver GC churn) —
+    // and the r17 driver run showed that regime moving 4.1× while
+    // every warm number and vlf sat flat, with nothing on the line to
+    // attribute it. One PINNED workload, independent of the bench SF:
+    // the real ConnectedComponents.minLabels machinery over a fixed
+    // synthetic graph (65 536 nodes in 1 024 chains of length 64;
+    // pointer jumping converges in ~8 rounds of join+agg+jump-join,
+    // each round localCheckpoint-materialized — the exact stage shape
+    // of the cold CC rebuilds that moved). Same protocol as lf/lfs
+    // (one untimed codegen run, then min of three), timed SOLO
+    // immediately before the cold loop so it samples the host in the
+    // same window the colds run. Nothing memoizes it, so it is a
+    // rebuild by construction — no resetAll needed inside the samples.
+    def coldSentinelTime(): Double = {
+      import org.apache.spark.sql.functions.{col, sum => fsum}
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        val fwd = spark.range(65536L)
+          .filter(col("id") % 64 =!= 63)
+          .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        val edges = operators.Materializer.Local(
+          fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+        val (labels, _) = operators.ConnectedComponents.minLabels(edges)
+        labels.agg(fsum("label")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try { run(); (1 to 3).map(_ => run()).min }
+      catch { case NonFatal(_) => -1.0 }
+    }
+    val lfc = coldSentinelTime()
     val cold: Map[String, Double] = memoized.map { name =>
       (name + "_cold") -> (1 to 2).map { _ =>
         queries.SessionMemo.resetAll(spark)
         timedRun(name)
       }.min
     }.toMap
+    // Σ of the finite cold values — the numerator of the vlfc verdict
+    // (render computes vlfc = coldTotal / lfc). -1 when no cold key
+    // produced a finite sample, so vlfc degrades to -1 like vlf does.
+    val coldTotal = {
+      val finite = cold.values.filter(java.lang.Double.isFinite)
+      if (finite.nonEmpty) finite.sum else -1.0
+    }
     // Key compaction + line rendering live in graft.BenchKeys (r16:
     // factored out so BenchKeysSpec measures headroom at SYNTHETIC
     // entry counts before the real surface consumes it — the round-9
@@ -148,7 +188,8 @@ object Bench {
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val keys = emitted.keys
     def lineAt(decimals: Int)(short: Map[String, String]): String =
-      BenchKeys.render(short, emitted, decimals, total, slow.size, lf, lfs, sfTag)
+      BenchKeys.render(short, emitted, decimals, total, slow.size, lf, lfs,
+        lfc, coldTotal, sfTag)
     val fineMaps =
       BenchKeys.shorten(keys, BenchKeys.abbrev) ++
         BenchKeys.shorten(keys, BenchKeys.abbrev2) ++
@@ -167,7 +208,7 @@ object Bench {
       System.err.println(s"[bench-debug] candidate lengths: " +
         s"${candidates.map(_.length).mkString(",")}")
     val safe = candidates.find(_.length <= 1850).getOrElse(
-      s"""{"metric":"total","value":${BenchKeys.fmt(total)},"unit":"sec","vlf":${BenchKeys.fmt(if (lf > 0) total / lf else -1.0)},"queries":{},"lf":${BenchKeys.fmt(lf)},"lfs":${BenchKeys.fmt(lfs)},"sf":"$sfTag"}""")
+      s"""{"metric":"total","value":${BenchKeys.fmt(total)},"unit":"sec","vlf":${BenchKeys.fmt(if (lf > 0) total / lf else -1.0)},"vlfc":${BenchKeys.fmt(if (lfc > 0 && coldTotal >= 0) coldTotal / lfc else -1.0)},"queries":{},"lf":${BenchKeys.fmt(lf)},"lfs":${BenchKeys.fmt(lfs)},"lfc":${BenchKeys.fmt(lfc)},"sf":"$sfTag"}""")
     // Stop Spark BEFORE printing: shutdown logging would otherwise land
     // after the metric line and push it away from the end of the tail
     // window the harness captures.

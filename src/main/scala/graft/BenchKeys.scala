@@ -161,14 +161,26 @@ object BenchKeys {
     * cross-round comparison needs no manual sentinel arithmetic: the
     * scan-bound host band moves `value` and `lf` together and leaves
     * `vlf` flat, while a genuine code regression moves `vlf` itself.
-    * -1 when the sentinel failed. */
+    * -1 when the sentinel failed.
+    *
+    * `vlfc` (VERDICT r17 #1) is the same verdict for the COLD regime:
+    * `coldTotal / lfc`, where `coldTotal` is the sum of the finite
+    * `_cold` values and `lfc` is the pinned cold-regime sentinel (a
+    * fixed synthetic ConnectedComponents rebuild, timed solo right
+    * before the cold loop). The r17 driver run's 4.1× cold move with
+    * flat warms could not be attributed from the line; now host
+    * pressure on the rebuild regime moves `coldTotal` and `lfc`
+    * together and leaves `vlfc` flat, while a cold-path code
+    * regression moves `vlfc` itself. -1 when the sentinel failed or
+    * no cold key produced a finite sample. */
   def render(short: Map[String, String], emitted: Map[String, Double],
       decimals: Int, total: Double, n5: Int, lf: Double, lfs: Double,
-      sfTag: String): String = {
+      lfc: Double, coldTotal: Double, sfTag: String): String = {
     val qs = emitted.map { case (k, v) =>
       s"\"" + short(k) + "\":" + fmt(v, decimals)
     }.mkString("{", ",", "}")
     val vlf = if (lf > 0) total / lf else -1.0
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","vlf":${fmt(vlf)},"queries":$qs,"n5":$n5,"lf":${fmt(lf)},"lfs":${fmt(lfs)},"sf":"$sfTag"}"""
+    val vlfc = if (lfc > 0 && coldTotal >= 0) coldTotal / lfc else -1.0
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","vlf":${fmt(vlf)},"vlfc":${fmt(vlfc)},"queries":$qs,"n5":$n5,"lf":${fmt(lf)},"lfs":${fmt(lfs)},"lfc":${fmt(lfc)},"sf":"$sfTag"}"""
   }
 }

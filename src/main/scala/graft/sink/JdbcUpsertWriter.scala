@@ -118,7 +118,15 @@ object JdbcUpsertWriter {
         ps.executeBatch()
         conn.commit()
       } catch {
-        case e: Throwable => conn.rollback(); throw e
+        case e: Throwable =>
+          // The rollback itself can throw — typically BECAUSE the
+          // connection died, which is exactly when the batch fails.
+          // Attach it as suppressed so the original batch failure
+          // reaches the Spark task error instead of being replaced by
+          // the rollback symptom (ADVICE r17).
+          try conn.rollback()
+          catch { case rb: Throwable => e.addSuppressed(rb) }
+          throw e
       } finally ps.close()
     } finally conn.close()
   }

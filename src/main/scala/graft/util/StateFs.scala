@@ -353,11 +353,32 @@ object StateFs {
     *
     * NO CONCURRENT READERS OR WRITERS — enforced, not assumed (the
     * [[graft.sink.Compactor]] discipline): the live tree is
-    * snapshotted at entry and re-checked immediately before the
-    * `PTRMODE` create; a writer landing mid-copy would otherwise
-    * split its output between the copied `g0` and the about-to-be-GC'd
-    * old layout. Any difference aborts loudly with the staging
-    * discarded and the rename-mode store intact.
+    * snapshotted at entry, re-checked immediately before the `PTRMODE`
+    * create, and re-checked ONCE MORE immediately after it (ADVICE
+    * r17). A writer landing mid-copy would otherwise split its output
+    * between the copied `g0` and the about-to-be-GC'd old layout. A
+    * difference caught BEFORE the flip aborts loudly with the staging
+    * discarded and the rename-mode store — the concurrent write
+    * included — intact and authoritative. A difference caught AFTER
+    * the flip (a writer in the instants between the pre-flip re-check
+    * and the `PTRMODE` create) SKIPS the trailing GC and fails loudly
+    * with BOTH layouts preserved behind `_MIGRATING`: the published
+    * pointer store serves, the superseded rename layout holds the
+    * orphaned write for manual reconciliation — never GC'd silently.
+    *
+    * RESIDUAL WINDOWS, named per the Compactor CONTRACT precedent
+    * (r15 #5): (a) the snapshots key on (path, len, mtime), so a
+    * same-length in-place rewrite inside mtime granularity escapes
+    * both re-checks; (b) a CRASH between the `PTRMODE` create and the
+    * post-flip re-check hands the old-layout GC to the next writer
+    * entry's [[gcStaleGens]], which cannot re-check — a writer that
+    * slipped in after the pre-flip re-check would then be collected
+    * with the layout. Each requires a writer violating the stated
+    * no-writer precondition inside a sub-second instant; the
+    * precondition, not the guard, is the contract. The post-flip GC
+    * retains only `g0` — no `retainPredecessors` depth applies here,
+    * because the no-READER precondition means no in-flight rename-mode
+    * scan can exist to still need the superseded layout.
     *
     * PRECONDITIONS, refused loudly: the base must exist (a virgin
     * store wants [[enablePointerMode]]); any `.bak`/`.tmp` sibling
@@ -375,7 +396,8 @@ object StateFs {
     * nothing published; `afterPtr` fires with `PTR` written but the
     * mode not yet flipped. */
   private[graft] def migrateToPointerModeImpl(spark: SparkSession, base: Path,
-      afterStage: () => Unit, afterPtr: () => Unit): Unit = {
+      afterStage: () => Unit, afterPtr: () => Unit,
+      afterFlip: () => Unit = () => ()): Unit = {
     val f = fs(spark, base)
     val mig = new Path(base, MigratingMarker)
     if (pointerMode(f, base)) {
@@ -463,6 +485,26 @@ object StateFs {
     // resolves the untouched rename-mode tree; from it, PTR and the
     // complete g0 are already in place
     f.create(new Path(base, PtrModeMarker), true).close()
+    afterFlip()
+    // post-flip re-check (ADVICE r17): the instants between the
+    // re-check above and the PTRMODE create are outside the pre-flip
+    // guard — a writer landing exactly there wrote into the rename
+    // layout the GC below would silently delete. On mismatch the GC is
+    // SKIPPED and the failure is loud with BOTH layouts preserved
+    // behind _MIGRATING: the published pointer store (g0) serves; the
+    // superseded layout holds the orphaned write for reconciliation.
+    val postFlip = snap()
+    if (postFlip != entrySnap) {
+      val changed = ((postFlip diff entrySnap) ++ (entrySnap diff postFlip))
+        .map(_._1).toSeq.sorted
+      sys.error(s"migrate: $base changed between the pre-flip re-check and " +
+        s"the mode flip (concurrent writer; changed files: " +
+        s"${changed.mkString(", ")}) — old-layout GC skipped; the published " +
+        s"pointer store (g0) is servable, and the superseded rename layout " +
+        s"(the concurrent write included) is preserved behind " +
+        s"$MigratingMarker. Reconcile the changed files through the " +
+        "store's writer API, then rerun the migration to finish the GC")
+    }
     // GC the superseded rename-mode layout (invisible junk from here on;
     // a crash mid-GC is finished by the next writer entry's gcStaleGens
     // behind the _MIGRATING sentinel, or by a rerun of this method)
@@ -744,9 +786,14 @@ object StateFs {
       s"$what state inconsistent: the FRONTIER witness under $dir is " +
         "missing but GENESIS exists — FRONTIER is written before GENESIS " +
         "and consumed by nothing, so it was removed externally, possibly " +
-        "together with the newest committed generation(s) it witnessed; " +
-        "restore it (one line holding the max delivered batch id) or " +
-        "rebuild the index from the raw vectors")
+        "together with the newest committed generation(s) it witnessed. " +
+        "ONE benign cause exists (ADVICE r17): a store whose FIRST append " +
+        "ran on a pre-r16 build (GENESIS-before-FRONTIER write order) and " +
+        "crashed in exactly that one instant trips this check healthy on " +
+        "upgrade. Either way the restore is one line: write FRONTIER " +
+        "holding the max delivered batch id (for the legacy-upgrade case, " +
+        "the newest generation's id). Otherwise restore the lost " +
+        "generation(s) or rebuild the index from the raw vectors")
     dirs
   }
 

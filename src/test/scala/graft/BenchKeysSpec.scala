@@ -28,14 +28,17 @@ class BenchKeysSpec extends AnyFunSuite {
   private def lineLen(keys: Seq[String], short: Map[String, String],
       decimals: Int): Int =
     BenchKeys.render(short, keys.map(_ -> 6.34).toMap, decimals,
-      total = 123.45, n5 = 25, lf = 1.23, lfs = 2.34, "sf0.1").length
+      total = 123.45, n5 = 25, lf = 1.23, lfs = 2.34, lfc = 1.89,
+      coldTotal = 34.56, "sf0.1").length
 
   test("current real surface: a candidate fits the 1850 guard (the r15 " +
       "real line was the 1-decimal stage at 1741 chars — continuity), " +
-      "and still does at 148 entries with the r17 vlf field aboard") {
-    // the VERDICT r16 #5 re-check: the sentinel-normalized `vlf`
-    // headline costs ~12 chars on every candidate; headroom re-pinned
-    // at the current surface PLUS one future query
+      "and still does at 148 entries with the r17 vlf and r18 " +
+      "lfc/vlfc fields aboard") {
+    // the VERDICT r16 #5 / r17 #1 re-check: the sentinel-normalized
+    // `vlf` headline costs ~12 chars and the cold-regime `lfc`/`vlfc`
+    // pair ~25 more on every candidate; headroom re-pinned at the
+    // current surface PLUS one future query
     for (keys <- Seq(realKeys, realKeys :+ "q_future_addition_x")) {
       val coarse = Seq(
         BenchKeys.shorten(keys, BenchKeys.abbrev4),
@@ -49,16 +52,28 @@ class BenchKeysSpec extends AnyFunSuite {
     assert(realKeys.size >= 147, s"surface shrank? ${realKeys.size}")
   }
 
-  test("the emitted line carries the sentinel-normalized total: " +
-      "vlf = value/lf, -1 when the sentinel failed") {
+  test("the emitted line carries the sentinel-normalized totals: " +
+      "vlf = value/lf and vlfc = coldTotal/lfc, each -1 when its " +
+      "sentinel (or, for vlfc, every cold sample) failed") {
     val keys = Seq("q_a", "q_b")
     val short = keys.map(k => k -> k).toMap
     val line = BenchKeys.render(short, keys.map(_ -> 1.0).toMap, 2,
-      total = 24.6, n5 = 1, lf = 1.23, lfs = 2.0, "sf0.1")
+      total = 24.6, n5 = 1, lf = 1.23, lfs = 2.0, lfc = 2.0,
+      coldTotal = 5.0, "sf0.1")
     assert(line.contains("\"vlf\":20"), line)
+    assert(line.contains("\"vlfc\":2.5"), line)
+    assert(line.contains("\"lfc\":2"), line)
     val noLf = BenchKeys.render(short, keys.map(_ -> 1.0).toMap, 2,
-      total = 24.6, n5 = 1, lf = -1.0, lfs = 2.0, "sf0.1")
+      total = 24.6, n5 = 1, lf = -1.0, lfs = 2.0, lfc = -1.0,
+      coldTotal = 5.0, "sf0.1")
     assert(noLf.contains("\"vlf\":-1"), noLf)
+    assert(noLf.contains("\"vlfc\":-1"), noLf)
+    // no finite cold sample: coldTotal = -1 degrades vlfc even with a
+    // healthy lfc — the vlf -1 convention, not a bogus negative ratio
+    val noCold = BenchKeys.render(short, keys.map(_ -> 1.0).toMap, 2,
+      total = 24.6, n5 = 1, lf = 1.23, lfs = 2.0, lfc = 2.0,
+      coldTotal = -1.0, "sf0.1")
+    assert(noCold.contains("\"vlfc\":-1"), noCold)
   }
 
   test("157 synthetic entries: stages 6 and 7 are unique total maps and " +

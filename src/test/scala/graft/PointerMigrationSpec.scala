@@ -126,6 +126,38 @@ class PointerMigrationSpec extends SparkTestBase {
       new File(dir, "g0/v2/data.txt").exists())
   }
 
+  test("core: a writer landing between the pre-flip re-check and the mode " +
+      "flip is caught by the POST-flip re-check — GC skipped, BOTH layouts " +
+      "preserved behind _MIGRATING for reconciliation (ADVICE r17)") {
+    val dir = new File(Fixtures.tempDir("mig-postflip").resolve("st").toString)
+    put(new File(dir, "v1/data.txt"), "a")
+    val p = new Path(dir.toString)
+    val f = fsOf(p)
+    val e = intercept[RuntimeException] {
+      StateFs.migrateToPointerModeImpl(spark, p,
+        afterStage = () => (), afterPtr = () => (),
+        afterFlip = () => put(new File(dir, "v2/data.txt"), "b"))
+    }
+    assert(e.getMessage.contains("GC skipped"), e.getMessage)
+    // the pointer store is published and servable...
+    assert(StateFs.pointerMode(f, p))
+    assert(StateFs.resolveLive(f, p).getName === "g0")
+    assert(new File(dir, "g0/v1/data.txt").exists())
+    // ...and the orphaned concurrent write is PRESERVED, not GC'd
+    // silently — the ADVICE r17 hardening over the r17 behavior
+    assert(new File(dir, "v2/data.txt").exists(),
+      "the concurrent write must survive behind the sentinel")
+    assert(new File(dir, "v1/data.txt").exists())
+    assert(new File(dir, "_MIGRATING").exists())
+    // after the operator reconciles (here: moves the orphan aside), a
+    // rerun finishes the interrupted GC
+    assert(new File(dir, "v2/data.txt").delete())
+    StateFs.migrateToPointerMode(spark, p)
+    assert(!new File(dir, "v1").exists() &&
+      !new File(dir, "_MIGRATING").exists())
+    assert(new File(dir, "g0/v1/data.txt").exists())
+  }
+
   test("core: refusal matrix — missing base, unresolved .bak, and foreign " +
       "children under reserved pointer-layout names") {
     val base = Fixtures.tempDir("mig-refuse")
