@@ -595,13 +595,18 @@ class Bm25IndexSpec extends SparkTestBase {
   }
 
   test("randomized walk with a MID-WALK in-place rename->pointer migration " +
-      "(step 12): served ranking stays equal to the rename-mode twin across " +
-      "the flip of both families; pointer crash states compose after it") {
+      "at a SEED-DERIVED step: served ranking stays equal to the rename-mode " +
+      "twin across the flip of both families; pointer crash states compose " +
+      "after it") {
     // VERDICT r16 #1: the migration composed into the hardest state
     // machine (two families + the merged stats store) — rename-mode
     // states first, the in-place flip mid-walk against an unmigrated
-    // twin, pointer-mode states over the migrated store after.
-    bm25FuzzWalk(ptrMode = false, migrateAt = 12)
+    // twin, pointer-mode states over the migrated store after. The
+    // step is drawn from the walk seed (VERDICT r17 #5; the r17
+    // one-off probe at step 20 ran green and was reverted) so rotating
+    // the seed rotates the flip point continuously, and the fired-set
+    // coverage check gains a migration case.
+    bm25FuzzWalk(ptrMode = false, migrate = true)
   }
 
   /** The composition fuzz the vector indexes already have
@@ -618,9 +623,9 @@ class Bm25IndexSpec extends SparkTestBase {
     * plain rename-mode TWIN fed the same batches (mode AND state-
     * machine transparency in one gate), and that an unrestored loss
     * is loud on read, append, and compact, naming the missing dir. */
-  private def bm25FuzzWalk(ptrMode: Boolean, migrateAt: Int = -1): Unit = {
+  private def bm25FuzzWalk(ptrMode: Boolean, migrate: Boolean = false): Unit = {
     val base = Fixtures.tempDir(
-      if (migrateAt >= 0) "bm25-fuzz-mig"
+      if (migrate) "bm25-fuzz-mig"
       else if (ptrMode) "bm25-fuzz-ptr" else "bm25-fuzz")
     val state = base.resolve("state").toString
     val twin = base.resolve("twin").toString
@@ -659,8 +664,12 @@ class Bm25IndexSpec extends SparkTestBase {
     appendBoth(0L)
     var nextId = 1L
     val rnd = new scala.util.Random(20260816)
+    // seed-derived migration step (VERDICT r17 #5): [2, 29], rotates
+    // with the walk seed — see StreamingIvfSpec.fuzzWalk
+    val migrateAt = if (migrate) 2 + rnd.nextInt(28) else -1
     // coverage self-check: a later seed/step change must not silently
-    // hollow the walk into one that never fires a drill
+    // hollow the walk into one that never fires a drill — case 6 is
+    // "the migration fired" (VERDICT r17 #5)
     val fired = scala.collection.mutable.Set.empty[Int]
     for (step <- 1 to 30) {
       if (step == migrateAt) {
@@ -671,6 +680,7 @@ class Bm25IndexSpec extends SparkTestBase {
         // migrated store
         Bm25Index.migrateToPointerMode(spark, state)
         ptr = true
+        fired += 6
         for (sub <- Seq("postings", "dl"))
           assert(new File(new File(state, sub), "PTRMODE").exists() &&
             fam(sub).getName == "g0", s"step $step: migration did not publish")
@@ -742,8 +752,10 @@ class Bm25IndexSpec extends SparkTestBase {
       }
       checkServed()
     }
-    assert(fired === Set(0, 1, 2, 3, 4, 5),
-      s"the seed must exercise every walk case, got $fired — rotate it")
+    val want = Set(0, 1, 2, 3, 4, 5) ++ (if (migrate) Set(6) else Set.empty)
+    assert(fired === want,
+      s"the seed must exercise every walk case (6 = migration fired, " +
+        s"derived step $migrateAt), got $fired — rotate it")
     // tail composition: one clean compact + append on whatever the
     // walk left, then the pointer-mode grace-window/GC contract on
     // the final state (rename mode's tail windows are the directed

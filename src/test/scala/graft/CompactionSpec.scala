@@ -329,25 +329,32 @@ class CompactionSpec extends SparkTestBase {
     // entry GC since r16), and concurrent-append aborts through the
     // pre-swap seam. After every step a read must serve exactly the
     // accumulated union.
-    compactorPtrWalk(migrateFirst = false)
+    compactorPtrWalk(migrate = false)
   }
 
   test("pointer-mode randomized walk over a MIGRATED table: rename-mode " +
-      "appends and a rename-aside compact first, the in-place migration, " +
-      "then the same seeded pointer walk over the g0 tree") {
+      "appends, rename-aside compactions, and a concurrent-abort drill " +
+      "first, the in-place migration at a SEED-DERIVED mid-walk step, then " +
+      "the seeded pointer walk over the g0 tree") {
     // VERDICT r16 #1: the migration composed into the table walk —
     // the store under the pointer-mode drills is not a virgin
     // pointer table but a LIVE plain-layout one that adopted the
-    // layout in place (history includes a rename-aside compaction).
-    compactorPtrWalk(migrateFirst = true)
+    // layout in place (history includes a rename-aside compaction,
+    // enforced by the fired-set check). The flip step is drawn from
+    // the walk seed (VERDICT r17 #5) so rotating the seed rotates the
+    // boundary between the rename-phase and pointer-phase drills.
+    compactorPtrWalk(migrate = true)
   }
 
-  private def compactorPtrWalk(migrateFirst: Boolean): Unit = {
+  private def compactorPtrWalk(migrate: Boolean): Unit = {
     import java.io.File
     val dir = Fixtures.tempDir(
-      if (migrateFirst) "compact-mig-fuzz" else "compact-ptr-fuzz")
+      if (migrate) "compact-mig-fuzz" else "compact-ptr-fuzz")
       .resolve("t").toString
-    if (!migrateFirst) Compactor.enablePointerMode(spark, dir)
+    if (!migrate) Compactor.enablePointerMode(spark, dir)
+    // the swap mode flips MID-WALK at the derived step; every
+    // mode-sensitive branch reads this var
+    var ptrNow = !migrate
     def ptr(): String =
       java.nio.file.Files.readString(new File(dir, "PTR").toPath).trim
     var expected = Vector.empty[String]
@@ -361,21 +368,58 @@ class CompactionSpec extends SparkTestBase {
     def checkRead(): Unit =
       assert(Compactor.read(spark, dir).collect().map(_.toString).sorted.toSeq
         === expected.sorted, "read diverges from the accumulated union")
-    if (migrateFirst) {
-      // live rename-mode history first: plain-layout appends and one
-      // rename-aside compaction, then the crash-safe in-place flip —
-      // the walk's pointer states then run over the migrated g0 tree
-      append(4)
-      assert(Compactor.compact(spark, dir, targetRowsPerFile = 1000) === 1)
-      append(3)
-      checkRead()
-      Compactor.migrateToPointerMode(spark, dir)
-      assert(ptr() === "g0", "migration must publish g0")
-      checkRead()
-    } else append(4)
+    append(4)
     val rnd = new scala.util.Random(20260817)
+    // seed-derived migration step (VERDICT r17 #5): [7, 20] — late
+    // enough that the rename phase accumulates real history (appends,
+    // rename-aside compactions, a concurrent abort; the fired set
+    // enforces all three), early enough that every pointer case still
+    // fires after the flip. The first range tried ([6, 18]) landed on
+    // step 14 and the 13-step rename phase never drew the compaction
+    // case — the fired-set check caught it exactly as designed.
+    val migrateAt = if (migrate) 7 + rnd.nextInt(14) else -1
     val fired = scala.collection.mutable.Set.empty[Int]
     for (step <- 1 to 30) {
+      if (step == migrateAt) {
+        // the in-place flip mid-walk: the accumulated plain-layout
+        // history rides into g0, and the remaining steps run the
+        // pointer-mode drills over the migrated tree
+        checkRead()
+        Compactor.migrateToPointerMode(spark, dir)
+        ptrNow = true
+        fired += 5
+        assert(ptr() === "g0", s"step $step: migration must publish g0")
+        checkRead()
+      }
+      if (!ptrNow) {
+        // rename-mode phase: the pointer drills (stale g-targets,
+        // PTR.tmp orphans, grace windows) cannot arise yet — draw from
+        // the rename-legal cases, tracked as 10+c so the coverage
+        // check proves the PRE-migration phase exercised each
+        val c = rnd.nextInt(3)
+        fired += 10 + c
+        c match {
+          case 0 => // out-of-band plain-layout append
+            append(1 + rnd.nextInt(3))
+          case 1 => // rename-aside compaction: swapIn replaces the live
+                    // tree whole — no grace window in this mode
+            assert(Compactor.compact(spark, dir, targetRowsPerFile = 1000) === 1)
+            assert(!new File(dir + ".tmp").exists(),
+              s"step $step: the rename-aside staging must be consumed")
+          case 2 => // concurrent append mid-compact: loud abort, live
+                    // table (the concurrent rows included) intact, the
+                    // staged .tmp sibling discarded
+            val e = intercept[RuntimeException] {
+              Compactor.compactImpl(spark, dir, targetRowsPerFile = 1000,
+                Nil, Nil, beforeSwap = () => append(1))
+            }
+            assert(e.getMessage.contains("changed during the rewrite"),
+              s"step $step: ${e.getMessage}")
+            assert(!new File(dir + ".tmp").exists(),
+              s"step $step: the aborted staging must be discarded")
+        }
+        checkRead()
+      } else {
       val c = rnd.nextInt(5)
       fired += c
       c match {
@@ -426,9 +470,14 @@ class CompactionSpec extends SparkTestBase {
       val gens = Option(new File(dir).list()).getOrElse(Array.empty)
         .filter(_.startsWith("g")).sorted
       assert(gens.contains(ptr()), s"step $step: PTR names a missing gen")
+      }
     }
-    assert(fired === Set(0, 1, 2, 3, 4),
-      s"the seed must exercise every walk case, got $fired — rotate it")
+    val want =
+      if (migrate) Set(10, 11, 12, 5, 0, 1, 2, 3, 4)
+      else Set(0, 1, 2, 3, 4)
+    assert(fired === want,
+      s"the seed must exercise every walk case (10-12 = rename phase, 5 = " +
+        s"migration fired at derived step $migrateAt), got $fired — rotate it")
     // tail: one clean compact collects everything stale; exactly the
     // live generation and its grace window remain
     assert(Compactor.compact(spark, dir, targetRowsPerFile = 1000) === 1)

@@ -324,15 +324,18 @@ class StreamingIvfPqSpec extends SparkTestBase {
   }
 
   test("randomized walk with a MID-WALK in-place rename->pointer migration " +
-      "(step 12): served codes identical across the mode flip; the pointer " +
-      "states compose with the quantizer-pair and chain-loss drills after it") {
+      "at a SEED-DERIVED step: served codes identical across the mode flip; " +
+      "the pointer states compose with the quantizer-pair and chain-loss " +
+      "drills after it") {
     // VERDICT r16 #1: the migration composed into the seeded state
     // machine — rename-mode states first, the in-place flip mid-walk,
-    // pointer-mode states over the migrated g0 tree after.
-    pqFuzzWalk(ptrMode = false, migrateAt = 12)
+    // pointer-mode states over the migrated g0 tree after. The step is
+    // drawn from the walk seed (VERDICT r17 #5) so rotating the seed
+    // rotates the flip point continuously.
+    pqFuzzWalk(ptrMode = false, migrate = true)
   }
 
-  private def pqFuzzWalk(ptrMode: Boolean, migrateAt: Int = -1): Unit = {
+  private def pqFuzzWalk(ptrMode: Boolean, migrate: Boolean = false): Unit = {
     // The StreamingIvfSpec composition fuzz ported to the IVF-PQ
     // store (VERDICT r14 #6), with the states only THIS index has
     // composed in: the frozen-PAIR loss pair (commit marker without a
@@ -344,7 +347,7 @@ class StreamingIvfPqSpec extends SparkTestBase {
     // exactly the one-shot encode of the applied batches against the
     // frozen pair, and that unrestored loss is loud naming its victim.
     val base = Fixtures.tempDir(
-      if (migrateAt >= 0) "sivfpq-fuzz-mig"
+      if (migrate) "sivfpq-fuzz-mig"
       else if (ptrMode) "sivfpq-fuzz-ptr" else "sivfpq-fuzz")
     val state = base.resolve("state").toString
     val codesBase = new File(state, "codes")
@@ -383,6 +386,10 @@ class StreamingIvfPqSpec extends SparkTestBase {
       kc, m, subLen, kCb, 0L))
     applied :+= 0L; nextId = 1L
     val rnd = new scala.util.Random(20260815)
+    // seed-derived migration step (VERDICT r17 #5): [2, 29], rotates
+    // with the walk seed — see StreamingIvfSpec.fuzzWalk
+    val migrateAt = if (migrate) 2 + rnd.nextInt(28) else -1
+    var migrated = false
     for (step <- 1 to 30) {
       if (step == migrateAt) {
         // in-place rename->pointer migration mid-walk (VERDICT r16 #1):
@@ -391,6 +398,7 @@ class StreamingIvfPqSpec extends SparkTestBase {
         // states over the migrated store
         StreamingIvfPq.migrateToPointerMode(spark, state)
         ptr = true
+        migrated = true
         assert(new File(codesBase, "PTRMODE").exists() &&
           codesDir.getName == "g0", s"step $step: migration did not publish")
         checkServed()
@@ -514,6 +522,11 @@ class StreamingIvfPqSpec extends SparkTestBase {
       }
       checkServed()
     }
+    // migration-fired coverage check (VERDICT r17 #5): a derivation
+    // change that pushes the step outside the walk would silently
+    // hollow this test into the plain rename-mode walk
+    assert(migrated == migrate,
+      s"the seed-derived migration step ($migrateAt) must fire inside the walk")
     // settle: a final compaction and one more append keep serving the
     // union; pointer mode additionally pins the post-swap crash shape
     // (moved PTR + undeleted predecessor = the grace window) and its

@@ -337,17 +337,20 @@ class StreamingIvfSpec extends SparkTestBase {
   }
 
   test("randomized walk with a MID-WALK in-place rename->pointer migration " +
-      "(step 12): the served index is identical across the mode flip and " +
-      "the pointer-mode crash states compose after it") {
+      "at a SEED-DERIVED step: the served index is identical across the " +
+      "mode flip and the pointer-mode crash states compose after it") {
     // VERDICT r16 #1: the migration is not only twin-pinned in
     // PointerMigrationSpec but composed into the seeded state machine
-    // — the first 11 steps run rename-mode crash/loss/compaction
-    // states, the store migrates in place mid-walk, and the remaining
-    // steps run the pointer-mode states over the migrated g0 tree.
-    fuzzWalk(ptrMode = false, migrateAt = 12)
+    // — rename-mode crash/loss/compaction states first, the in-place
+    // flip mid-walk, pointer-mode states over the migrated g0 tree
+    // after. The step is drawn from the walk seed (VERDICT r17 #5) so
+    // rotating the seed rotates the flip point with it — the r17
+    // one-off probes at steps 5/25, run green and reverted, are now
+    // the continuous regime.
+    fuzzWalk(ptrMode = false, migrate = true)
   }
 
-  private def fuzzWalk(ptrMode: Boolean, migrateAt: Int = -1): Unit = {
+  private def fuzzWalk(ptrMode: Boolean, migrate: Boolean = false): Unit = {
     // The composition fuzz for the r14 loss machinery (the StateFsSpec
     // / CompactionSpec discipline applied to the INDEX state machine):
     // the directed cases above pin each window once; here 30 seeded
@@ -362,7 +365,7 @@ class StreamingIvfSpec extends SparkTestBase {
     // is checkable by construction.
     import java.io.File
     val base = Fixtures.tempDir(
-      if (migrateAt >= 0) "sivf-fuzz-mig"
+      if (migrate) "sivf-fuzz-mig"
       else if (ptrMode) "sivf-fuzz-ptr" else "sivf-fuzz")
     val state = base.resolve("state").toString
     val listsBase = new File(state, "lists")
@@ -396,6 +399,13 @@ class StreamingIvfSpec extends SparkTestBase {
     assert(StreamingIvf.appendBatch(spark, state, batchOf(0), 4, 0L))
     applied :+= 0L; nextId = 1L
     val rnd = new scala.util.Random(20260815)
+    // the migration step is DERIVED from the walk seed (VERDICT r17
+    // #5): drawn in [2, 29] so it is genuinely mid-walk, and it moves
+    // whenever the seed rotates — the flip composes against a
+    // different prefix/suffix of crash states per rotation instead of
+    // a hand-pinned boundary
+    val migrateAt = if (migrate) 2 + rnd.nextInt(28) else -1
+    var migrated = false
     for (step <- 1 to 30) {
       if (step == migrateAt) {
         // in-place rename->pointer migration mid-walk (VERDICT r16 #1):
@@ -405,6 +415,7 @@ class StreamingIvfSpec extends SparkTestBase {
         // states over the migrated store
         StreamingIvf.migrateToPointerMode(spark, state)
         ptr = true
+        migrated = true
         assert(new File(listsBase, "PTRMODE").exists() &&
           lists.getName === "g0", s"step $step: migration did not publish")
         checkServed()
@@ -495,6 +506,12 @@ class StreamingIvfSpec extends SparkTestBase {
       }
       checkServed()
     }
+    // migration-fired coverage check (VERDICT r17 #5, the fired-set
+    // discipline): a derivation/bound change that pushes the step
+    // outside the walk would silently hollow this test into the
+    // plain rename-mode walk
+    assert(migrated == migrate,
+      s"the seed-derived migration step ($migrateAt) must fire inside the walk")
     // post-compaction crash states compose with whatever the walk
     // left — per mode: rename's mid-swap crash heals on read and the
     // orphan tmp is cleaned by the next writer; pointer's swap leaves
