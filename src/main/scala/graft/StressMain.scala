@@ -891,9 +891,15 @@ object StressMain {
       for (d <- 0 until 10) {
         val lo = d * 100000L; val hi = lo + 100000L
         time(f"ivfpq-stream drain $d%02d")({
+          // pqRounds = 2 since r18 (the ALTERNATE ablation's r16
+          // convention): this kc=2000 matched-coarse geometry is the
+          // degeneracy guard's refusal regime at pqRounds = 0, so the
+          // r14-era default seeding stopped being runnable when the
+          // guard landed — discovered re-running the ablation for the
+          // r17 #3 verification-block move
           StreamingIvfPq.appendBatch(spark, state,
             corpus.filter(col("vec_id") >= lo && col("vec_id") < hi),
-            kc, m, subLen, kCb, d.toLong)
+            kc, m, subLen, kCb, d.toLong, pqRounds = 2)
           100000L
         })
         if (d == 2 || d == 5 || d == 8) {

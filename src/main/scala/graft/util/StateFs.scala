@@ -364,7 +364,11 @@ object StateFs {
     * and the `PTRMODE` create) SKIPS the trailing GC and fails loudly
     * with BOTH layouts preserved behind `_MIGRATING`: the published
     * pointer store serves, the superseded rename layout holds the
-    * orphaned write for manual reconciliation — never GC'd silently.
+    * orphaned write for manual reconciliation — not GC'd silently by
+    * THIS call. The preservation lasts only until the next writer
+    * entry (its `_MIGRATING`-gated [[gcStaleGens]] finishes the
+    * interrupted cleanup), so the error instructs copying the orphaned
+    * files aside before anything else touches the store.
     *
     * RESIDUAL WINDOWS, named per the Compactor CONTRACT precedent
     * (r15 #5): (a) the snapshots key on (path, len, mtime), so a
@@ -502,8 +506,10 @@ object StateFs {
         s"${changed.mkString(", ")}) — old-layout GC skipped; the published " +
         s"pointer store (g0) is servable, and the superseded rename layout " +
         s"(the concurrent write included) is preserved behind " +
-        s"$MigratingMarker. Reconcile the changed files through the " +
-        "store's writer API, then rerun the migration to finish the GC")
+        s"$MigratingMarker. COPY THE CHANGED FILES ASIDE FIRST — any " +
+        "writer entry or migration rerun finishes the interrupted GC and " +
+        "collects them — then re-submit their rows through the store's " +
+        "writer API and rerun the migration")
     }
     // GC the superseded rename-mode layout (invisible junk from here on;
     // a crash mid-GC is finished by the next writer entry's gcStaleGens

@@ -420,56 +420,56 @@ class CompactionSpec extends SparkTestBase {
         }
         checkRead()
       } else {
-      val c = rnd.nextInt(5)
-      fired += c
-      c match {
-        case 0 => // out-of-band append, writer discipline: resolve per job
-          append(1 + rnd.nextInt(3))
-        case 1 => // compaction publishes one PTR move; the superseded
-                  // generation survives as the reader grace window
-          val liveGen = ptr()
-          assert(Compactor.compact(spark, dir, targetRowsPerFile = 1000) === 1)
-          assert(ptr() != liveGen, "compact must publish a new generation")
-          assert(new File(dir, liveGen).exists(),
-            s"step $step: $liveGen must survive as the grace window")
-        case 2 => // a crashed compaction's partial unpublished target:
-                  // invisible to reads, clobbered by the next entry GC
-          val next = new File(dir, "g" + (ptr().drop(1).toLong + 1))
-          assert(new File(next, "junk-partial").mkdirs())
-          checkRead()
-          assert(Compactor.compact(spark, dir, targetRowsPerFile = 1000) === 1)
-          assert(!new File(next, "junk-partial").exists(),
-            s"step $step: the entry GC must clobber the stale target")
-        case 3 => // orphan tmp FILE under the base (crash between
-                  // writeFileAtomic's create and rename): invisible,
-                  // collected by the next compact's entry GC
-          val orphan = new File(dir, "PTR.tmp")
-          val w = new java.io.FileWriter(orphan)
-          try w.write("g999") finally w.close()
-          checkRead()
-          assert(Compactor.compact(spark, dir, targetRowsPerFile = 1000) === 1)
-          assert(!orphan.exists(),
-            s"step $step: the entry GC must collect the orphan tmp file")
-        case 4 => // concurrent append mid-compact: loud abort, PTR
-                  // unmoved, ONLY the staged generation discarded, the
-                  // concurrent rows intact
-          val liveGen = ptr()
-          val e = intercept[RuntimeException] {
-            Compactor.compactImpl(spark, dir, targetRowsPerFile = 1000,
-              Nil, Nil, beforeSwap = () => append(1))
-          }
-          assert(e.getMessage.contains("changed during the rewrite"),
-            s"step $step: ${e.getMessage}")
-          assert(ptr() === liveGen, "an aborted compact must not move PTR")
-          assert(!new File(dir, "g" + (liveGen.drop(1).toLong + 1)).exists(),
-            s"step $step: the aborted target generation must be discarded")
-      }
-      checkRead()
-      // never more than live + one grace window, and no stray tmp dirs
-      // once a compaction has run this step
-      val gens = Option(new File(dir).list()).getOrElse(Array.empty)
-        .filter(_.startsWith("g")).sorted
-      assert(gens.contains(ptr()), s"step $step: PTR names a missing gen")
+        val c = rnd.nextInt(5)
+        fired += c
+        c match {
+          case 0 => // out-of-band append, writer discipline: resolve per job
+            append(1 + rnd.nextInt(3))
+          case 1 => // compaction publishes one PTR move; the superseded
+                    // generation survives as the reader grace window
+            val liveGen = ptr()
+            assert(Compactor.compact(spark, dir, targetRowsPerFile = 1000) === 1)
+            assert(ptr() != liveGen, "compact must publish a new generation")
+            assert(new File(dir, liveGen).exists(),
+              s"step $step: $liveGen must survive as the grace window")
+          case 2 => // a crashed compaction's partial unpublished target:
+                    // invisible to reads, clobbered by the next entry GC
+            val next = new File(dir, "g" + (ptr().drop(1).toLong + 1))
+            assert(new File(next, "junk-partial").mkdirs())
+            checkRead()
+            assert(Compactor.compact(spark, dir, targetRowsPerFile = 1000) === 1)
+            assert(!new File(next, "junk-partial").exists(),
+              s"step $step: the entry GC must clobber the stale target")
+          case 3 => // orphan tmp FILE under the base (crash between
+                    // writeFileAtomic's create and rename): invisible,
+                    // collected by the next compact's entry GC
+            val orphan = new File(dir, "PTR.tmp")
+            val w = new java.io.FileWriter(orphan)
+            try w.write("g999") finally w.close()
+            checkRead()
+            assert(Compactor.compact(spark, dir, targetRowsPerFile = 1000) === 1)
+            assert(!orphan.exists(),
+              s"step $step: the entry GC must collect the orphan tmp file")
+          case 4 => // concurrent append mid-compact: loud abort, PTR
+                    // unmoved, ONLY the staged generation discarded, the
+                    // concurrent rows intact
+            val liveGen = ptr()
+            val e = intercept[RuntimeException] {
+              Compactor.compactImpl(spark, dir, targetRowsPerFile = 1000,
+                Nil, Nil, beforeSwap = () => append(1))
+            }
+            assert(e.getMessage.contains("changed during the rewrite"),
+              s"step $step: ${e.getMessage}")
+            assert(ptr() === liveGen, "an aborted compact must not move PTR")
+            assert(!new File(dir, "g" + (liveGen.drop(1).toLong + 1)).exists(),
+              s"step $step: the aborted target generation must be discarded")
+        }
+        checkRead()
+        // never more than live + one grace window, and no stray tmp dirs
+        // once a compaction has run this step
+        val gens = Option(new File(dir).list()).getOrElse(Array.empty)
+          .filter(_.startsWith("g")).sorted
+        assert(gens.contains(ptr()), s"step $step: PTR names a missing gen")
       }
     }
     val want =
