@@ -33,20 +33,33 @@ object Bench {
     // not the code.
     // NonFatal, not Throwable (ADVICE r12): an OOM/fatal JVM error
     // must abort the bench, not let it keep timing in a corrupted
-    // JVM and emit garbage numbers as if nothing happened
-    def sentinelTime(name: String): Double =
+    // JVM and emit garbage numbers as if nothing happened.
+    // `runsPerSample` (VERDICT r18 #2): a sample is the wall time of
+    // that many CONSECUTIVE runs — a single sub-second q6 run sits at
+    // its own noise floor (lf swung 0.28→0.41 within one afternoon,
+    // spanning vlf 1.5× at a flat raw total, too noisy to adjudicate
+    // the 1.3× regression it exists to catch), while the ~3 s vlfc
+    // sentinel held ±10%. Summing 8 runs lands lf in that same ≥2 s
+    // regime (per-run GC/co-tenant jitter amortizes ~√8) with the
+    // protocol unchanged: one untimed codegen run, min of 3 samples.
+    // COMPARABILITY: from r19 on, lf is ~8× its r18 meaning and vlf
+    // ~1/8 (r18 vlf 194 ≈ r19 vlf 24) — read the pair accordingly.
+    def sentinelTime(name: String, runsPerSample: Int = 1): Double =
       if (!SparkEntry.queries.contains(name)) -1.0
       else {
         try {
           SparkEntry.queries(name)(spark, sfDir).count()
           (1 to 3).map { _ =>
             val t0 = System.nanoTime()
-            SparkEntry.queries(name)(spark, sfDir).count()
+            var i = 0
+            while (i < runsPerSample) {
+              SparkEntry.queries(name)(spark, sfDir).count(); i += 1
+            }
             (System.nanoTime() - t0) / 1e9
           }.min
         } catch { case NonFatal(_) => -1.0 }
       }
-    val lf = sentinelTime("q_tpch_q6")
+    val lf = sentinelTime("q_tpch_q6", runsPerSample = 8)
     // Shuffle-bound sentinel (VERDICT r13 #4): the scan-bound q6
     // sentinel under-predicts the suite total, whose sf0.1 floor is
     // per-query job/codegen/SHUFFLE overhead (NOTES r13: lf moved
@@ -162,13 +175,18 @@ object Bench {
         timedRun(name)
       }.min
     }.toMap
-    // Σ of the finite cold values — the numerator of the vlfc verdict
-    // (render computes vlfc = coldTotal / lfc). -1 when no cold key
-    // produced a finite sample, so vlfc degrades to -1 like vlf does.
-    val coldTotal = {
-      val finite = cold.values.filter(java.lang.Double.isFinite)
-      if (finite.nonEmpty) finite.sum else -1.0
-    }
+    // Σ of the cold values, valid only when EVERY cold sample is
+    // finite (ADVICE r18): summing just the finite ones would let a
+    // cold run that starts failing SHRINK the vlfc numerator and read
+    // as a cold-path improvement, with only the per-key -1 on the
+    // line revealing it. A partially-failed cold basket is not
+    // comparable to a healthy one — degrade the headline to -1 (the
+    // vlf convention); the per-key entries still show which cold run
+    // failed.
+    val coldTotal =
+      if (cold.nonEmpty && cold.values.forall(java.lang.Double.isFinite))
+        cold.values.sum
+      else -1.0
     // Key compaction + line rendering live in graft.BenchKeys (r16:
     // factored out so BenchKeysSpec measures headroom at SYNTHETIC
     // entry counts before the real surface consumes it — the round-9

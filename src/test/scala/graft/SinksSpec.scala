@@ -34,8 +34,17 @@ object SinksSpec {
     private val keyCols = cols(grab("""ON CONFLICT\s*\(([^)]*)\)"""))
     private val updates: Seq[(String, String)] =
       cols(grab("""(?s)DO UPDATE SET(.*)\z""")).map { a =>
-        val Array(c, e) = a.split('=').map(_.trim)
-        c -> e
+        // first '=' only (ADVICE r18): a future SET expression that
+        // itself contains '=' (a CASE, a comparison) must surface as
+        // the model's loud unmodeled-statement error when exec() hits
+        // it, not as a bare MatchError here; an assignment with NO
+        // '=' at all is named immediately
+        val parts = a.split("=", 2).map(_.trim)
+        require(parts.length == 2 && parts.forall(_.nonEmpty),
+          s"unmodeled DO UPDATE SET assignment '$a' — the postgres " +
+            "statement drifted from the model's grammar; update the " +
+            "parity model WITH the semantics it pins")
+        parts(0) -> parts(1)
       }
     require(insertCols.size == valuesTpl.size, "VALUES arity mismatch")
 
@@ -277,6 +286,138 @@ class SinksSpec extends SparkTestBase {
     assert(valueTrace(3) === valueTrace(2),
       "an exact replay must leave the value state unchanged")
     assert(valueTrace.last.size === 6)
+  }
+
+  test("dialect-parity adversarial bind matrix (VERDICT r18 #4): the " +
+      "reference's edge coercions — NULL total_consumed_tokens (→0 through " +
+      "the REAL CsvIngest.parse boundary), NULL client_name, a key " +
+      "colliding within one statement batch, Long.MaxValue — flow through " +
+      "both dialects and the per-step states stay identical") {
+    // The happy-path parity test pins the statement semantics; this one
+    // pins the COERCION BOUNDARY the reference applies at bind time
+    // (src/db_operations.py:90: int(tokens) if notna else 0; None
+    // client_name binds SQL NULL). Our engine coerces upstream —
+    // CsvIngest.parse's try_cast+coalesce (CsvIngest.scala:64) — so the
+    // writer inputs here are built from RAW STRINGS through that real
+    // parse step, not hand-typed rows: a drift in the coercion (or in
+    // either dialect's handling of its results) breaks the agreement.
+    System.setProperty("derby.stream.error.file", "/tmp/derby-test.log")
+    val url = "jdbc:derby:memory:graftparityedge;create=true"
+    def withConn[A](f: java.sql.Connection => A): A = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try f(c) finally c.close()
+    }
+    withConn { c =>
+      val st = c.createStatement()
+      st.executeUpdate(
+        """CREATE TABLE consumptions (
+          |  "date" DATE NOT NULL,
+          |  client_id VARCHAR(128) NOT NULL,
+          |  client_name VARCHAR(256),
+          |  service_name VARCHAR(256),
+          |  total_consumed_tokens BIGINT,
+          |  created_at TIMESTAMP,
+          |  updated_at TIMESTAMP,
+          |  is_active BOOLEAN,
+          |  PRIMARY KEY ("date", client_id))""".stripMargin)
+      st.close()
+    }
+    // NULL-tolerant snapshots: client_name/service_name as Options so a
+    // bound SQL NULL is a first-class value state, not an NPE
+    def derbySnap(): Map[(String, String),
+        ((Option[String], Option[String], Long, Boolean), java.sql.Timestamp)] =
+      withConn { c =>
+        val rs = c.createStatement().executeQuery(
+          """SELECT "date", client_id, client_name, service_name,
+            |  total_consumed_tokens, is_active, created_at
+            |FROM consumptions""".stripMargin)
+        val b = Map.newBuilder[(String, String),
+          ((Option[String], Option[String], Long, Boolean), java.sql.Timestamp)]
+        while (rs.next())
+          b += (rs.getString(1), rs.getString(2)) ->
+            (((Option(rs.getString(3)), Option(rs.getString(4)),
+              rs.getLong(5), rs.getBoolean(6)), rs.getTimestamp(7)))
+        b.result()
+      }
+    val model = new SinksSpec.PgUpsertModel(JdbcUpsertWriter.postgres.sql)
+    def modelSnap(): Map[(String, String),
+        ((Option[String], Option[String], Long, Boolean), Any)] =
+      model.rows.map { case (k, r) =>
+        (k.head.toString, k(1).toString) ->
+          (((Option(r("client_name")).map(_.toString),
+            Option(r("service_name")).map(_.toString),
+            r("total_consumed_tokens").asInstanceOf[Long],
+            r("is_active").asInstanceOf[Boolean]), r("created_at")))
+      }.toMap
+    // raw CSV-shaped strings -> CsvIngest.parse (the real boundary).
+    // Step 1 (insert): NULL tokens, unparseable tokens, NULL
+    // client_name, an in-batch key collision (E3 twice, one statement
+    // batch), Long.MaxValue. Step 2 (conflict update): NULL
+    // client_name and NULL tokens onto EXISTING keys, Long.MaxValue
+    // moved to another key. Step 3: exact replay of step 2.
+    val step1 = Seq(
+      ("2025-05-01", "E1", null, "svc", null), // name NULL, tokens NULL→0
+      ("2025-05-01", "E2", "N2", "svc", "not-a-number"), // tokens →0
+      ("2025-05-01", "E3", "N3a", "svc", "5"), // in-batch collision...
+      ("2025-05-01", "E3", "N3b", "svc", "6"), // ...same key, same batch
+      ("2025-05-01", "E4", "N4", "svc", "9223372036854775807"))
+    val step2 = Seq(
+      ("2025-05-01", "E2", null, "svc", null), // update binds NULLs
+      ("2025-05-01", "E1", "N1", "svc", "9223372036854775807"),
+      ("2025-05-02", "E1", "N1", "svc", "1")) // fresh key inserts
+    val steps = Seq(step1, step2, step2)
+    def typed(rows: Seq[(String, String, String, String, String)]) =
+      graft.ingest.CsvIngest.parse(rows.toDF("date", "client_id",
+        "client_name", "service_name", "total_consumed_tokens")).coalesce(1)
+    var prevDerby = derbySnap()
+    var prevModel = modelSnap()
+    val valueTrace = scala.collection.mutable.ArrayBuffer
+      .empty[Map[(String, String), (Option[String], Option[String], Long, Boolean)]]
+    for ((rows, i) <- steps.zipWithIndex) {
+      SinksSpec.captured.clear()
+      JdbcUpsertWriter.write(typed(rows), b => SinksSpec.captured.add(b),
+        batchSize = 10, statement = JdbcUpsertWriter.postgres)
+      SinksSpec.captured.toArray(Array.empty[JdbcUpsertWriter.Batch])
+        .foreach(model.apply)
+      JdbcUpsertWriter.write(typed(rows),
+        JdbcUpsertWriter.jdbcExecutor(url, JdbcUpsertWriter.derby.sql),
+        batchSize = 10, statement = JdbcUpsertWriter.derby)
+      val d = derbySnap()
+      val m = modelSnap()
+      assert(m.view.mapValues(_._1).toMap === d.view.mapValues(_._1).toMap,
+        s"edge step $i: the two dialects' value states diverged")
+      for (k <- prevDerby.keySet) {
+        assert(d(k)._2 === prevDerby(k)._2,
+          s"edge step $i: Derby MERGE moved created_at for $k")
+        assert(m(k)._2 === prevModel(k)._2,
+          s"edge step $i: the Postgres text's update touches created_at for $k")
+      }
+      prevDerby = d; prevModel = m
+      valueTrace += d.view.mapValues(_._1).toMap
+    }
+    // the coercion results themselves, pinned on the (already
+    // proven-identical) Derby state
+    val s1 = valueTrace(0)
+    assert(s1(("2025-05-01", "E1")) === ((None, Some("svc"), 0L, true)),
+      "NULL client_name must bind SQL NULL; NULL tokens must coerce to 0")
+    assert(s1(("2025-05-01", "E2"))._3 === 0L,
+      "an unparseable token count must coerce to 0 (try_cast miss)")
+    assert(s1(("2025-05-01", "E3"))._1 === Some("N3b"),
+      "within one statement batch the LATER statement wins the key " +
+        "(statement order: insert then conflict-update on both dialects)")
+    assert(s1(("2025-05-01", "E3"))._3 === 6L)
+    assert(s1(("2025-05-01", "E4"))._3 === Long.MaxValue,
+      "Long.MaxValue must survive the bind on both sides")
+    // step 2 coercions on UPDATE (EXCLUDED.* carries the NULL/0)
+    val s2 = valueTrace(1)
+    assert(s2(("2025-05-01", "E2")) === ((None, Some("svc"), 0L, true)),
+      "the conflict update must bind NULL client_name and coerced-0 tokens")
+    assert(s2(("2025-05-01", "E1"))._3 === Long.MaxValue)
+    assert(s2.contains(("2025-05-02", "E1")))
+    // replay idempotence across the edge matrix
+    assert(valueTrace(2) === valueTrace(1),
+      "an exact replay of the edge batch must leave the value state unchanged")
+    assert(valueTrace.last.size === 5) // E1-E4 on 05-01 (E3 collided) + E1 on 05-02
   }
 
   test("embedded-Derby: a failing statement batch rolls back WHOLE — the " +
