@@ -301,12 +301,47 @@ object StateFs {
     * this also finishes that migration's cleanup: every child that is
     * not part of the pointer layout is the superseded rename-mode
     * layout — already invisible to pointer-mode readers — and is
-    * collected, the sentinel last. */
+    * collected, the sentinel last. Since r19 (VERDICT r18 #3) the
+    * sentinel CARRIES the migration's entry snapshot, so this finisher
+    * re-checks what the crashed run could not: if the rename layout
+    * changed since staging (a writer slipped into the instants the
+    * pre-flip guard cannot see, then the migration crashed before its
+    * own post-flip re-check — or aborted loudly there and someone
+    * reran a writer anyway, ADVICE r18), the GC REFUSES loudly with
+    * everything preserved instead of collecting the orphaned write.
+    * The named unblock: copy the changed files aside, remove them so
+    * the layout matches the staged snapshot again (any writer entry
+    * then finishes the GC), or — if an in-place rewrite made the
+    * snapshot unmatchable — truncate the sentinel to empty to accept
+    * one unguarded finish. An EMPTY sentinel (the pre-r19 layout, or
+    * that explicit operator acceptance) keeps the old unguarded
+    * semantics. */
   def gcStaleGens(fs: FileSystem, base: Path, keep: String,
       retainPredecessors: Int = 0): Unit = {
     if (!fs.exists(base)) return
     val entries = fs.listStatus(base).toSeq
     val migrating = entries.exists(_.getPath.getName == MigratingMarker)
+    if (migrating) {
+      val staged = parseSnap(readString(fs, new Path(base, MigratingMarker)))
+      for (entrySnap <- staged) {
+        val now = renameLayoutSnapshot(fs, base)
+        if (now != entrySnap) {
+          val changed = ((now diff entrySnap) ++ (entrySnap diff now))
+            .map(_._1).toSeq.sorted
+          sys.error(s"migration finish refused: the superseded rename " +
+            s"layout under $base changed after the migration's staging " +
+            s"snapshot (changed files: ${changed.mkString(", ")}) — a " +
+            "writer landed in the crashed migration's blind window, and " +
+            "collecting the layout now would silently destroy its " +
+            "output. Nothing was deleted. COPY THE CHANGED FILES ASIDE, " +
+            "re-submit their rows through the store's writer API, then " +
+            "remove them so the layout matches the staged snapshot (any " +
+            "writer entry then finishes the GC); if an in-place rewrite " +
+            s"made the snapshot unmatchable, truncate $MigratingMarker " +
+            "to empty to accept one unguarded finish")
+        }
+      }
+    }
     def genId(n: String): Option[Long] =
       if (n.matches("g\\d+")) Some(n.drop(1).toLong) else None
     val keepId = genId(keep).getOrElse(Long.MaxValue)
@@ -326,6 +361,55 @@ object StateFs {
     }
     if (migrating) deleteRec(fs, new Path(base, MigratingMarker))
   }
+
+  /** Recursive `(path, len, mtime)` snapshot of the NON-pointer-layout
+    * children of `base` — the migration's no-writer guard key (the
+    * [[graft.sink.Compactor]] snapshot discipline), shared by
+    * [[migrateToPointerModeImpl]]'s three re-checks and
+    * [[gcStaleGens]]'s migration-finish guard. Paths are recorded
+    * scheme-less (`toUri.getPath`) so a snapshot persisted by one
+    * process compares equal in a finisher that resolved the base
+    * through a differently-qualified path string. */
+  private def renameLayoutSnapshot(fs: FileSystem,
+      base: Path): Set[(String, Long, Long)] = {
+    val ptrNames = Set(MigratingMarker, MigratingMarker + ".tmp",
+      PtrFile, PtrFile + ".tmp", PtrModeMarker)
+    val b = Set.newBuilder[(String, Long, Long)]
+    if (!fs.exists(base)) return b.result()
+    for (s <- fs.listStatus(base).toSeq
+         if !ptrNames.contains(s.getPath.getName) &&
+           !(s.isDirectory && s.getPath.getName.matches("g\\d+"))
+         if fs.exists(s.getPath)) {
+      // listFiles handles files and directories alike: a file path
+      // yields its own status, a directory its recursive contents
+      val it = fs.listFiles(s.getPath, true)
+      while (it.hasNext) {
+        val st = it.next()
+        b += ((st.getPath.toUri.getPath, st.getLen, st.getModificationTime))
+      }
+    }
+    b.result()
+  }
+
+  /** The `_MIGRATING` sentinel's snapshot payload (VERDICT r18 #3):
+    * a `SNAP1` header line, then one `len \t mtime \t path` line per
+    * snapshotted file. An empty sentinel carries no snapshot — the
+    * pre-r19 layout, or the operator's explicit acceptance of one
+    * unguarded GC finish. */
+  private def serializeSnap(s: Set[(String, Long, Long)]): String =
+    ("SNAP1" +: s.toSeq.sorted.map { case (p, l, m) => s"$l\t$m\t$p" })
+      .mkString("\n")
+
+  private def parseSnap(content: String): Option[Set[(String, Long, Long)]] =
+    if (!content.startsWith("SNAP1")) None
+    else Some(content.split("\n").toSeq.drop(1).filter(_.nonEmpty).map { ln =>
+      val parts = ln.split("\t", 3)
+      require(parts.length == 3,
+        s"corrupt $MigratingMarker snapshot line '$ln' — restore the " +
+          "sentinel or truncate it to empty to accept one unguarded " +
+          "migration-GC finish")
+      (parts(2), parts(0).toLong, parts(1).toLong)
+    }.toSet)
 
   /** In-place rename→pointer migration of a LIVE state dir (VERDICT
     * r16 #1 — [[enablePointerMode]] is virgin-dir-only, so a deployed
@@ -370,16 +454,20 @@ object StateFs {
     * interrupted cleanup), so the error instructs copying the orphaned
     * files aside before anything else touches the store.
     *
-    * RESIDUAL WINDOWS, named per the Compactor CONTRACT precedent
-    * (r15 #5): (a) the snapshots key on (path, len, mtime), so a
+    * RESIDUAL WINDOW, named per the Compactor CONTRACT precedent
+    * (r15 #5): the snapshots key on (path, len, mtime), so a
     * same-length in-place rewrite inside mtime granularity escapes
-    * both re-checks; (b) a CRASH between the `PTRMODE` create and the
-    * post-flip re-check hands the old-layout GC to the next writer
-    * entry's [[gcStaleGens]], which cannot re-check — a writer that
-    * slipped in after the pre-flip re-check would then be collected
-    * with the layout. Each requires a writer violating the stated
+    * every re-check — it requires a writer violating the stated
     * no-writer precondition inside a sub-second instant; the
-    * precondition, not the guard, is the contract. The post-flip GC
+    * precondition, not the guard, is the contract. The former
+    * residual (b) — a CRASH between the `PTRMODE` create and the
+    * post-flip re-check handing the old-layout GC to a finisher that
+    * could not re-check — is CLOSED since r19 (VERDICT r18 #3): the
+    * entry snapshot is persisted INTO the `_MIGRATING` sentinel at
+    * staging time, so [[gcStaleGens]]'s migration-finish path (and
+    * this method's own idempotent rerun, which routes through it —
+    * ADVICE r18) compares before collecting and refuses loudly on a
+    * mismatch, preserving the orphaned write. The post-flip GC
     * retains only `g0` — no `retainPredecessors` depth applies here,
     * because the no-READER precondition means no in-flight rename-mode
     * scan can exist to still need the superseded layout.
@@ -436,28 +524,24 @@ object StateFs {
     deleteRec(f, new Path(base, PtrFile + ".tmp"))
     // children of the live rename-mode tree = everything that is not a
     // staging artifact of this migration
-    val ours = Set(MigratingMarker, "g0", PtrFile, PtrFile + ".tmp",
-      PtrModeMarker)
+    val ours = Set(MigratingMarker, MigratingMarker + ".tmp", "g0",
+      PtrFile, PtrFile + ".tmp", PtrModeMarker)
     def liveKids(): Seq[Path] = f.listStatus(base).toSeq.map(_.getPath)
       .filterNot(p => ours.contains(p.getName))
     // no-writer guard snapshot: every file under the live tree, keyed
-    // (path, len, mtime) — the Compactor snapshot discipline. Re-listed
-    // per call so a brand-new child (a concurrent append's fresh v-dir)
-    // is visible to the re-check too.
-    def snap(): Set[(String, Long, Long)] = {
-      val b = Set.newBuilder[(String, Long, Long)]
-      for (k <- liveKids() if f.exists(k)) {
-        // listFiles handles files and directories alike: a file path
-        // yields its own status, a directory its recursive contents
-        val it = f.listFiles(k, true)
-        while (it.hasNext) {
-          val s = it.next()
-          b += ((s.getPath.toString, s.getLen, s.getModificationTime))
-        }
-      }
-      b.result()
-    }
+    // (path, len, mtime) — the Compactor snapshot discipline
+    // ([[renameLayoutSnapshot]], re-listed per call so a brand-new
+    // child — a concurrent append's fresh v-dir — is visible to the
+    // re-checks too)
+    def snap(): Set[(String, Long, Long)] = renameLayoutSnapshot(f, base)
     val entrySnap = snap()
+    // Persist the snapshot INTO the sentinel (VERDICT r18 #3): a crash
+    // between the PTRMODE create and the post-flip re-check hands the
+    // old-layout GC to the next writer entry's gcStaleGens, which can
+    // now run THIS snapshot's comparison before collecting — the
+    // formerly-blind finisher window. Rewritten on every (re)staging so
+    // a rerun never finishes against a stale snapshot.
+    writeFileAtomicFs(f, mig, serializeSnap(entrySnap))
     f.mkdirs(g0)
     for (k <- liveKids())
       if (!org.apache.hadoop.fs.FileUtil.copy(f, k, f, new Path(g0, k.getName),
@@ -506,10 +590,12 @@ object StateFs {
         s"${changed.mkString(", ")}) — old-layout GC skipped; the published " +
         s"pointer store (g0) is servable, and the superseded rename layout " +
         s"(the concurrent write included) is preserved behind " +
-        s"$MigratingMarker. COPY THE CHANGED FILES ASIDE FIRST — any " +
-        "writer entry or migration rerun finishes the interrupted GC and " +
-        "collects them — then re-submit their rows through the store's " +
-        "writer API and rerun the migration")
+        s"$MigratingMarker, whose persisted snapshot makes every finisher " +
+        "(writer-entry gcStaleGens, a migration rerun) REFUSE the GC while " +
+        "the mismatch persists (VERDICT r18 #3). Copy the changed files " +
+        "aside, re-submit their rows through the store's writer API, then " +
+        "remove them so the layout matches the staged snapshot — the next " +
+        "writer entry or migration rerun then finishes the interrupted GC")
     }
     // GC the superseded rename-mode layout (invisible junk from here on;
     // a crash mid-GC is finished by the next writer entry's gcStaleGens

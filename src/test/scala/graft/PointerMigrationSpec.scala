@@ -90,7 +90,10 @@ class PointerMigrationSpec extends SparkTestBase {
     val f = fsOf(p)
     StateFs.migrateToPointerMode(spark, p)
     // re-plant the crashed-GC state: an uncollected old-layout child
-    // plus the sentinel (the publish already completed)
+    // plus an EMPTY sentinel — the pre-r19 layout (no persisted
+    // snapshot), which is also the operator's documented acceptance of
+    // one unguarded finish; the snapshot-guarded finisher is pinned by
+    // the dedicated cases below (VERDICT r18 #3)
     put(new File(dir, "v1/data.txt"), "a")
     put(new File(dir, "oldfile.parquet"), "x")
     put(new File(dir, "_MIGRATING"), "")
@@ -153,6 +156,82 @@ class PointerMigrationSpec extends SparkTestBase {
     // rerun finishes the interrupted GC
     assert(new File(dir, "v2/data.txt").delete())
     StateFs.migrateToPointerMode(spark, p)
+    assert(!new File(dir, "v1").exists() &&
+      !new File(dir, "_MIGRATING").exists())
+    assert(new File(dir, "g0/v1/data.txt").exists())
+  }
+
+  test("core: a crash BETWEEN the mode flip and the post-flip re-check — the " +
+      "former residual (b) — no longer hands an orphaned concurrent write " +
+      "to a blind finisher: gcStaleGens re-checks against the snapshot " +
+      "persisted in _MIGRATING and REFUSES the GC (VERDICT r18 #3)") {
+    val dir = new File(Fixtures.tempDir("mig-finisher").resolve("st").toString)
+    put(new File(dir, "v1/data.txt"), "a")
+    val p = new Path(dir.toString)
+    val f = fsOf(p)
+    val e = intercept[RuntimeException] {
+      StateFs.migrateToPointerModeImpl(spark, p,
+        afterStage = () => (), afterPtr = () => (),
+        afterFlip = () => {
+          // the blind-window writer, then the crash BEFORE the
+          // migration's own post-flip re-check can see it
+          put(new File(dir, "v2/data.txt"), "b")
+          sys.error("injected crash")
+        })
+    }
+    assert(e.getMessage.contains("injected crash"))
+    assert(StateFs.pointerMode(f, p) &&
+      new File(dir, "g0/v1/data.txt").exists(),
+      "the pointer store is published and servable")
+    // the next writer entry's gcStaleGens IS the finisher: it must
+    // refuse loudly and collect nothing — pre-r19 it deleted v2 here
+    val g = intercept[RuntimeException] { StateFs.gcStaleGens(f, p, "g0") }
+    assert(g.getMessage.contains("migration finish refused"), g.getMessage)
+    assert(g.getMessage.contains("v2/data.txt"), g.getMessage)
+    assert(new File(dir, "v2/data.txt").exists(),
+      "the orphaned write must survive the refused finisher")
+    assert(new File(dir, "v1/data.txt").exists() &&
+      new File(dir, "_MIGRATING").exists())
+    // the natural operator reaction — rerunning the migration (ADVICE
+    // r18) — routes through the same guard: refuse, don't collect
+    val r = intercept[RuntimeException] {
+      StateFs.migrateToPointerMode(spark, p)
+    }
+    assert(r.getMessage.contains("migration finish refused"))
+    assert(new File(dir, "v2/data.txt").exists())
+    // reconcile per the error text: copy the orphan aside (modeled),
+    // remove it so the layout matches the staged snapshot — the next
+    // writer entry then finishes the interrupted GC
+    assert(new File(dir, "v2/data.txt").delete())
+    assert(new File(dir, "v2").delete())
+    StateFs.gcStaleGens(f, p, "g0")
+    assert(!new File(dir, "v1").exists() &&
+      !new File(dir, "_MIGRATING").exists())
+    assert(new File(dir, "g0/v1/data.txt").exists())
+  }
+
+  test("core: an in-place rewrite in the blind window makes the snapshot " +
+      "unmatchable — the finisher refuses until the operator truncates the " +
+      "sentinel to empty, the documented unguarded-finish acceptance") {
+    val dir = new File(Fixtures.tempDir("mig-unmatch").resolve("st").toString)
+    put(new File(dir, "v1/data.txt"), "a")
+    val p = new Path(dir.toString)
+    val f = fsOf(p)
+    intercept[RuntimeException] {
+      StateFs.migrateToPointerModeImpl(spark, p,
+        afterStage = () => (), afterPtr = () => (),
+        afterFlip = () => {
+          put(new File(dir, "v1/data.txt"), "rewritten-longer") // len moves
+          sys.error("injected crash")
+        })
+    }
+    val g = intercept[RuntimeException] { StateFs.gcStaleGens(f, p, "g0") }
+    assert(g.getMessage.contains("migration finish refused"))
+    assert(g.getMessage.contains("truncate"), "the unblock must be named")
+    // the orphaned rewrite cannot be un-rewritten: copy it aside, then
+    // accept one unguarded finish by truncating the sentinel
+    put(new File(dir, "_MIGRATING"), "")
+    StateFs.gcStaleGens(f, p, "g0")
     assert(!new File(dir, "v1").exists() &&
       !new File(dir, "_MIGRATING").exists())
     assert(new File(dir, "g0/v1/data.txt").exists())
