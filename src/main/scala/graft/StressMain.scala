@@ -98,10 +98,15 @@ object StressMain {
     import org.apache.spark.sql.types.{DoubleType, FloatType}
     val embPath = "/tmp/stress1m/embeddings.parquet"
     if (!complete(embPath)) {
+      // geometry constants shared with the smoke suite's toy analog
+      // (StressConfigs: bases = natural clusters, smallest ids are one
+      // variant-0 representative per cluster)
       val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
-      e.crossJoin(spark.range(500).select(col("id").as("variant")))
+      e.crossJoin(spark.range(StressConfigs.ann1mVariants.toLong)
+          .select(col("id").as("variant")))
         .select(
-          (col("vec_id") + col("variant") * 2000L).as("vec_id"),
+          (col("vec_id") + col("variant") * StressConfigs.ann1mBases.toLong)
+            .as("vec_id"),
           transform(col("embedding"), (x, i) =>
             (x.cast(DoubleType) +
               cos((col("variant") + 1) * (i + 1)) * lit(0.08))
@@ -153,12 +158,14 @@ object StressMain {
           .write.mode("overwrite").parquet(embPath)
       }
       time("embed_neardup 40k")(queries.VectorQueries.embedNearDupWith(
-        spark, "/tmp/stress", nBands = 4, bitsPerBand = 16,
-        sampleMod = 1, minCosine = 0.999).count())
+        spark, "/tmp/stress", nBands = StressConfigs.embBands,
+        bitsPerBand = StressConfigs.embBits,
+        sampleMod = 1, minCosine = StressConfigs.embMinCosine).count())
       val corpus = Tables.embeddings(spark, "/tmp/stress")
       time("ann_lsh 40k")(operators.Similarity.lshTopK(
-        corpus, corpus.filter(col("vec_id") < 8), k = 5,
-        nPlanes = 64, nBands = 4).count())
+        corpus, corpus.filter(col("vec_id") < 8), k = StressConfigs.embLshK,
+        nPlanes = StressConfigs.lshPlanes,
+        nBands = StressConfigs.lshBands).count())
     }
     // Ingest-dedup skew stress: the realistic hot spot is one
     // (date, client) receiving most of a day's rows. 2M-row batches,
@@ -211,7 +218,7 @@ object StressMain {
     if (sys.env.contains("SPARK_GRAFT_STRESS_CKPT")) {
       import org.apache.spark.sql.functions._
       val pairs = operators.SimHashDedup.nearDupPairs(spark,
-        Tables.documents(spark, "/tmp/stress"), "doc_id", "text", maxHamming = 12)
+        Tables.documents(spark, "/tmp/stress"), "doc_id", "text", maxHamming = StressConfigs.simhashMaxHamming)
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .localCheckpoint(true)
@@ -232,7 +239,7 @@ object StressMain {
       // toward the local figure as N grows.
       time("cc reliable every3")(
         operators.ConnectedComponents.minLabels(edges,
-          mat = operators.Materializer.Reliable("/tmp/stress_cc_ckpt", everyN = 3))._1.count())
+          mat = operators.Materializer.Reliable("/tmp/stress_cc_ckpt", everyN = StressConfigs.ccEveryN))._1.count())
     }
     // 10× dedup scale ablation (VERDICT r7 #8): ~1M docs = 50k DISTINCT
     // texts (5k base docs × 10 variants, each variant prefixed with 12
@@ -244,7 +251,7 @@ object StressMain {
       ensure1mCorpus(spark)
       time("simhash pairs 1M")(operators.SimHashDedup.nearDupPairs(spark,
         Tables.documents(spark, "/tmp/stress1m"), "doc_id", "text",
-        maxHamming = 12).count())
+        maxHamming = StressConfigs.simhashMaxHamming).count())
       time("dedup_clusters 1M")(
         queries.DedupQueries.clustersQ(spark, "/tmp/stress1m").count())
       // second consumer rides the session memo — pays only the
@@ -268,7 +275,7 @@ object StressMain {
       import org.apache.spark.sql.functions._
       ensure1mCorpus(spark)
       val pairs = operators.SimHashDedup.nearDupPairs(spark,
-        Tables.documents(spark, "/tmp/stress1m"), "doc_id", "text", maxHamming = 12)
+        Tables.documents(spark, "/tmp/stress1m"), "doc_id", "text", maxHamming = StressConfigs.simhashMaxHamming)
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .localCheckpoint(true)
@@ -289,7 +296,7 @@ object StressMain {
       val e1Bytes = duBytes("/tmp/stress1m_ckpt")
       time("cc1m reliable e3")(
         operators.ConnectedComponents.minLabels(edges,
-          mat = operators.Materializer.Reliable("/tmp/stress1m_ckpt", everyN = 3))._1.count())
+          mat = operators.Materializer.Reliable("/tmp/stress1m_ckpt", everyN = StressConfigs.ccEveryN))._1.count())
       println(s"[stress] ckpt bytes e1=$e1Bytes " +
         s"e3=${duBytes("/tmp/stress1m_ckpt") - e1Bytes}")
     }
@@ -303,19 +310,19 @@ object StressMain {
       import org.apache.spark.sql.functions._
       ensure1mCorpus(spark)
       val pairs = operators.SimHashDedup.nearDupPairs(spark,
-        Tables.documents(spark, "/tmp/stress1m"), "doc_id", "text", maxHamming = 12)
+        Tables.documents(spark, "/tmp/stress1m"), "doc_id", "text", maxHamming = StressConfigs.simhashMaxHamming)
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .localCheckpoint(true)
       println(s"[stress] pagerank edge count    rows=${edges.count()}")
-      operators.PageRank.ranks(edges, rounds = 5).count(): Unit // warm
+      operators.PageRank.ranks(edges, rounds = StressConfigs.pagerankRounds).count(): Unit // warm
       time("pagerank 1M local")(
-        operators.PageRank.ranks(edges, rounds = 5).count())
+        operators.PageRank.ranks(edges, rounds = StressConfigs.pagerankRounds).count())
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/stress1m_pr_ckpt"))
       time("pagerank 1M reliable e3")(
-        operators.PageRank.ranks(edges, rounds = 5,
-          mat = operators.Materializer.Reliable("/tmp/stress1m_pr_ckpt", everyN = 3)).count())
-      val top = operators.PageRank.ranks(edges, rounds = 5)
+        operators.PageRank.ranks(edges, rounds = StressConfigs.pagerankRounds,
+          mat = operators.Materializer.Reliable("/tmp/stress1m_pr_ckpt", everyN = StressConfigs.ccEveryN)).count())
+      val top = operators.PageRank.ranks(edges, rounds = StressConfigs.pagerankRounds)
         .orderBy(col("pr").desc).limit(3).collect()
       println(top.map(r => s"[stress] pagerank top node=${r.get(0)} pr=${r.get(1)}")
         .mkString("\n"))
@@ -332,7 +339,7 @@ object StressMain {
       println(s"[stress] ann corpus            rows=${corpus.count()}")
       val qs = corpus.filter(col("vec_id") < 8).persist()
       qs.count(): Unit
-      val k = 10
+      val k = StressConfigs.annK
       def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
         df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
           .groupBy(_._1).map { case (q, rs) =>
@@ -344,10 +351,10 @@ object StressMain {
         { exact = topk(operators.Similarity.bruteForceTopK(corpus, qs, k)); exact.size.toLong })
       time("ann lsh 1M")(
         { lsh = topk(operators.Similarity.lshTopK(corpus, qs, k,
-            nPlanes = 64, nBands = 4)); lsh.size.toLong })
+            nPlanes = StressConfigs.lshPlanes, nBands = StressConfigs.lshBands)); lsh.size.toLong })
       time("ann ivf 1M")(
         { ivf = topk(operators.Similarity.ivfTopK(corpus, qs, k,
-            nCentroids = 64, nProbe = 8)); ivf.size.toLong })
+            nCentroids = StressConfigs.ivfCentroids, nProbe = StressConfigs.ivfNProbe)); ivf.size.toLong })
       def recall(got: Map[Long, Seq[Long]]): Double = {
         val per = exact.keys.toSeq.map { q =>
           val g = got.getOrElse(q, Nil).toSet
@@ -361,7 +368,7 @@ object StressMain {
       // recall-vs-candidate-cost trade has numbers (64 planes split
       // into b bands of 64/b bits; fewer bits/band = coarser buckets
       // = more collisions = more candidates and higher recall).
-      Seq(8, 16).foreach { b =>
+      StressConfigs.lshBandSweep.foreach { b =>
         var got: Map[Long, Seq[Long]] = Map.empty
         time(s"ann lsh 1M b=$b")(
           { got = topk(operators.Similarity.lshTopK(corpus, qs, k,
@@ -371,7 +378,7 @@ object StressMain {
         println(f"[stress] ann lsh b=$b recall=${recall(got)}%.3f cand=$nCand")
       }
       val nCand4 = operators.Similarity.lshCandidates(corpus, qs,
-        nPlanes = 64, nBands = 4).count()
+        nPlanes = StressConfigs.lshPlanes, nBands = StressConfigs.lshBands).count()
       println(s"[stress] ann lsh b=4 cand=$nCand4")
       // Amortized IVF (round-9): the one-shot ivfTopK number above is
       // dominated by the full-corpus assignment pass; the production
@@ -379,14 +386,14 @@ object StressMain {
       // Measure the split so the per-batch marginal cost is visible.
       var idx: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
       time("ann ivf build 1M")({
-        idx = operators.Similarity.ivfIndex(corpus, nCentroids = 64)
+        idx = operators.Similarity.ivfIndex(corpus, nCentroids = StressConfigs.ivfCentroids)
         idx = (idx._1.localCheckpoint(true), idx._2.localCheckpoint(true))
         idx._2.count()
       })
       var ivfSplit: Map[Long, Seq[Long]] = Map.empty
       time("ann ivf probe 1M")(
         { ivfSplit = topk(operators.Similarity.ivfProbe(idx._1, idx._2, qs,
-            k, nProbe = 8)); ivfSplit.size.toLong })
+            k, nProbe = StressConfigs.ivfNProbe)); ivfSplit.size.toLong })
       println(f"[stress] ann ivf split recall=${recall(ivfSplit)}%.3f")
       corpus.unpersist(); qs.unpersist()
       // The two centroid-based vector queries on the same 1M corpus:
@@ -512,7 +519,8 @@ object StressMain {
       val cuts = log.agg(min("eff_date"), max("eff_date")).collect()(0)
       val (lo, hi) = (cuts.getDate(0).toLocalDate, cuts.getDate(1).toLocalDate)
       val span = java.time.temporal.ChronoUnit.DAYS.between(lo, hi) + 1
-      val sink = new graft.sink.Scd2Sink(spark, "/tmp/scd2_stress", nBuckets = 1024)
+      val sink = new graft.sink.Scd2Sink(spark, "/tmp/scd2_stress",
+        nBuckets = StressConfigs.scd2Buckets)
       for (b <- 0 until 3) {
         val from = java.sql.Date.valueOf(lo.plusDays(b * span / 3))
         val to = java.sql.Date.valueOf(lo.plusDays((b + 1) * span / 3))
@@ -563,10 +571,10 @@ object StressMain {
       println(s"[stress] ivf-incr batch        rows=${batch.count()}")
       val qs = corpus.filter(col("vec_id") < 8).persist()
       qs.count(): Unit
-      val k = 10
+      val k = StressConfigs.annK
       var idx: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
       time("ivf build 900k")({
-        idx = operators.Similarity.ivfIndex(existing, nCentroids = 64)
+        idx = operators.Similarity.ivfIndex(existing, nCentroids = StressConfigs.ivfCentroids)
         idx = (idx._1.localCheckpoint(true), idx._2.localCheckpoint(true))
         idx._2.count()
       })
@@ -578,7 +586,7 @@ object StressMain {
       })
       var full: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
       time("ivf rebuild 1M")({
-        full = operators.Similarity.ivfIndex(corpus, nCentroids = 64)
+        full = operators.Similarity.ivfIndex(corpus, nCentroids = StressConfigs.ivfCentroids)
         full = (full._1.localCheckpoint(true), full._2.localCheckpoint(true))
         full._2.count()
       })
@@ -589,7 +597,7 @@ object StressMain {
       var probed: Map[Long, Seq[Long]] = Map.empty
       time("ivf probe merged")(
         { probed = topk10(operators.Similarity.ivfProbe(idx._1, merged, qs, k,
-            nProbe = 8)); probed.size.toLong })
+            nProbe = StressConfigs.ivfNProbe)); probed.size.toLong })
       val rec = exact.keys.toSeq.map { q =>
         exact(q).count(probed.getOrElse(q, Nil).toSet).toDouble / exact(q).size
       }
@@ -662,7 +670,8 @@ object StressMain {
     if (sys.env.contains("SPARK_GRAFT_STRESS_PQ1M")) {
       import org.apache.spark.sql.functions._
       import operators.ProductQuantizer
-      val (m, subLen, kCb) = (4, 16, 16)
+      val (m, subLen, kCb) =
+        (StressConfigs.pqM, StressConfigs.pqSubLen, StressConfigs.pqKCb)
       val raw = spark.read.parquet(ensureAnn1m(spark)).persist()
       val corpus = raw.select(col("vec_id"),
         ProductQuantizer.quantize(col("embedding")).as("qv")).persist()
@@ -670,7 +679,7 @@ object StressMain {
       val qs = corpus.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("qv")).persist()
       qs.count(): Unit
-      val k = 10
+      val k = StressConfigs.annK
       def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
         df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
           .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
@@ -705,7 +714,7 @@ object StressMain {
       }
       run("seed", ProductQuantizer.seedCodebooks(corpus, m, subLen, kCb))
       run("trained-r3", ProductQuantizer.trainedCodebooks(raw, m, subLen, kCb,
-        rounds = 3))
+        rounds = StressConfigs.pqTrainedRounds))
       val n = corpus.count()
       println(s"[stress] pq compression        codes=${n * m} B-scale cells " +
         s"(4 B/vec) vs raw=${n * 64 * 4} B floats — 64x")
@@ -721,7 +730,6 @@ object StressMain {
     if (sys.env.contains("SPARK_GRAFT_STRESS_IVFPQ1M")) {
       import org.apache.spark.sql.functions._
       import operators.{IvfPq, ProductQuantizer}
-      val (m, subLen) = (4, 16)
       val raw = spark.read.parquet(ensureAnn1m(spark))
       val corpus = raw.select(col("vec_id"),
         ProductQuantizer.quantize(col("embedding")).as("qv")).persist()
@@ -729,7 +737,7 @@ object StressMain {
       val qs = corpus.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("qv")).persist()
       qs.count(): Unit
-      val k = 10
+      val k = StressConfigs.annK
       def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
         df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
           .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
@@ -748,16 +756,14 @@ object StressMain {
       // one variant-0 representative per base cluster, by corpus
       // construction) is the matched-coarse case the IVFADC paper
       // assumes — residuals become pure variant offsets.
+      // the config table lives in StressConfigs (VERDICT r18 #1) so the
+      // smoke suite runs these exact arms at toy scale every sbt test
+      val table = StressConfigs.ivfpq1mConfigs(StressConfigs.ann1mBases)
       val configs = sys.env.getOrElse("SPARK_GRAFT_IVFPQ_CONFIGS",
-          "kc64-m4-cb64,kc64-m16-cb256,kc2000-m4-cb256").split(',').toSeq
-        .map {
-          case t @ "kc64-m4-cb64" => (t, 64, 2, 4, 16, 64, 2, Seq(1, 4))
-          case t @ "kc64-m16-cb256" => (t, 64, 2, 16, 4, 256, 2, Seq(4))
-          case t @ "kc2000-m4-cb256" => (t, 2000, 0, 4, 16, 256, 2, Seq(1))
-          case other => sys.error(
-            s"unknown SPARK_GRAFT_IVFPQ_CONFIGS tag '$other'; valid: " +
-              "kc64-m4-cb64, kc64-m16-cb256, kc2000-m4-cb256")
-        }
+          table.map(_._1).mkString(",")).split(',').toSeq
+        .map(t => table.find(_._1 == t).getOrElse(sys.error(
+          s"unknown SPARK_GRAFT_IVFPQ_CONFIGS tag '$t'; valid: " +
+            table.map(_._1).mkString(", "))))
       for ((tag, kc, cr, mm, sl, kCb, pr, probes) <- configs) {
         var built: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
           org.apache.spark.sql.DataFrame) = null
@@ -796,7 +802,9 @@ object StressMain {
     if (sys.env.contains("SPARK_GRAFT_STRESS_IVFPQ_INCR")) {
       import org.apache.spark.sql.functions._
       import operators.{IvfPq, ProductQuantizer}
-      val (m, subLen, kCb) = (4, 16, 256)
+      val (m, subLen, kCb) =
+        (StressConfigs.streamM, StressConfigs.streamSubLen,
+          StressConfigs.streamKCb)
       val raw = spark.read.parquet(ensureAnn1m(spark))
       val corpus = raw.select(col("vec_id"),
         ProductQuantizer.quantize(col("embedding")).as("qv")).persist()
@@ -809,7 +817,9 @@ object StressMain {
       var built: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = null
       time("ivfpq-incr build 900k")({
-        val (ce, cb, co) = IvfPq.build(spark, existing, 2000, 0, m, subLen, kCb, 2)
+        val (ce, cb, co) = IvfPq.build(spark, existing,
+          StressConfigs.matchedKcFor(StressConfigs.ann1mBases), 0,
+          m, subLen, kCb, StressConfigs.streamPqRounds)
         built = (ce.localCheckpoint(true), cb.localCheckpoint(true),
           co.localCheckpoint(true))
         built._3.count()
@@ -831,7 +841,7 @@ object StressMain {
       val qs = corpus.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("qv")).persist()
       qs.count(): Unit
-      val k = 10
+      val k = StressConfigs.annK
       def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
         df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
           .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
@@ -846,11 +856,13 @@ object StressMain {
       }
       var adc: Map[Long, Seq[Long]] = Map.empty
       time("ivfpq-incr probe merged")(
-        { adc = topk(IvfPq.probe(spark, ce, cb, merged, qs, k, 1, m, subLen,
+        { adc = topk(IvfPq.probe(spark, ce, cb, merged, qs, k,
+            StressConfigs.streamNProbe, m, subLen,
             excludeSelf = true)); adc.size.toLong })
       var rr: Map[Long, Seq[Long]] = Map.empty
       time("ivfpq-incr rerank100")({
-        val c100 = IvfPq.probe(spark, ce, cb, merged, qs, 100, 1, m, subLen,
+        val c100 = IvfPq.probe(spark, ce, cb, merged, qs, 100,
+          StressConfigs.streamNProbe, m, subLen,
           excludeSelf = true)
         rr = topk(ProductQuantizer.rerank(spark, c100, corpus, qs, k))
         rr.size.toLong
@@ -871,7 +883,10 @@ object StressMain {
     if (sys.env.contains("SPARK_GRAFT_STRESS_IVFPQ_STREAM")) {
       import org.apache.spark.sql.functions._
       import graft.streaming.StreamingIvfPq
-      val (kc, m, subLen, kCb) = (2000, 4, 16, 256)
+      val (kc, m, subLen, kCb) =
+        (StressConfigs.matchedKcFor(StressConfigs.ann1mBases),
+          StressConfigs.streamM, StressConfigs.streamSubLen,
+          StressConfigs.streamKCb)
       val corpus = spark.read.parquet(ensureAnn1m(spark)).persist()
       println(s"[stress] ivfpq-stream corpus   rows=${corpus.count()}")
       val state = "/tmp/stress/ivfpq_stream_state"
@@ -886,20 +901,23 @@ object StressMain {
       val queries = corpus.filter(col("vec_id") < 8)
       def serve(tag: String): Unit =
         time(s"ivfpq-stream serve $tag")(
-          StreamingIvfPq.probe(spark, state, queries, k = 10, nProbe = 1,
+          StreamingIvfPq.probe(spark, state, queries, k = StressConfigs.annK,
+            nProbe = StressConfigs.streamNProbe,
             m, subLen, excludeSelf = true).count())
       for (d <- 0 until 10) {
         val lo = d * 100000L; val hi = lo + 100000L
         time(f"ivfpq-stream drain $d%02d")({
-          // pqRounds = 2 since r18 (the ALTERNATE ablation's r16
-          // convention): this kc=2000 matched-coarse geometry is the
+          // streamPqRounds (= 2) since r18 (the ALTERNATE ablation's
+          // r16 convention): this matched-coarse geometry is the
           // degeneracy guard's refusal regime at pqRounds = 0, so the
           // r14-era default seeding stopped being runnable when the
           // guard landed — discovered re-running the ablation for the
-          // r17 #3 verification-block move
+          // r17 #3 verification-block move; since r19 the smoke suite
+          // pins the legality of this exact config every sbt test
           StreamingIvfPq.appendBatch(spark, state,
             corpus.filter(col("vec_id") >= lo && col("vec_id") < hi),
-            kc, m, subLen, kCb, d.toLong, pqRounds = 2)
+            kc, m, subLen, kCb, d.toLong,
+            pqRounds = StressConfigs.streamPqRounds)
           100000L
         })
         if (d == 2 || d == 5 || d == 8) {
@@ -937,7 +955,10 @@ object StressMain {
       import org.apache.spark.sql.functions._
       import graft.streaming.StreamingIvfPq
       import operators.ProductQuantizer
-      val (kc, m, subLen, kCb) = (2000, 4, 16, 256)
+      val (kc, m, subLen, kCb) =
+        (StressConfigs.matchedKcFor(StressConfigs.ann1mBases),
+          StressConfigs.streamM, StressConfigs.streamSubLen,
+          StressConfigs.streamKCb)
       val corpus = spark.read.parquet(ensureAnn1m(spark)).persist()
       println(s"[stress] ivfpq-trained corpus  rows=${corpus.count()}")
       val corpusQ = corpus.select(col("vec_id"),
@@ -945,7 +966,7 @@ object StressMain {
       val qs = corpusQ.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("qv")).persist()
       qs.count(): Unit
-      val k = 10
+      val k = StressConfigs.annK
       def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
         df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
           .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
@@ -959,7 +980,7 @@ object StressMain {
         per.sum / per.size
       }
       val queries = corpus.filter(col("vec_id") < 8)
-      for ((tag, rounds) <- Seq(("seed", 0), ("trained", 2))) {
+      for ((tag, rounds) <- StressConfigs.trainedArms) {
         val state = s"/tmp/stress/ivfpq_trained_$tag"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state))
         // The seed arm is the r15 ablation's recall-0 regime — since
@@ -975,11 +996,12 @@ object StressMain {
               false
             } catch {
               // the printed claim is verified, not assumed (ADVICE
-              // r16): the catch matches the REMEDY text too, so a
-              // reworded guard that dropped it would fail this arm
+              // r16): the shared signature matches the REMEDY text
+              // too, so a reworded guard that dropped it would fail
+              // this arm — and the smoke suite, which uses the SAME
+              // predicate (StressConfigs.isDegeneracyRefusal)
               case e: IllegalArgumentException
-                  if e.getMessage.contains("DEGENERATE") &&
-                    e.getMessage.contains("pqRounds >= 1") =>
+                  if StressConfigs.isDegeneracyRefusal(e) =>
                 println(s"[stress] ivfpq-$tag REFUSED at freeze " +
                   "(degeneracy guard, expected): pqRounds >= 1 remedy named")
                 true
@@ -1019,7 +1041,9 @@ object StressMain {
     if (sys.env.contains("SPARK_GRAFT_STRESS_AUTOKC")) {
       import org.apache.spark.sql.functions._
       import operators.{IvfPq, ProductQuantizer}
-      val (m, subLen, kCb) = (4, 16, 256)
+      val (m, subLen, kCb) =
+        (StressConfigs.streamM, StressConfigs.streamSubLen,
+          StressConfigs.streamKCb)
       val raw = spark.read.parquet(ensureAnn1m(spark))
       val corpus = raw.select(col("vec_id"),
         ProductQuantizer.quantize(col("embedding")).as("qv")).persist()
@@ -1027,7 +1051,7 @@ object StressMain {
       val qs = corpus.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("qv")).persist()
       qs.count(): Unit
-      val k = 10
+      val k = StressConfigs.annK
       def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
         df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
           .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
@@ -1059,7 +1083,7 @@ object StressMain {
         org.apache.spark.sql.DataFrame) = null
       time(s"autokc build kc=${picked._1}")({
         val (ce, cb, co) = IvfPq.buildWith(spark, corpus, cents, m, subLen, kCb,
-          pqRounds = 2)
+          pqRounds = StressConfigs.streamPqRounds)
         built = (ce.localCheckpoint(true), cb.localCheckpoint(true),
           co.localCheckpoint(true))
         built._3.count()
@@ -1095,12 +1119,14 @@ object StressMain {
           pmod(col("id") * 2654435761L, lit(2048L)).as("o_custkey"),
           pmod(col("id") * 1103515245L + 12345L, lit(4096L)).as("day"))
         .localCheckpoint(true)
-      val nFiles = 64
+      val nFiles = StressConfigs.zorderFiles
       val zdir = "/tmp/stress_zorder/z"
       val sdir = "/tmp/stress_zorder/s"
       time("zorder write 2M")({
         sink.PartitionedWriter.writeZOrdered(df, zdir,
-          functions.ZOrder.zkey(col("o_custkey"), 3, col("day"), 4, 8), nFiles)
+          functions.ZOrder.zkey(col("o_custkey"), StressConfigs.zBitsCust,
+            col("day"), StressConfigs.zBitsDay, StressConfigs.zBitsTotal),
+          nFiles)
         n
       })
       time("sorted write 2M")({
@@ -1158,7 +1184,7 @@ object StressMain {
       val corpus = spark.read.parquet(ensureAnn1m(spark))
       val state = "/tmp/stress_sivfc/state"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/stress_sivfc"))
-      val kc = 256
+      val kc = StressConfigs.sivfcCentroids
       for (b <- 0 until 10) {
         val lo = b * 100000L; val hi = lo + 100000L
         time(f"sivfc batch $b%02d (100k)")({
@@ -1169,15 +1195,18 @@ object StressMain {
       }
       val queries = corpus.filter(col("vec_id") < 8)
       val cents = streaming.StreamingIvf.readCentroids(spark, state).get
-      val probed = operators.Similarity.probedClusters(cents, queries, nProbe = 4)
+      val probed = operators.Similarity.probedClusters(cents, queries,
+        nProbe = StressConfigs.sivfcNProbe)
       println(s"[stress] sivfc probed clusters ${probed.size}/$kc")
       for (r <- 1 to 2)
         time(s"sivfc probe 10-dir r$r")(
-          streaming.StreamingIvf.probe(spark, state, queries, k = 10, nProbe = 4).count())
+          streaming.StreamingIvf.probe(spark, state, queries,
+            k = StressConfigs.annK, nProbe = StressConfigs.sivfcNProbe).count())
       time("sivfc compact 1M")({ streaming.StreamingIvf.compact(spark, state); 1L })
       for (r <- 1 to 2)
         time(s"sivfc probe compacted r$r")(
-          streaming.StreamingIvf.probe(spark, state, queries, k = 10, nProbe = 4).count())
+          streaming.StreamingIvf.probe(spark, state, queries,
+            k = StressConfigs.annK, nProbe = StressConfigs.sivfcNProbe).count())
     }
     // Incremental BM25 index at 1M docs (round-12): the scale claim
     // the operator's header makes — per-batch cost follows the BATCH,
@@ -1309,17 +1338,19 @@ object StressMain {
         time(f"mig ivf fold $b%02d (200k, rename mode)")({
           streaming.StreamingIvf.appendBatch(spark, ivState,
             vecs.filter(col("vec_id") >= lo && col("vec_id") < hi),
-            256, b.toLong)
+            StressConfigs.sivfcCentroids, b.toLong)
           200000L
         })
       }
       val qs = vecs.filter(col("vec_id") < 8)
       val ivBefore = streaming.StreamingIvf.probe(spark, ivState, qs,
-        k = 10, nProbe = 4).collect().map(_.toString).sorted.toSeq
+        k = StressConfigs.annK, nProbe = StressConfigs.sivfcNProbe)
+        .collect().map(_.toString).sorted.toSeq
       time("mig ivf MIGRATE 800k-vector lists (copy-staged g0)")({
         streaming.StreamingIvf.migrateToPointerMode(spark, ivState); 1L })
       val ivAfter = streaming.StreamingIvf.probe(spark, ivState, qs,
-        k = 10, nProbe = 4).collect().map(_.toString).sorted.toSeq
+        k = StressConfigs.annK, nProbe = StressConfigs.sivfcNProbe)
+        .collect().map(_.toString).sorted.toSeq
       assert(ivAfter == ivBefore,
         "IVF migration must not change the probe results")
       println(s"[stress] mig ivf: probe results IDENTICAL across the flip " +
@@ -1327,14 +1358,14 @@ object StressMain {
       time("mig ivf post-migration fold (200k -> 1M)")({
         streaming.StreamingIvf.appendBatch(spark, ivState,
           vecs.filter(col("vec_id") >= 800000L && col("vec_id") < 1000000L),
-          256, 4L)
+          StressConfigs.sivfcCentroids, 4L)
         200000L
       })
       time("mig ivf post-migration compact (PTR publish)")({
         streaming.StreamingIvf.compact(spark, ivState); 1L })
       time("mig ivf probe post-compact")(
         streaming.StreamingIvf.probe(spark, ivState, qs,
-          k = 10, nProbe = 4).count())
+          k = StressConfigs.annK, nProbe = StressConfigs.sivfcNProbe).count())
     }
     // Drain/compact alternation e2e (round-13, VERDICT r12 #6): the
     // 24/7-deployment shape the scaladocs prescribe — an AvailableNow
@@ -1382,7 +1413,8 @@ object StressMain {
           streaming.StreamingIvf.fit(spark,
             spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
               .parquet(s"$base/iv/src"),
-            s"$base/iv/state", s"$base/iv/ckpt", nCentroids = 256)
+            s"$base/iv/state", s"$base/iv/ckpt",
+            nCentroids = StressConfigs.sivfcCentroids)
             .awaitTermination()
           100000L
         })
@@ -1392,7 +1424,7 @@ object StressMain {
         vecs1m.filter(col("vec_id") >= lo && col("vec_id") < hi)
           .coalesce(4).write.mode("append").parquet(s"$base/pq/src")
         time(f"alt ivfpq drain $b%02d (100k)")({
-          // pqRounds = 2 since r16: this kc=2000 matched-coarse
+          // streamPqRounds (= 2) since r16: this matched-coarse
           // geometry is the degeneracy guard's refusal regime at
           // pqRounds = 0 (the IVFPQ_TRAINED seed arm pins the
           // refusal) — the alternation runs the guard's own remedy,
@@ -1401,7 +1433,10 @@ object StressMain {
             spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
               .parquet(s"$base/pq/src"),
             s"$base/pq/state", s"$base/pq/ckpt",
-            kc = 2000, m = 4, subLen = 16, kCb = 256, pqRounds = 2)
+            kc = StressConfigs.matchedKcFor(StressConfigs.ann1mBases),
+            m = StressConfigs.streamM, subLen = StressConfigs.streamSubLen,
+            kCb = StressConfigs.streamKCb,
+            pqRounds = StressConfigs.streamPqRounds)
             .awaitTermination()
           100000L
         })
@@ -1414,22 +1449,26 @@ object StressMain {
             streaming.StreamingIvf.compact(spark, s"$base/iv/state"); 1L })
           time(f"alt ivf serve post-compact $b%02d")(
             streaming.StreamingIvf.probe(spark, s"$base/iv/state", qs,
-              k = 10, nProbe = 4).count())
+              k = StressConfigs.annK,
+              nProbe = StressConfigs.sivfcNProbe).count())
           time(f"alt ivfpq compact after drain $b%02d")({
             streaming.StreamingIvfPq.compact(spark, s"$base/pq/state"); 1L })
           time(f"alt ivfpq serve post-compact $b%02d")(
             streaming.StreamingIvfPq.probe(spark, s"$base/pq/state", qs,
-              k = 10, nProbe = 1, m = 4, subLen = 16).count())
+              k = StressConfigs.annK, nProbe = StressConfigs.streamNProbe,
+              m = StressConfigs.streamM,
+              subLen = StressConfigs.streamSubLen).count())
         }
       }
       time("alt bm25 serve final (1 compacted + 1 append dir)")(
         streaming.StreamingBm25.retrieve(spark, s"$base/bm/state", terms).count())
       time("alt ivf serve final (1 compacted + 1 append dir)")(
         streaming.StreamingIvf.probe(spark, s"$base/iv/state", qs,
-          k = 10, nProbe = 4).count())
+          k = StressConfigs.annK, nProbe = StressConfigs.sivfcNProbe).count())
       time("alt ivfpq serve final (1 compacted + 1 append dir)")(
         streaming.StreamingIvfPq.probe(spark, s"$base/pq/state", qs,
-          k = 10, nProbe = 1, m = 4, subLen = 16).count())
+          k = StressConfigs.annK, nProbe = StressConfigs.streamNProbe,
+          m = StressConfigs.streamM, subLen = StressConfigs.streamSubLen).count())
       if (ptrMode)
         // through the Hadoop FileSystem API like the product code
         // (ADVICE r16): a java.nio verification would silently break
@@ -1481,11 +1520,11 @@ object StressMain {
       // sysprop overrides the regime estimate), alternated twice so a
       // host-load drift during either pair shows as inconsistency
       // between the pairs rather than silently biasing one arm.
-      for (round <- 1 to 2; mode <- Seq("sparse", "dense")) {
-        System.setProperty("graft.ppjoin.force", mode)
+      for (round <- 1 to 2; mode <- StressConfigs.ppjoinModes) {
+        System.setProperty(StressConfigs.ppjoinForceProp, mode)
         try time(s"ppjoin 1M planted $mode r$round")(
           queries.TextQueries.dedupPpjoin(spark, contDir).count())
-        finally System.clearProperty("graft.ppjoin.force")
+        finally System.clearProperty(StressConfigs.ppjoinForceProp)
       }
       time("ppjoin 1M planted auto")(
         queries.TextQueries.dedupPpjoin(spark, contDir).count())
