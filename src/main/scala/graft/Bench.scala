@@ -40,10 +40,18 @@ object Bench {
     // spanning vlf 1.5× at a flat raw total, too noisy to adjudicate
     // the 1.3× regression it exists to catch), while the ~3 s vlfc
     // sentinel held ±10%. Summing 8 runs lands lf in that same ≥2 s
-    // regime (per-run GC/co-tenant jitter amortizes ~√8) with the
-    // protocol unchanged: one untimed codegen run, min of 3 samples.
-    // COMPARABILITY: from r19 on, lf is ~8× its r18 meaning and vlf
-    // ~1/8 (r18 vlf 194 ≈ r19 vlf 24) — read the pair accordingly.
+    // regime (per-run jitter amortizes ~√n) with the protocol
+    // unchanged: one untimed codegen run, min of 3 samples. Sized 16
+    // after measuring: at 8 runs (~2.1 s samples) a ×3 spread still
+    // put vlf at ±14% — the min-of-3 estimator dodges bursty load
+    // that the suite total (a sum) absorbs, so the sample must be
+    // LONGER than the burst timescale; ~3.5 s samples land in the
+    // vlfc sentinel's regime, and the residual ±13% band across RUNS
+    // is the single-workload floor on this host (the band moves on a
+    // minutes timescale no within-sample averaging reaches — NOTES
+    // r19 spread table). COMPARABILITY: from r19 on, lf is ~16×
+    // its r18 meaning and vlf ~1/16 (r18 vlf 194 ≈ r19 vlf ~12) —
+    // read the pair accordingly.
     def sentinelTime(name: String, runsPerSample: Int = 1): Double =
       if (!SparkEntry.queries.contains(name)) -1.0
       else {
@@ -59,7 +67,7 @@ object Bench {
           }.min
         } catch { case NonFatal(_) => -1.0 }
       }
-    val lf = sentinelTime("q_tpch_q6", runsPerSample = 8)
+    val lf = sentinelTime("q_tpch_q6", runsPerSample = 16)
     // Shuffle-bound sentinel (VERDICT r13 #4): the scan-bound q6
     // sentinel under-predicts the suite total, whose sf0.1 floor is
     // per-query job/codegen/SHUFFLE overhead (NOTES r13: lf moved

@@ -162,8 +162,8 @@ object BenchKeys {
     * scan-bound host band moves `value` and `lf` together and leaves
     * `vlf` flat, while a genuine code regression moves `vlf` itself.
     * -1 when the sentinel failed. Since r19 (VERDICT r18 #2) an `lf`
-    * sample is 8 consecutive q6 runs, so lf reads ~8× its r18 value
-    * and vlf ~1/8 (r18's 194 ≈ r19's ~24).
+    * sample is 16 consecutive q6 runs, so lf reads ~16× its r18 value
+    * and vlf ~1/16 (r18's 194 ≈ r19's ~12).
     *
     * `vlfc` (VERDICT r17 #1) is the same verdict for the COLD regime:
     * `coldTotal / lfc`, where `coldTotal` is the sum of the finite

@@ -27,11 +27,11 @@ class BenchKeysSpec extends AnyFunSuite {
     * realistic headline numbers. */
   private def lineLen(keys: Seq[String], short: Map[String, String],
       decimals: Int): Int =
-    // r19 headline regime (VERDICT r18 #2): lf is the 8-run sample
-    // (~2-4 s), so vlf renders ~5 chars (43.01 here) instead of r18's
+    // r19 headline regime (VERDICT r18 #2): lf is the 16-run sample
+    // (~4-5 s), so vlf renders ~5 chars (28.05 here) instead of r18's
     // 6 — the widths below stay pessimistic vs the measured line
     BenchKeys.render(short, keys.map(_ -> 6.34).toMap, decimals,
-      total = 123.45, n5 = 25, lf = 2.87, lfs = 2.34, lfc = 1.89,
+      total = 123.45, n5 = 25, lf = 4.4, lfs = 2.34, lfc = 1.89,
       coldTotal = 34.56, "sf0.1").length
 
   test("current real surface: a candidate fits the 1850 guard (the r15 " +

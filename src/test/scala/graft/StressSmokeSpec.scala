@@ -2,7 +2,7 @@ package graft
 
 import java.io.File
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Bm25Index, ConnectedComponents, IvfPq, Materializer,
