@@ -166,6 +166,11 @@ class StressSmokeSpec extends SparkTestBase {
   test("DOCS/1M/TRIANGLES: the text-dedup family runs on the exact-copy " +
       "clique corpus and finds the planted duplicates") {
     import queries.{DedupQueries, TextQueries}
+    // `>= 0` assertions here and below are LIVENESS probes, not value
+    // checks: on stress-shaped corpora the band/df caps can correctly
+    // yield zero pairs (the audio-stress lesson), so executing the
+    // path without a refusal IS the assertion; `> 0` is used only
+    // where the planted structure guarantees output
     assert(TextQueries.tokenCountQ(spark, dupDir).count() > 0)
     assert(TextQueries.dedupExact(spark, dupDir).count() > 0,
       "20 exact copies per doc must yield exact-dup groups")
