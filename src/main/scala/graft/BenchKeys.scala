@@ -166,15 +166,17 @@ object BenchKeys {
     * and vlf ~1/16 (r18's 194 ≈ r19's ~12).
     *
     * `vlfc` (VERDICT r17 #1) is the same verdict for the COLD regime:
-    * `coldTotal / lfc`, where `coldTotal` is the sum of the finite
-    * `_cold` values and `lfc` is the pinned cold-regime sentinel (a
-    * fixed synthetic ConnectedComponents rebuild, timed solo right
-    * before the cold loop). The r17 driver run's 4.1× cold move with
-    * flat warms could not be attributed from the line; now host
-    * pressure on the rebuild regime moves `coldTotal` and `lfc`
-    * together and leaves `vlfc` flat, while a cold-path code
-    * regression moves `vlfc` itself. -1 when the sentinel failed or
-    * no cold key produced a finite sample. */
+    * `coldTotal / lfc`, where `coldTotal` is the sum of the `_cold`
+    * values — valid only when EVERY cold sample is finite (ADVICE
+    * r18: a partial sum would shrink the numerator when a cold run
+    * starts failing and read as an improvement) — and `lfc` is the
+    * pinned cold-regime sentinel (a fixed synthetic
+    * ConnectedComponents rebuild, timed solo right before the cold
+    * loop). The r17 driver run's 4.1× cold move with flat warms could
+    * not be attributed from the line; now host pressure on the
+    * rebuild regime moves `coldTotal` and `lfc` together and leaves
+    * `vlfc` flat, while a cold-path code regression moves `vlfc`
+    * itself. -1 when the sentinel failed or ANY cold sample did. */
   def render(short: Map[String, String], emitted: Map[String, Double],
       decimals: Int, total: Double, n5: Int, lf: Double, lfs: Double,
       lfc: Double, coldTotal: Double, sfTag: String): String = {

@@ -403,12 +403,18 @@ object StateFs {
   private def parseSnap(content: String): Option[Set[(String, Long, Long)]] =
     if (!content.startsWith("SNAP1")) None
     else Some(content.split("\n").toSeq.drop(1).filter(_.nonEmpty).map { ln =>
-      val parts = ln.split("\t", 3)
-      require(parts.length == 3,
+      // the witness-file parse policy ([[readWitness]]): corrupt
+      // content is LOUD and names its remedy, never a bare
+      // NumberFormatException
+      def bad(): Nothing = sys.error(
         s"corrupt $MigratingMarker snapshot line '$ln' — restore the " +
           "sentinel or truncate it to empty to accept one unguarded " +
           "migration-GC finish")
-      (parts(2), parts(0).toLong, parts(1).toLong)
+      val parts = ln.split("\t", 3)
+      if (parts.length != 3) bad()
+      val (len, mtime) =
+        scala.util.Try((parts(0).toLong, parts(1).toLong)).getOrElse(bad())
+      (parts(2), len, mtime)
     }.toSet)
 
   /** In-place rename→pointer migration of a LIVE state dir (VERDICT
