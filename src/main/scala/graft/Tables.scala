@@ -18,6 +18,23 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Floor a frame's partition count at the session default
+    * parallelism (r19, guide §2.5 "input skew: … repartition
+    * immediately after the read"): a single-row-group parquet file —
+    * every bench-SF table here — scans as ONE task, so every
+    * map-side kernel downstream (shingling, signature hashing,
+    * verification) serializes on one core. The round-robin
+    * repartition is deterministic (sort-before-repartition is on by
+    * default, SPARK-23207) and a NO-OP whenever the scan already has
+    * enough splits — any real-scale input — so this is a parallelism
+    * floor, not a local tuning constant. Apply only where the
+    * downstream per-row work is heavy enough to dwarf one small
+    * exchange of the input rows. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

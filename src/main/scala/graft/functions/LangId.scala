@@ -79,7 +79,8 @@ object LangId {
     * argmax and tie-break become a fixed `greatest`/`when` expression
     * tree. Identical results to the windowed form (the oracle SQL
     * keeps the ROW_NUMBER formulation and hash-matches). */
-  def predict(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def predict(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
     val perLang = langOrder.map(l =>
       sum(when(col("lang") === l, col("w"))).as(s"s_$l"))
     val wide = profileMatches(docs, idCol, textCol)
@@ -92,10 +93,13 @@ object LangId {
           when(col(s"s_$l") === col("score"), lit(l)).otherwise(acc)
         })
       .select(col("doc_id"), col("pred_lang"), col("score"))
-    docs.select(col(idCol).as("doc_id"))
+    // `carry` threads constant-per-doc columns (e.g. the label) through
+    // the id-set join so a confusion-rollup consumer needs no SECOND
+    // corpus scan + doc_id join to re-attach them (r19; guide §2.4).
+    docs.select(col(idCol).as("doc_id") +: carry.map(col): _*)
       .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
         coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
-        coalesce(col("score"), lit(0L)).as("score"))
+        coalesce(col("score"), lit(0L)).as("score")): _*)
   }
 }

@@ -98,43 +98,76 @@ object TextFunctions {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** Ordered word-3-gram shingle array (duplicates kept, one entry
+    * per token position): the native one-pass [[WordShingles]]
+    * expression over the tokenized text. NOT a `transform(sequence…)`
+    * lambda — in a pure-Project pipeline CollapseProject/filter
+    * pushdown inline the tokenizer into the lambda body and the
+    * split re-runs per iteration, O(tokens²) (the [[Trigrams]]
+    * lesson; re-measured in r19: q_dedup_minhash 10.2 s vs 2.3 s). */
+  private def shingleArrOf(spark: org.apache.spark.sql.SparkSession,
+      t: Column): Column =
+    WordShingles.wordShingles3(spark, t)
+
   /** Distinct word-n-gram shingle sets per document, as a DataFrame
-    * transform: (idCol, textCol) → (doc_id, sh: array<string>).
+    * transform: (idCol, textCol) → (doc_id, sh: array<string>), docs
+    * with <3 tokens omitted (as before the r19 rewrite).
     *
-    * Performance-critical form for the dedup operators: the per-row
-    * [[shingles]] HOF re-evaluates the tokenizing regex split on
-    * every lambda iteration (Catalyst inlines the shared
-    * subexpression → O(tokens²) regex work per document). Here the
-    * split runs once per document, positions explode, and shingles
-    * assemble via two window `lead`s over (doc, pos) — one shuffle on
-    * doc_id, reused by the immediately following collect_set
-    * aggregation on the same key. */
+    * Performance-critical form for the dedup operators, rewritten in
+    * r19 to be fully map-side: tokenize once per row, assemble the
+    * shingle array with the native one-pass [[WordShingles]] kernel
+    * and take `array_distinct` in place — ZERO shuffles, where the
+    * previous form paid a posexplode + window(`lead`×2) sort shuffle
+    * plus a collect_set aggregation per call (guide §2.4: remove
+    * shuffles outright). Set ORDER differs from the old collect_set
+    * (first-occurrence vs arrival order); every consumer is
+    * order-insensitive (explode / array_intersect / size). */
   def shingleSets(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame =
-    shingleRows(docs, idCol, textCol, n = n)
-      .groupBy("doc_id")
-      .agg(collect_set(col("sh")).as("sh"))
+      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(n == 3, "one-pass shingling is written for n=3")
+    docs.select(col(idCol).as("doc_id"),
+        array_distinct(shingleArrOf(docs.sparkSession,
+          wsTokens(col(textCol)))).as("sh"))
+      .filter(size(col("sh")) > 0)
+  }
+
+  /** Per-document shingle counts computed IN PLACE on the row's
+    * shingle array — `(doc_id, <extra…>, n_sh, nd)` where `n_sh` is
+    * the total 3-gram occurrence count and `nd` the distinct count:
+    * no explode, no shuffle, one projection (r19; guide §2.4). Docs
+    * with <3 tokens surface with n_sh = 0 — callers that previously
+    * relied on such docs producing no exploded rows filter them. */
+  def shingleCounts(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, extra: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    // `_sh` is referenced twice below; inlining duplicates the (native,
+    // linear) shingle kernel per row — a constant factor, not the
+    // quadratic the lambda form risked.
+    val sh = shingleArrOf(docs.sparkSession, wsTokens(col(textCol)))
+    docs.select(col(idCol).as("doc_id") +: extra.map(col) :+ sh.as("_sh"): _*)
+      .select(Seq(col("doc_id")) ++ extra.map(col) ++ Seq(
+        size(col("_sh")).cast(LongType).as("n_sh"),
+        size(array_distinct(col("_sh"))).cast(LongType).as("nd")): _*)
+  }
 
   /** Exploded word-3-gram rows `(doc_id, <extra…>, sh)` — the shared
-    * shingling front of [[shingleSets]] and the repetition-ratio
-    * query: split once, posexplode positions, assemble shingles via
-    * two `lead`s over (doc, pos). `extra` columns (constant per doc,
-    * e.g. `lang`) are carried through the explode. `keepPos` retains
-    * the gram's token position (the first token's index) for
+    * shingling front of the occurrence-level consumers (repetition
+    * ratio, span extraction): split once per row, build the shingle
+    * array in place ([[shingleArrOf]]) and posexplode it — map-only,
+    * NO window and no shuffle (the pre-r19 form paid a full
+    * posexplode + two-`lead` window sort per call). `extra` columns
+    * (constant per doc, e.g. `lang`) are carried through the explode.
+    * `keepPos` retains the gram's token position (the first token's
+    * 0-based index, identical to the old posexplode numbering) for
     * position-sensitive consumers like span extraction. */
   def shingleRows(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, extra: Seq[String] = Nil,
       n: Int = 3, keepPos: Boolean = false): org.apache.spark.sql.DataFrame = {
-    require(n == 3, "lead-based shingling is written for n=3")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+    require(n == 3, "one-pass shingling is written for n=3")
+    val exploded = docs.select(col(idCol).as("doc_id") +: extra.map(col) :+
+      posexplode(shingleArrOf(docs.sparkSession,
+        wsTokens(col(textCol)))).as(Seq("pos", "sh")): _*)
     val posCols = if (keepPos) Seq(col("pos")) else Nil
-    docs.select(col(idCol).as("doc_id") +: extra.map(col) :+
-        posexplode(wsTokens(col(textCol))).as(Seq("pos", "tok")): _*)
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(Seq(col("doc_id")) ++ posCols ++ extra.map(col) :+
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"): _*)
+    exploded.select(Seq(col("doc_id")) ++ posCols ++ extra.map(col) :+
+      col("sh"): _*)
   }
 }

@@ -33,14 +33,20 @@ import org.apache.spark.sql.functions._
   */
 object BloomDecon {
 
-  /** Sizing defaults: 8M bits = 1 MB serialized — optimal-k false-
-    * positive rate < 1e-9 at 3×10⁴ items and still < 2% at 10⁶ items
-    * (an eval-suite-sized gram set); well under the conf caps
-    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumBits` default
-    * 64M). At a larger eval set, scale `numBits` ∝ items — the bits
-    * are the broadcast payload, nothing else grows. */
-  val DefaultItems: Long = 1000000L
-  val DefaultBits: Long = 8000000L
+  /** Sizing defaults (re-sized r19): 1M bits = 125 KB serialized —
+    * optimal-k false-positive rate ~1e-9 at 3×10⁴ items and < 2% at
+    * 10⁵ items, the documented eval-SUITE gram scale this operator
+    * filters against (the eval side is small by construction; the
+    * corpus side never touches the bits). The previous 8M-bit/1 MB
+    * default rode along as a plan LITERAL in every task binary
+    * ("Broadcasting large task binary … 1107 KiB" in the bench logs)
+    * and zeroed a 1 MB buffer per partial-aggregate — pure overhead
+    * at the actual item counts. False positives are verified away by
+    * the exact join downstream, so sizing affects PRUNE EFFICIENCY
+    * only, never results; a genuinely larger eval set passes
+    * `numBits` explicitly (scale ∝ items, 16 bits/item). */
+  val DefaultItems: Long = 100000L
+  val DefaultBits: Long = 1000000L
 
   private def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -97,9 +97,12 @@ object Bm25Index {
     * dropped) — the exact front of `q_rag_retrieve`, factored out so
     * the direct query and this index share one definition. */
   def chunkTokens(docs: DataFrame): DataFrame = {
-    val t = docs.select(col("doc_id"),
-      wsTokens(col("text")).as("toks"),
-      tokenCount(col("text")).cast(LongType).as("n_tok"))
+    // n_tok derives from the BOUND toks column (r19): spelling it
+    // tokenCount(text) re-ran the tokenizer regex a second time per
+    // row (tokenCount re-splits the raw text).
+    val t = docs.select(col("doc_id"), wsTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast(LongType).as("n_tok"))
     t.withColumn("n_chunks",
         when(col("n_tok") <= Cap, lit(1L))
           .otherwise(lit(1L) +

@@ -92,34 +92,41 @@ object Bpe {
   def learn(wordCounts: DataFrame, rounds: Int,
       mat: Materializer = Materializer.fromEnv()): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = wordCounts.sparkSession
     var words = mat(wordCounts
       .select(col("word"), col("freq"))
       .withColumn("syms", initSyms))
-    var merges = Vector.empty[DataFrame]
+    var merges = Vector.empty[(Int, String, String, Long)]
     var i = 1
     var exhausted = false
     while (i <= rounds && !exhausted) {
-      val winner = mat(pairCounts(words)
-        .orderBy(col("c").desc, col("l"), col("r")).limit(1))
-      // Merge exhaustion: every word is a single symbol, so no pair
-      // exists and the winner frame is EMPTY. Cross-joining it would
-      // silently empty the state (and the final census with it) —
-      // the fixpoint is "state stays as-is, merge table stops
-      // growing", matching the twin's LEFT JOIN below. Cheap check:
-      // winner is materialized and at most one row.
-      if (winner.isEmpty) exhausted = true
+      // The winner is AT MOST ONE row by construction (limit 1): a
+      // bounded driver collect, cheaper than the previous
+      // mat + isEmpty + broadcast-cross-join trio — per round this
+      // runs ONE job (the TakeOrderedAndProject aggregate) instead of
+      // three (r19; the merge attaches as lit() columns, so no
+      // broadcast build job either). Merge exhaustion: every word a
+      // single symbol → no pair → empty winner; fixpoint semantics
+      // unchanged (state stays as-is, merge table stops growing).
+      val winRows = pairCounts(words)
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (winRows.isEmpty) exhausted = true
       else {
-        merges :+= winner.select(
-          lit(i).as("merge_rank"), col("l").as("left_sym"),
-          col("r").as("right_sym"), col("c").as("pair_freq"))
-        words = mat(words.crossJoin(broadcast(winner.select("l", "r")))
+        val w = winRows(0)
+        merges :+= ((i, w.getString(0), w.getString(1), w.getLong(2)))
+        words = mat(words
+          .withColumn("l", lit(w.getString(0)))
+          .withColumn("r", lit(w.getString(1)))
           .select(col("word"), col("freq"), mergeApply.as("syms")))
       }
       i += 1
     }
     val mergeTable =
-      if (merges.nonEmpty) merges.reduce(_ unionByName _).orderBy("merge_rank")
-      else pairCounts(words).limit(0).select(
+      if (merges.nonEmpty) {
+        import spark.implicits._
+        merges.toDF("merge_rank", "left_sym", "right_sym", "pair_freq")
+          .orderBy("merge_rank")
+      } else pairCounts(words).limit(0).select(
         lit(0).as("merge_rank"), col("l").as("left_sym"),
         col("r").as("right_sym"), col("c").as("pair_freq"))
     (mergeTable, words)

@@ -100,11 +100,16 @@ object MinHashDedup {
       tokenHash: Column => Column = tokenHashXx,
       maxBucket: Int = 200): DataFrame = {
     // persisted: this relation feeds the signature path AND both
-    // verification joins — without it the shingle window+collect_set
-    // subtree (the most expensive stage) executes three times. The
-    // cache manager dedups by canonical plan, so repeated query runs
-    // reuse one entry; eviction is LRU.
-    val sh = TextFunctions.shingleSets(docs, idCol, textCol, shingleN)
+    // verification joins — without it the shingle subtree (the most
+    // expensive stage) executes three times. The cache manager dedups
+    // by canonical plan, so repeated query runs reuse one entry;
+    // eviction is LRU. `spread` (r19): the shingle build is map-side
+    // since the WordShingles rewrite, so the cached frame would
+    // otherwise inherit the scan's split count — one task on the
+    // single-row-group bench files — and serialize the md5 signature
+    // pass that follows.
+    val sh = TextFunctions.shingleSets(graft.Tables.spread(docs),
+        idCol, textCol, shingleN)
       .filter(size(col("sh")) > 0)
       .persist()
     try pairsFromShingles(sh, k, nBands, threshold, tokenHash, maxBucket)

@@ -41,7 +41,11 @@ object SimHashDedup {
     * capped simhash then handles the near-dup tail. */
   def nearDupPairs(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 3, maxBucket: Int = 200): DataFrame =
-    pairsFromSignatures(signatures(spark, docs, idCol, textCol),
+    // spread (r19): the signature projection is map-side, so its
+    // parallelism — and the banded frame cached right after — is the
+    // scan's split count; one task on single-row-group bench files.
+    pairsFromSignatures(
+      signatures(spark, graft.Tables.spread(docs), idCol, textCol),
       maxHamming, maxBucket)
 
   /** The band/verify half over ANY precomputed `(doc_id, sig)` frame

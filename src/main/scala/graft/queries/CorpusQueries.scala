@@ -212,8 +212,8 @@ object CorpusQueries {
     * two integer aggregations. The df set is near-dup-mass-bounded,
     * never corpus-sized after the HAVING. */
   def repeatedGrams(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(Tables.documents(s, dir), "doc_id", "text",
-      extra = Seq("source"))
+    val sh = shingleRows(Tables.spread(Tables.documents(s, dir)),
+      "doc_id", "text", extra = Seq("source"))
     val shared = sh.select("doc_id", "sh").distinct()
       .groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
@@ -430,8 +430,8 @@ object CorpusQueries {
     * test token membership must dedupe by position (semi/anti join),
     * not count span matches. */
   private def spanFrame(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(Tables.documents(s, dir), "doc_id", "text",
-      keepPos = true)
+    val sh = shingleRows(Tables.spread(Tables.documents(s, dir)),
+      "doc_id", "text", keepPos = true)
     val shared = sh.select("doc_id", "sh").distinct()
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
@@ -491,11 +491,21 @@ object CorpusQueries {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("token"))
       .withColumn("score", col("tf").cast(DoubleType) / col("df").cast(DoubleType))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("token").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("doc_id", "rk", "token", "tf", "df", "score")
+    // r19: top-3 per doc via ONE hash aggregation (collect the doc's
+    // scored tokens, array_sort, slice 3) instead of a row_number
+    // window — same single exchange on doc_id but no partition-wide
+    // SORT of every (doc, token) row; per-doc arrays are
+    // vocabulary-of-one-doc-sized. Ordering key: (−score ASC, token
+    // ASC) ≡ (score DESC, token ASC); IEEE negation is exact, so the
+    // tie order is bit-identical to the window form's.
+    scored.groupBy("doc_id")
+      .agg(slice(array_sort(collect_list(struct(
+          (-col("score")).as("ns"), col("token"), col("tf"), col("df"),
+          col("score")))), 1, k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("doc_id"), (col("p") + 1).cast(IntegerType).as("rk"),
+        col("t.token").as("token"), col("t.tf").as("tf"),
+        col("t.df").as("df"), col("t.score").as("score"))
       .orderBy("doc_id", "rk")
   }
 
@@ -533,8 +543,15 @@ object CorpusQueries {
     * shuffle on doc_id; span sets per doc are tiny, so the range
     * condition rides the equi-join on doc_id. */
   def spanClean(s: SparkSession, dir: String): DataFrame = {
+    // r19: the span frame is consumed FOUR times below (affected ×2,
+    // the n_cut semi-join, the kept anti-join) and the initial plan
+    // showed the whole shingle→df→island pipeline duplicated per
+    // consumer (58 Exchange nodes, zero reuse). It is duplicated-span
+    //-mass-bounded (≪ corpus), so pin it once; consumers then read a
+    // LocalRelation-sized checkpoint instead of re-running the front.
     val spans = spanFrame(s, dir)
       .select(col("doc_id").as("sd"), col("start_tok"), col("end_tok"))
+      .localCheckpoint(true)
     val affected = spans.select(col("sd").as("doc_id")).distinct()
     val toks = Tables.documents(s, dir)
       .join(affected, Seq("doc_id"), "left_semi")

@@ -267,15 +267,21 @@ object CurationQueries {
         """transform(sequence(1, size(t) - 1),
           |  j -> concat(element_at(t, j), ' ', element_at(t, j + 1)))""".stripMargin)).as("bg"))
       .select(col("doc_id"), col("lang"), bucket.as("b"))
-    val tgt = occ.filter(col("lang") === "en")
-      .groupBy("b").agg(count(lit(1)).as("tc"))
-    val src = occ.groupBy("b").agg(count(lit(1)).as("sc"))
-    val tot = occ.agg(count(lit(1)).as("s_tot"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_tot"))
-    val lift = src.join(tgt, Seq("b"), "left")
-      .crossJoin(broadcast(tot))
+    // r19 (guide §1.2/§2.4): src, tgt and the totals were three
+    // SEPARATE aggregations over `occ`, and with the final join that
+    // made FOUR full corpus passes — each re-running the per-char
+    // feature-hash fold, the plan's dominant cost. One combined
+    // groupBy(b) computes sc and tc together (identical values: tc =
+    // conditional count ≡ the filtered count, absent buckets ≡ tc=0
+    // via the old LEFT join's coalesce), and the totals reduce over
+    // the ≤DsirBuckets-row distribution frame instead of the corpus.
+    // Two passes total: one for the distribution, one for scoring.
+    val dist = occ.groupBy("b").agg(count(lit(1)).as("sc"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+    val tot = dist.agg(sum(col("sc")).as("s_tot"), sum(col("tc")).as("t_tot"))
+    val lift = dist.crossJoin(broadcast(tot))
       .select(col("b"), expr(
-        "((coalesce(tc, 0L) + 1) * s_tot * 1000000) div ((sc + 1) * t_tot)")
+        "((tc + 1) * s_tot * 1000000) div ((sc + 1) * t_tot)")
         .as("lift_ppm"))
     occ.join(broadcast(lift), Seq("b"))
       .groupBy("doc_id")

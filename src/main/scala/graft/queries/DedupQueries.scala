@@ -395,18 +395,34 @@ object DedupQueries {
     import graft.functions.TextFunctions
     def tag(df: DataFrame, m: String) =
       df.select(col("doc_a"), col("doc_b"), lit(m).as("method"))
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val docs = Tables.spread(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .persist()
     val sh = TextFunctions.shingleSets(docs, "doc_id", "text", 3)
       .filter(size(col("sh")) > 0)
       .persist()
     try {
-      val mh = MinHashDedup.pairsFromShingles(sh, k = K, nBands = Bands,
+      // r19 (guide §2.6 "overlap independent jobs"): the three arms
+      // are independent pair jobs that each end in an eager
+      // localCheckpoint — run them from driver threads so the next
+      // arm's tasks back-fill the executor slots the current arm's
+      // stage tail leaves idle. The shared caches are materialized
+      // ONCE up front (sh.count() computes both the sh and docs cache
+      // entries) so the concurrent arms ride the cache instead of
+      // racing to fill it.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      sh.count()
+      val fMh = Future(MinHashDedup.pairsFromShingles(sh, k = K, nBands = Bands,
         threshold = Threshold, tokenHash = MinHashDedup.tokenHashMd5,
-        maxBucket = MaxBucket)
-      val sh2 = SimHashDedup.nearDupPairs(s, docs, "doc_id", "text",
-        maxHamming = 12)
-      val ng = TextQueries.ngramJaccardPairs(sh).localCheckpoint(true)
+        maxBucket = MaxBucket))
+      val fSh2 = Future(SimHashDedup.nearDupPairs(s, docs, "doc_id", "text",
+        maxHamming = 12))
+      val fNg = Future(TextQueries.ngramJaccardPairs(sh).localCheckpoint(true))
+      val mh = Await.result(fMh, Duration.Inf)
+      val sh2 = Await.result(fSh2, Duration.Inf)
+      val ng = Await.result(fNg, Duration.Inf)
       tag(mh, "minhash")
         .unionByName(tag(sh2, "simhash"))
         .unionByName(tag(ng, "ngram"))
@@ -584,7 +600,8 @@ object DedupQueries {
   def incrementalQ(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     val bucket = pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(100L))
-    val sh = TextFunctions.shingleSets(Tables.documents(s, dir), "doc_id", "text", 3)
+    val sh = TextFunctions.shingleSets(
+        Tables.spread(Tables.documents(s, dir)), "doc_id", "text", 3)
       .filter(size(col("sh")) > 0)
       .persist()
     val sigs = MinHashDedup.signaturesAgg(sh, ps, MinHashDedup.tokenHashMd5)

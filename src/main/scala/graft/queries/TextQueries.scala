@@ -91,8 +91,9 @@ object TextQueries {
     * oracle embeds the same integer profile as a VALUES relation. */
   def langTrigramQ(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    graft.functions.LangId.predict(docs, "doc_id", "text")
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    // r19: `lang` rides predict's id-set join (carry), replacing the
+    // former second documents scan + corpus-wide doc_id join.
+    graft.functions.LangId.predict(docs, "doc_id", "text", carry = Seq("lang"))
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n"), sum(col("score")).as("total_score"))
       .orderBy("lang", "pred_lang")
@@ -170,7 +171,7 @@ object TextQueries {
     * when the cap fires; this corpus never trips it). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(
-      shingleSets(Tables.documents(s, dir), "doc_id", "text", 3))
+      shingleSets(Tables.spread(Tables.documents(s, dir)), "doc_id", "text", 3))
       .orderBy("doc_a", "doc_b")
 
   /** EXACT similarity self-join via prefix filtering — the
@@ -221,7 +222,8 @@ object TextQueries {
     // distinct (doc, shingle) frame once (the ensemble idiom: persist
     // the corpus-scale intermediate, eagerly checkpoint only the
     // SMALL pair result before unpersisting).
-    val rows = shingleRows(Tables.documents(s, dir), "doc_id", "text")
+    val rows = shingleRows(Tables.spread(Tables.documents(s, dir)),
+        "doc_id", "text")
       .select("doc_id", "sh").distinct()
       .persist()
     val dfreq = rows.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -431,7 +433,8 @@ object TextQueries {
     * the keyword-topk parity device. `contained` names the swallowed
     * doc (the higher-containment side; ties → doc_a). */
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
-    val docSets = shingleSets(Tables.documents(s, dir), "doc_id", "text", 3)
+    val docSets = shingleSets(Tables.spread(Tables.documents(s, dir)),
+        "doc_id", "text", 3)
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
     val exploded = docSets.select(col("sz"), col("doc_id"),
@@ -608,17 +611,21 @@ object TextQueries {
   /** Within-document repetition (training-data quality signal): the
     * duplicated word-trigram mass per document, aggregated per
     * language. High repetition marks boilerplate/spam that poisons
-    * training data. Single token-explode + lead-window shingling (the
-    * [[graft.functions.TextFunctions.shingleSets]] form, which avoids
-    * the HOF re-evaluation pitfall), then two integer aggregations;
-    * all ratios are single IEEE divisions over exact integer sums so
-    * the DuckDB twin matches bitwise. One shuffle on doc_id, reused by
-    * the per-doc aggregation; one shuffle on lang. */
+    * training data. r19: the per-doc counts are computed IN PLACE on
+    * the row's shingle array — `n_sh` = array size, `nd` = distinct
+    * array size — so the corpus never explodes and the only shuffle
+    * is the tiny per-lang aggregation (the pre-r19 form paid a
+    * token-explode + window shingling plus a (doc,lang) groupBy with
+    * countDistinct, three corpus-scale exchanges; guide §2.4). Docs
+    * with <3 tokens drop exactly as before (they produced no shingle
+    * rows; here `n_sh`=0 filters them). All ratios stay single IEEE
+    * divisions over exact integer sums so the DuckDB twin matches
+    * bitwise. */
   def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(Tables.documents(s, dir), "doc_id", "text",
-      extra = Seq("lang"))
-    val perDoc = sh.groupBy("doc_id", "lang")
-      .agg(count(lit(1)).as("n_sh"), countDistinct(col("sh")).as("nd"))
+    import graft.functions.TextFunctions
+    val perDoc = TextFunctions.shingleCounts(
+        Tables.documents(s, dir), "doc_id", "text", extra = Seq("lang"))
+      .filter(col("n_sh") > 0)
     perDoc.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_sh")).as("tot_sh"),

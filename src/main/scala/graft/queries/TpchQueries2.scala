@@ -399,13 +399,23 @@ object TpchQueries2 {
   def q21(s: SparkSession, dir: String): DataFrame = {
     val late = datediff(col("l_shipdate").cast(DateType),
       col("o_orderdate").cast(DateType)) > 90
+    // r19 (guide §2.3 "aggregate before you shuffle"): the former
+    // double countDistinct expanded every joined row ×3 (Expand) before
+    // its exchange; pre-aggregating to (order, supplier) grain first is
+    // a map-side-combining aggregate, and the per-order reduce then
+    // runs over one row per (order, supplier) — identical outputs
+    // (countDistinct(supp) ≡ count over the distinct grain;
+    // countDistinct(when(late, supp)) ≡ count of suppliers with ANY
+    // late line; max(when(late, supp)) ≡ max over those suppliers).
     val perOrder = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(late).as("has_late"))
       .groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
-        max(when(late, col("l_suppkey"))).as("late_supp"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("has_late"), 1L).otherwise(0L)).as("n_late_supp"),
+        max(when(col("has_late"), col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
     perOrder.groupBy("late_supp")
       .agg(count(lit(1)).as("numwait"))

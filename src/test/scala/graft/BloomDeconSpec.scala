@@ -43,7 +43,8 @@ class BloomDeconSpec extends SparkTestBase {
     val bits = BloomDecon.build(members, col("v")).get
     val probes = (0L until 20000L).map(i => s"other-$i").toDF("v")
     val fp = probes.filter(BloomDecon.mightContain(spark, bits, col("v"))).count()
-    // 8M bits / 5k items -> per-probe FP rate ~1e-9; allow enormous slack
+    // 1M bits / 5k items (r19 default) -> per-probe FP rate ~1e-10;
+    // allow enormous slack
     assert(fp <= 20L, s"false-positive mass $fp of 20000 breaks the pruning claim")
   }
 
