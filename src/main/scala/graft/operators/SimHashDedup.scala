@@ -41,11 +41,13 @@ object SimHashDedup {
     * capped simhash then handles the near-dup tail. */
   def nearDupPairs(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, maxHamming: Int = 3, maxBucket: Int = 200): DataFrame =
-    // spread (r19): the signature projection is map-side, so its
-    // parallelism — and the banded frame cached right after — is the
-    // scan's split count; one task on single-row-group bench files.
-    pairsFromSignatures(
-      signatures(spark, graft.Tables.spread(docs), idCol, textCol),
+    // NO input spread here (r19, measured): the FNV signature kernel
+    // is cheap per doc and the pipeline is shuffle-bound right after
+    // banding — adding a parallelism-floor repartition of the docs
+    // cost ~+0.8 s on the cold clusters/droplist/simhash bench
+    // entries and bought nothing (unlike the md5-heavy MinHash path,
+    // where the same spread pays for itself).
+    pairsFromSignatures(signatures(spark, docs, idCol, textCol),
       maxHamming, maxBucket)
 
   /** The band/verify half over ANY precomputed `(doc_id, sig)` frame

@@ -128,13 +128,22 @@ object Similarity {
   def ivfAssign(centroids: DataFrame, corpus: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val s = corpus.sparkSession
-    corpus.select(col(idCol).as("c_id"),
-        col(vecCol).cast(ArrayType(DoubleType)).as("c_vec"))
+    val c = corpus.select(col(idCol).as("c_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("c_vec"))
+    // Lean argmax (r19 — the IvfPq.residuals discipline): aggregate
+    // ONLY (score, cent_id) scalars and join the winner back to the
+    // vectors; the previous first(c_vec) carried the full vector
+    // through the aggregate, multiplying its input volume by
+    // nCentroids·|vector| bytes (the documented sort-spill hazard at
+    // corpus scale; see IvfPq.residuals).
+    val best = c
       .crossJoin(broadcast(centroids))
-      .withColumn("score", ncosine(s, col("c_vec"), col("cent_vec")))
+      .select(col("c_id"), col("cent_id"),
+        ncosine(s, col("c_vec"), col("cent_vec")).as("score"))
       .groupBy("c_id")
-      .agg(max_by(col("cent_id"), col("score")).as("cluster"),
-        first(col("c_vec")).as("c_vec"))
+      .agg(max_by(col("cent_id"), col("score")).as("cluster"))
+    best.join(c, Seq("c_id"))
+      .select(col("c_id"), col("cluster"), col("c_vec"))
   }
 
   /** INCREMENTAL index maintenance — the `incrementalPairs` analogue
@@ -223,15 +232,25 @@ object Similarity {
     val s = corpus.sparkSession
     val planes = hyperplanes(dim, nPlanes)
     val c = corpus.select(col(idCol).as("c_id"),
-        col(vecCol).cast(ArrayType(DoubleType)).as("c_vec"))
-      .withColumn("key", explode(bandKeys(s, col("c_vec"), planes, nBands)))
+      col(vecCol).cast(ArrayType(DoubleType)).as("c_vec"))
     val q = queries.select(col(idCol).as("q_id"),
-        col(vecCol).cast(ArrayType(DoubleType)).as("q_vec"))
-      .withColumn("key", explode(bandKeys(s, col("q_vec"), planes, nBands)))
-    q.join(c, "key")
+      col(vecCol).cast(ArrayType(DoubleType)).as("q_vec"))
+    // r19 (guide §2.3/§8: shuffle keys, not payloads): the band join
+    // and the (q,c) dedup previously carried BOTH full vectors —
+    // ×nBands on the corpus side through the join exchange and again
+    // through the distinct. Join on (key, id) alone, dedup the id
+    // pairs, then attach each side's vector exactly once.
+    val ck = c.select(col("c_id"),
+      explode(bandKeys(s, col("c_vec"), planes, nBands)).as("key"))
+    val qk = q.select(col("q_id"),
+      explode(bandKeys(s, col("q_vec"), planes, nBands)).as("key"))
+    qk.join(ck, "key")
       .filter(col("c_id") =!= col("q_id"))
-      .select("q_id", "q_vec", "c_id", "c_vec")
+      .select("q_id", "c_id")
       .dropDuplicates("q_id", "c_id")
+      .join(q, "q_id")
+      .join(c, "c_id")
+      .select("q_id", "q_vec", "c_id", "c_vec")
   }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
