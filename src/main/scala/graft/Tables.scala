@@ -35,6 +35,21 @@ object Tables {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** [[spread]], but HASH-keyed on `c` instead of round-robin (r20):
+    * where the downstream pipeline groups/windows/distincts on a key,
+    * spreading BY that key makes the parallelism floor double as the
+    * pipeline's one clustering exchange — e.g. `q_dedup_ppjoin`'s
+    * `(doc_id, sh)` distinct and its two doc_id windows all reuse the
+    * doc_id clustering (measured 3.68 s → 1.72 s at sf0.1 vs the
+    * round-robin form; q_dup_spans 1.13 → 0.68, q_span_clean 1.55 →
+    * 1.05). The key must be high-cardinality (doc_id is unique per
+    * row) so the hash spreads evenly — guide §2.5. Same no-op
+    * behavior as [[spread]] at real input sizes. */
+  def spreadBy(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, c) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

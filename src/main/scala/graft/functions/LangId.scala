@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   * words and characteristic letter sequences), score = Σ weight of
   * the text's trigrams per language, argmax with a fixed tie order.
   *
-  * Pipeline shape: lowercase → trigram explode (plain substring, no
-  * regex) → broadcast join against the ~90-row profile relation →
-  * one conditional aggregate per language in a single
-  * groupBy(doc_id) → argmax/tie-break as a fixed expression tree.
-  * One small broadcast, ONE shuffle. Profiles are integer weights so scores are
-  * exact and the whole operator is DuckDB-expressible (the oracle SQL
-  * embeds the same profile as a VALUES list — see
-  * [[graft.queries.TextQueries]]).
+  * Pipeline shape (r20): lowercase → the one-pass native
+  * [[LangScores]] kernel (per-language sums as one `array<long>`
+  * projection — no explode, no join, ZERO shuffles) → argmax/
+  * tie-break as a fixed expression tree. Profiles are integer
+  * weights so scores are exact and the whole operator is
+  * DuckDB-expressible (the oracle SQL embeds the same profile as a
+  * VALUES list — see [[graft.queries.TextQueries]]). The exploded
+  * broadcast-join form survives as [[scores]] for per-(doc, lang)
+  * consumers.
   */
 object LangId {
 
@@ -69,37 +70,39 @@ object LangId {
       .agg(sum(col("w")).as("score"))
 
   /** Argmax over the per-language scores with the fixed tie order;
-    * docs with no scoring trigram at all fall out as ('und', 0) via
-    * the left join back onto the id set.
+    * docs with no scoring trigram at all come out as ('und', 0).
     *
-    * The language domain is small and fixed, so instead of
-    * per-(doc, lang) rows + a row_number window (a second shuffle and
-    * sort of every scored row), ONE conditional aggregation per
-    * language computes all scores in a single groupBy(doc_id) — the
-    * argmax and tie-break become a fixed `greatest`/`when` expression
-    * tree. Identical results to the windowed form (the oracle SQL
-    * keeps the ROW_NUMBER formulation and hash-matches). */
+    * r20 (guide §2.4): fully map-side — the per-language sums come
+    * from the one-pass native [[LangScores]] kernel (one projection,
+    * ZERO shuffles), replacing the explode → broadcast-profile-join →
+    * groupBy(doc_id) front whose exchange carried every matched
+    * trigram occurrence; `carry` columns simply stay on the row, so
+    * the id-set join is gone too. Identical results: the kernel's
+    * sums equal the join form's per-language aggregates (a language
+    * with no match reads 0 where the join produced NULL — both lose
+    * the argmax to any real score ≥ 1, and an all-zero row is exactly
+    * the old no-rows case, mapped to ('und', 0) by the score = 0
+    * test; the oracle SQL keeps the exploded ROW_NUMBER formulation
+    * and hash-matches — measured q_lang_trigram 1.88 s → 0.41 s at
+    * sf0.1). */
   def predict(docs: DataFrame, idCol: String, textCol: String,
       carry: Seq[String] = Nil): DataFrame = {
-    val perLang = langOrder.map(l =>
-      sum(when(col("lang") === l, col("w"))).as(s"s_$l"))
-    val wide = profileMatches(docs, idCol, textCol)
-      .groupBy("doc_id")
-      .agg(perLang.head, perLang.tail: _*)
-    val best = wide.withColumn("score",
-        greatest(langOrder.map(l => col(s"s_$l")): _*))
+    val spark = docs.sparkSession
+    // `_s` is referenced once per language below — the multi-reference
+    // keeps CollapseProject from inlining the kernel per element_at
+    // (the WordShingles lesson: single-consumer aliases get inlined).
+    val base = docs.select(col(idCol).as("doc_id") +: carry.map(col) :+
+      LangScores.langScores(spark, lower(col(textCol))).as("_s"): _*)
+    val sL = langOrder.indices.map(i => element_at(col("_s"), i + 1))
+    val score = coalesce(greatest(sL: _*), lit(0L))
+    base
+      .withColumn("score", score)
       .withColumn("pred_lang",
-        langOrder.foldRight(lit("und")) { case (l, acc) =>
-          when(col(s"s_$l") === col("score"), lit(l)).otherwise(acc)
-        })
-      .select(col("doc_id"), col("pred_lang"), col("score"))
-    // `carry` threads constant-per-doc columns (e.g. the label) through
-    // the id-set join so a confusion-rollup consumer needs no SECOND
-    // corpus scan + doc_id join to re-attach them (r19; guide §2.4).
-    docs.select(col(idCol).as("doc_id") +: carry.map(col): _*)
-      .join(best, Seq("doc_id"), "left")
+        when(col("score") === 0L, lit("und")).otherwise(
+          langOrder.zip(sL).foldRight(lit("und")) { case ((l, s), acc) =>
+            when(s === col("score"), lit(l)).otherwise(acc)
+          }))
       .select(Seq(col("doc_id")) ++ carry.map(col) ++ Seq(
-        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
-        coalesce(col("score"), lit(0L)).as("score")): _*)
+        col("pred_lang"), col("score")): _*)
   }
 }

@@ -33,6 +33,8 @@ import org.apache.spark.sql.functions._
   */
 object BloomDecon {
 
+  private val log = graft.util.Log("graft.operators.BloomDecon")
+
   /** Sizing defaults (re-sized r19): 1M bits = 125 KB serialized —
     * optimal-k false-positive rate ~1e-9 at 3×10⁴ items and < 2% at
     * 10⁵ items, the documented eval-SUITE gram scale this operator
@@ -66,10 +68,33 @@ object BloomDecon {
       expectedItems: Long = DefaultItems,
       numBits: Long = DefaultBits): Option[Array[Byte]] = {
     register(df.sparkSession)
+    // The item count rides the SAME aggregate pass (ADVICE r19): a
+    // build side that outgrows the default sizing would push the
+    // false-positive rate toward 1 and silently nullify the map-side
+    // prune (results stay correct — the exact join removes FPs — but
+    // the operator's scale rationale evaporates). When that happens,
+    // re-build once at 16 bits/item, capped at Spark's runtime-filter
+    // ceiling (64M bits = 8 MB); the common case stays one pass.
     val row = df.agg(
       call_function("graft_bloom_agg", xxhash64(c),
-        lit(expectedItems), lit(numBits)).as("bf")).head()
-    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+        lit(expectedItems), lit(numBits)).as("bf"),
+      count(lit(1)).as("n")).head()
+    if (row.isNullAt(0)) None
+    else {
+      val n = row.getLong(1)
+      if (n <= expectedItems) Some(row.getAs[Array[Byte]](0))
+      else {
+        val bits = math.min(math.max(numBits, 16L * n), 67108864L)
+        log.warn(s"bloom build side has $n items > expectedItems=" +
+          s"$expectedItems — re-building at $bits bits (16/item) to keep " +
+          "the map-side prune selective; pass expectedItems/numBits to " +
+          "skip the second pass")
+        val row2 = df.agg(
+          call_function("graft_bloom_agg", xxhash64(c),
+            lit(n), lit(bits)).as("bf")).head()
+        if (row2.isNullAt(0)) None else Some(row2.getAs[Array[Byte]](0))
+      }
+    }
   }
 
   /** Membership probe column: `might_contain(bloom, xxhash64(c))` —

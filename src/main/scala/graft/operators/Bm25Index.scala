@@ -426,23 +426,35 @@ object Bm25Index {
     if (last.exists(_ >= batchId)) return false // replay
     if (docs.isEmpty) return false
     val vname = f"v$batchId%020d"
-    val ctoks = chunkTokens(docs)
-    val postings = ctoks
-      .groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
-      .withColumn("tkb", pmod(xxhash64(col("token")), lit(TkBuckets.toLong)))
+    // r20 (guide §2.3/§2.4): ONE chunk-grain aggregate feeds both
+    // families — the pre-r20 shape computed `ctoks` twice (the
+    // tokenize+chunk explode re-ran per consumer: postings and dl
+    // were two separate unshared groupBys). `start`/`len` are
+    // functional in (doc_id, chunk_id), so grouping on all five keys
+    // yields the identical postings rows, and dl = Σ tf per chunk is
+    // exactly the old per-chunk token count. The doc_id-keyed spread
+    // parallelizes the tokenizer over a single-row-group batch scan
+    // AND is the clustering both groupBys reuse (doc_id is a prefix
+    // of each grouping key) — no corpus-scale exchange before the
+    // bucketed writes.
+    val ctoks = chunkTokens(graft.Tables.spreadBy(docs, col("doc_id")))
+    val tfAll = ctoks
+      .groupBy("doc_id", "chunk_id", "start", "len", "token")
+      .agg(count(lit(1)).as("tf"))
       .persist()
     // A non-empty doc batch can still tokenize to ZERO rows (all
     // whitespace/empty texts): writing it would leave a partitioned
     // dir with _SUCCESS but no part files, and every later read would
     // fail schema inference on it — treat as an empty batch instead
     // (ADVICE r11). The batch id is NOT consumed: no state changed.
-    if (postings.isEmpty) { postings.unpersist(); return false }
+    if (tfAll.isEmpty) { tfAll.unpersist(); return false }
+    val postings = tfAll.select("doc_id", "chunk_id", "token", "tf")
+      .withColumn("tkb", pmod(xxhash64(col("token")), lit(TkBuckets.toLong)))
     try {
-      val dl = ctoks.groupBy("doc_id", "chunk_id", "start", "len")
-        .agg(count(lit(1)).as("dl"))
+      val dl = tfAll.groupBy("doc_id", "chunk_id", "start", "len")
+        .agg(sum(col("tf")).as("dl"))
         .withColumn("dhb", pmod(xxhash64(col("doc_id")), lit(DhBuckets)))
-        .persist()
-      try {
+      locally {
         // Shuffle-align to the bucket key before the partitioned
         // write: without it every upstream task writes a file into
         // every bucket dir it touches — up to tasks×64 tiny files per
@@ -481,8 +493,8 @@ object Bm25Index {
             .withColumn("dl_dirs", dlNames)
             .localCheckpoint(true))
         true
-      } finally { dl.unpersist(); () }
-    } finally { postings.unpersist(); () }
+      }
+    } finally { tfAll.unpersist(); () }
   }
 
   /** Committed `v*` dir NAMES of one family at the given frontier —

@@ -66,7 +66,17 @@ object KMeans {
       mat: Materializer = Materializer.Local): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got $k, $rounds")
     val s = vecs.sparkSession
-    val eq = vecs.select(col("vec_id"), col("qv")).persist()
+    // r20 (guide §2.3 "shuffle keys, not payloads"): the corpus is
+    // persisted CLUSTERED on vec_id, so every round's per-vector
+    // argmin aggregation runs with NO exchange — the broadcast
+    // cross-join preserves the streamed side's partitioning, and the
+    // groupBy(vec_id) below it previously re-shuffled one row per
+    // vector WITH the full quantized vector as payload, every round.
+    // One upfront exchange at persist time buys `rounds` shuffle-free
+    // assign passes; the update-side (c_id, pos) aggregation already
+    // map-side combines to k×dim rows.
+    val eq = vecs.select(col("vec_id"), col("qv"))
+      .repartition(col("vec_id")).persist()
     // the k LOWEST vec_ids — the documented deterministic seed rule.
     // (review r15: this was `filter(vec_id < k)`, an id-RANGE rule
     // that coincides with lowest-k only for ids dense from 0; a frame

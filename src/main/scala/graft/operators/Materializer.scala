@@ -46,6 +46,16 @@ sealed trait Materializer {
     * never re-runs the upstream plan (checkpointed, or cached with
     * lineage retained only as a recovery path). */
   def apply(df: DataFrame): DataFrame
+
+  /** Materialize a frame that lives for the WHOLE iteration (the
+    * edge frame, degree tables) rather than one round of it (r20):
+    * outside [[Reliable]]'s supersede chain — per-round state frames
+    * replace each other, but a pinned frame must never be evicted by
+    * them, and under `everyN > 1` it must not land on the
+    * persist-with-lineage arm either (it is consumed every round for
+    * the iteration's lifetime). [[Local]] keeps its usual
+    * localCheckpoint. */
+  def pin(df: DataFrame): DataFrame = apply(df)
 }
 
 object Materializer {
@@ -88,6 +98,14 @@ object Materializer {
     require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     private val calls = new java.util.concurrent.atomic.AtomicLong(0L)
     @volatile private var lastCached: Option[DataFrame] = None
+
+    /** Always a reliable checkpoint, never the supersede-persist arm,
+      * and not counted against `everyN`'s round schedule. */
+    override def pin(df: DataFrame): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+      df.checkpoint(true)
+    }
 
     def apply(df: DataFrame): DataFrame = {
       val i = calls.getAndIncrement()

@@ -47,24 +47,31 @@ object PageRank {
   def ranks(edges: DataFrame, rounds: Int,
       mat: Materializer = Materializer.fromEnv()): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = edges.select(col("src"), col("dst"))
-    // nodes + out-degrees, computed once and reused every round: the
-    // degree frame rides the same hash partitioning as the per-round
-    // join, and `deg` also enumerates the node set (symmetrized
-    // graphs) — nodes reachable only via dst are unioned in so the
-    // operator stays correct on general directed graphs.
-    val deg = mat(
+    // r20 round-shape rework (guide §2.4, the ConnectedComponents
+    // twin): the edge frame is hash-clustered on `src` and SORTED
+    // once, pinned through the materializer — the per-round
+    // contribution join previously re-exchanged the edges EVERY
+    // round. The degree table and the rank state ride node-clustered,
+    // node-sorted materializations, so each round plans exactly ONE
+    // exchange: the map-side-combined contribution sum on `dst`.
+    val e = mat.pin(edges.select(col("src"), col("dst"))
+      .repartition(col("src")).sortWithinPartitions("src"))
+    // nodes + out-degrees, computed once and reused every round;
+    // `deg` also enumerates the node set (symmetrized graphs) —
+    // nodes reachable only via dst are unioned in so the operator
+    // stays correct on general directed graphs.
+    val deg = mat.pin(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
         .unionByName(
           e.select(col("dst").as("node")).except(e.select(col("src").as("node")))
             .withColumn("outdeg", lit(0L)))
-    )
+        .repartition(col("node")).sortWithinPartitions("node"))
     var pr = mat(deg.select(col("node"), lit(Scale).as("pr")))
     for (_ <- 1 to rounds) {
       val contrib = pr.join(deg, "node")
         .filter(col("outdeg") > 0)
-        .select(col("node"), expr("pr DIV outdeg").as("c"))
-      val summed = e.join(contrib.withColumnRenamed("node", "src"), "src")
+        .select(col("node").as("src"), expr("pr DIV outdeg").as("c"))
+      val summed = e.join(contrib, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("s"))
       val next = deg.select(col("node"))

@@ -206,18 +206,18 @@ object DedupQueries {
 
   private def computeClusterLabels(s: SparkSession, dir: String): DataFrame = {
     // The pair frame arrives via the session memo (already
-    // materialized by nearDupPairs); the symmetrized union is
-    // materialized ONCE more so the CC rounds read a single edge
-    // frame — leaving the union lazy made every CC round re-plan and
-    // re-read both branches (2.6× slower on the 100k duplication
-    // stress, 7.5M directed edges). Iterative consumers want exactly
-    // one materialized input. The materializer (local vs reliable
-    // checkpoint) follows GRAFT_ITER_CHECKPOINT_DIR — see
-    // [[graft.operators.Materializer]].
+    // materialized by nearDupPairs); the symmetrized union stays LAZY
+    // (r20): minLabels clusters + materializes its own dst-keyed edge
+    // frame up front and consumes the input exactly once, so a second
+    // caller-side materialization would just double-write the edges
+    // (the pre-r20 operator re-read its input every round, which is
+    // why this used to mat() the union — measured 2.6× slower unmat'd
+    // then). The materializer (local vs reliable checkpoint) follows
+    // GRAFT_ITER_CHECKPOINT_DIR — see [[graft.operators.Materializer]].
     val mat = graft.operators.Materializer.fromEnv()
     val pairs = simhashPairs(s, dir)
-    val edges = mat(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     graft.operators.ConnectedComponents.minLabels(edges, mat = mat)._1
   }
 
@@ -395,6 +395,9 @@ object DedupQueries {
     import graft.functions.TextFunctions
     def tag(df: DataFrame, m: String) =
       df.select(col("doc_a"), col("doc_b"), lit(m).as("method"))
+    // round-robin spread, deliberately NOT doc_id-keyed (r20 audit):
+    // the ensemble's arms are dominated by shingle-keyed groupBys,
+    // and the keyed form measured WORSE here (3.67 s → 4.02 s).
     val docs = Tables.spread(
         Tables.documents(s, dir).select(col("doc_id"), col("text")))
       .persist()
@@ -412,17 +415,36 @@ object DedupQueries {
       // racing to fill it.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.duration._
       sh.count()
-      val fMh = Future(MinHashDedup.pairsFromShingles(sh, k = K, nBands = Bands,
+      // r20 (ADVICE r19): the arms share one job group and compose via
+      // Future.sequence with a FINITE await — if any arm throws (or
+      // the await times out on a hung arm), the group's live jobs are
+      // cancelled and the remaining futures drained briefly BEFORE the
+      // finally releases the shared caches, so no arm keeps running
+      // against silently-uncached frames. Job groups are thread-local:
+      // each arm sets the group inside its own thread.
+      val gid = s"ensemble-${java.util.UUID.randomUUID()}"
+      def arm[T](f: => T): Future[T] = Future {
+        s.sparkContext.setJobGroup(gid, "ensemble arm", true)
+        try f finally s.sparkContext.clearJobGroup()
+      }
+      val fMh = arm(MinHashDedup.pairsFromShingles(sh, k = K, nBands = Bands,
         threshold = Threshold, tokenHash = MinHashDedup.tokenHashMd5,
         maxBucket = MaxBucket))
-      val fSh2 = Future(SimHashDedup.nearDupPairs(s, docs, "doc_id", "text",
+      val fSh2 = arm(SimHashDedup.nearDupPairs(s, docs, "doc_id", "text",
         maxHamming = 12))
-      val fNg = Future(TextQueries.ngramJaccardPairs(sh).localCheckpoint(true))
-      val mh = Await.result(fMh, Duration.Inf)
-      val sh2 = Await.result(fSh2, Duration.Inf)
-      val ng = Await.result(fNg, Duration.Inf)
+      val fNg = arm(TextQueries.ngramJaccardPairs(sh).localCheckpoint(true))
+      val arms = Seq(fMh, fSh2, fNg)
+      val Seq(mh, sh2, ng) =
+        try Await.result(Future.sequence(arms), 6.hours)
+        catch {
+          case e: Throwable =>
+            s.sparkContext.cancelJobGroup(gid)
+            arms.foreach(f =>
+              try { Await.ready(f, 1.minute); () } catch { case _: Throwable => () })
+            throw e
+        }
       tag(mh, "minhash")
         .unionByName(tag(sh2, "simhash"))
         .unionByName(tag(ng, "ngram"))
@@ -600,8 +622,13 @@ object DedupQueries {
   def incrementalQ(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions
     val bucket = pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(100L))
+    // r20: doc_id-KEYED spread — the signature aggregation and the
+    // verify joins downstream are doc-keyed, so the spreading
+    // exchange doubles as their clustering (guide §2.4); measured
+    // 1.57 s → 1.08 s at sf0.1 vs the r19 round-robin spread.
     val sh = TextFunctions.shingleSets(
-        Tables.spread(Tables.documents(s, dir)), "doc_id", "text", 3)
+        Tables.spreadBy(Tables.documents(s, dir), col("doc_id")),
+        "doc_id", "text", 3)
       .filter(size(col("sh")) > 0)
       .persist()
     val sigs = MinHashDedup.signaturesAgg(sh, ps, MinHashDedup.tokenHashMd5)

@@ -92,7 +92,10 @@ object TextQueries {
   def langTrigramQ(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // r19: `lang` rides predict's id-set join (carry), replacing the
-    // former second documents scan + corpus-wide doc_id join.
+    // former second documents scan + corpus-wide doc_id join. (r20
+    // re-measured carry vs the r18 no-carry form at 1.88 s vs 1.91 s
+    // min-of-5 — the r19 driver regression was not the carry change;
+    // the real cost is predict's explode+join front, now native.)
     graft.functions.LangId.predict(docs, "doc_id", "text", carry = Seq("lang"))
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n"), sum(col("score")).as("total_score"))
@@ -222,8 +225,14 @@ object TextQueries {
     // distinct (doc, shingle) frame once (the ensemble idiom: persist
     // the corpus-scale intermediate, eagerly checkpoint only the
     // SMALL pair result before unpersisting).
-    val rows = shingleRows(Tables.spread(Tables.documents(s, dir)),
-        "doc_id", "text")
+    // r20: the parallelism floor is doc_id-KEYED (spreadBy, guide
+    // §2.4): the same exchange that spreads the single-row-group scan
+    // then satisfies the (doc_id, sh) distinct below AND the rk/sz
+    // windows' doc_id clustering (dfreq broadcasts back, so the
+    // clustering survives the df join) — measured 3.68 s → 1.72 s at
+    // sf0.1 vs the r19 round-robin spread.
+    val rows = shingleRows(Tables.spreadBy(Tables.documents(s, dir),
+        col("doc_id")), "doc_id", "text")
       .select("doc_id", "sh").distinct()
       .persist()
     val dfreq = rows.groupBy("sh").agg(count(lit(1)).as("df"))
