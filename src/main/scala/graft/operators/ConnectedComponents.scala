@@ -151,11 +151,17 @@ object ConnectedComponents {
         .observe(obs,
           sum(when(col("label") =!= col("old"), 1L).otherwise(0L)).as("c"))
         .repartition(col("node")).sortWithinPartitions("node"))
+      // Observed metrics are delivered on the ASYNC QueryExecutionListener
+      // bus — under a loaded session (a bench run's event backlog) that
+      // delivery can lag far past the cost of just re-aggregating the
+      // already-materialized frame, so wait only a short grace and fall
+      // back to the direct aggregate: per round the cost is
+      // min(bus drain, one cached-scan agg job), never a blocked driver.
       val changed =
         try {
           import scala.concurrent.Await
           import scala.concurrent.duration._
-          Await.result(obs.future, 5.seconds).getLong(0)
+          Await.result(obs.future, 50.millis).getLong(0)
         } catch {
           case _: java.util.concurrent.TimeoutException =>
             next.agg(

@@ -48,6 +48,29 @@ class LangIdSpec extends SparkTestBase {
     assert(row.getString(1) == "und" && row.getLong(2) == 0L)
   }
 
+  test("lang_scores kernel equals the exploded profile-join sums " +
+      "(multi-byte, >7-byte windows, empty)") {
+    import org.apache.spark.sql.functions._
+    // tricky rows: 2-byte profile chars (ó/é), 4-byte chars that make
+    // >7-byte windows (must match nothing, not crash), short/empty
+    val tricky = Seq((100L, "x", "ción ión ció the and of"),
+      (101L, "x", "𝔘𝔫𝔦 𝔠𝔬𝔡𝔢 the and of the"),
+      (102L, "x", ""), (103L, "x", "ab"))
+    val docs = (samples.map(s => (s._1, s._2, s._3)) ++ tricky)
+      .toDF("doc_id", "lang", "text")
+    // reference: the pre-r20 exploded broadcast-join aggregation
+    val ref = LangId.scores(docs.select(col("doc_id"), lower(col("text")).as("t")),
+        "doc_id", "t")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    graft.functions.LangScores.register(spark)
+    val got = docs.select(col("doc_id"),
+        call_function("lang_scores", lower(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (id <- got.keys; (l, i) <- LangId.langOrder.zipWithIndex)
+      assert(got(id)(i) == ref.getOrElse((id, l), 0L),
+        s"doc $id lang $l: kernel ${got(id)(i)} vs join ${ref.getOrElse((id, l), 0L)}")
+  }
+
   test("deterministic tie-break follows langOrder priority") {
     // 'de ' scores for es(de:4) and fr(de:3); ' de' for en? craft a
     // string hitting en and de equally is fragile — instead assert
